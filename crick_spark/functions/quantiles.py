@@ -1,0 +1,88 @@
+"""Exact quantile / CDF / histogram — the deterministic TDigest counterparts.
+
+Reference semantics: ``crick/tdigest.pyx`` — ``quantile`` (:144-163),
+``cdf`` with the midpoint-at-ties convention (:124-142; test helper
+``crick/tests/test_tdigest.py:52-56``), ``histogram`` by CDF differencing
+(:165-229).  These exact forms are the t2 oracles; the sketch versions live
+in ``crick_spark.sketches.tdigest``.
+
+Scale notes: ``percentile`` is an exact sort-based aggregate (fine to ~10⁹
+rows per group; beyond that use the t-digest sketch); the CDF and histogram
+forms are single hash-aggregate passes built from integer counts — fully
+deterministic, no floating-point order dependence, shuffle carries one row
+per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crick_spark.functions.stats import nan_to_null
+
+
+def exact_percentile_exprs(col: Column, qs: list[float], round_to: int = 6) -> list[Column]:
+    """Exact linear-interpolation percentiles (crick ``quantile``,
+    ``crick/tdigest_stubs.c:483-516`` — same convention as SQL
+    ``percentile_cont``), one aliased column per q."""
+    c = nan_to_null(col)
+    return [
+        F.round(F.percentile(c, F.lit(q)), round_to).alias(f"p{str(q).replace('.', '_')}")
+        for q in qs
+    ]
+
+
+def cdf_exprs(col: Column, points: list[float]) -> list[Column]:
+    """Exact CDF at fixed points with crick's midpoint-at-ties convention:
+    ``(count(v < x) + 0.5·count(v = x)) / count(*)``
+    (``crick/tests/test_tdigest.py:52-56``).
+
+    Built purely from integer counts then divided once — bit-deterministic
+    regardless of row order or partitioning.
+    """
+    c = nan_to_null(col)
+    n = F.count(c)
+    out = []
+    for x in points:
+        lt = F.count(F.when(c < x, 1))
+        eq = F.count(F.when(c == x, 1))
+        out.append(
+            ((lt + 0.5 * eq) / n).alias(f"cdf_{str(x).replace('.', '_').replace('-', 'm')}")
+        )
+    return out
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Exact fixed-range histogram (crick ``histogram``,
+    ``crick/tdigest.pyx:165-229``): values binned into ``nbins`` equal bins
+    over [lo, hi]; the top edge is inclusive (numpy convention crick follows).
+
+    Implemented as integer bucket arithmetic + hash aggregate; out-of-range
+    rows are dropped (crick raises only for range=None auto-ranging; with an
+    explicit range numpy drops out-of-range).  Returns (bin, bin_lo, bin_hi,
+    cnt) with empty bins filled in so the result shape is deterministic.
+    """
+    spark = df.sparkSession
+    c = nan_to_null(F.col(col))
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(nbins - 1)
+    )
+    counts = (
+        df.where(c.isNotNull() & (c >= lo) & (c <= hi))
+        .select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bins = spark.range(nbins).select(F.col("id").alias("bin"))
+    return (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )

@@ -1,0 +1,404 @@
+"""Exact / deterministic t2 query set (SURVEY §2 "t2 oracle" column).
+
+These are the DuckDB-hash-matched counterparts of every reference operator:
+moments (SummaryStats), exact percentile/CDF/histogram (TDigest), exact
+top-k with deterministic tie-break (SpaceSaving), plus the relational
+plumbing (joins, windows, set ops) that drives them over the star schema.
+
+Scale notes per query are inline; the common principles: single
+hash-aggregate passes, integer-arithmetic determinism where possible,
+broadcast joins for dimension tables, and no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crick_spark.functions.quantiles import cdf_exprs, histogram
+from crick_spark.functions.stats import nan_to_null
+from crick_spark.functions.topk import exact_topk, exact_topk_per_group
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): scan → project → hash agg (partial+final)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 1) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 5) AS avg_price,
+       round(avg(l_discount), 8) AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary; one hash-agg pass, no shuffle of raw rows.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 1).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 1).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 5).alias("avg_price"),
+        F.round(F.avg("l_discount"), 8).alias("avg_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SummaryStats surface (crick/stats.pyx) — global and grouped moments
+# ---------------------------------------------------------------------------
+_MOMENTS_ORACLE_GLOBAL = """
+WITH s AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL
+           AND NOT isnan(l_extendedprice)),
+     m AS (SELECT avg(x) AS mu, count(*) AS n FROM s)
+SELECT count(*) AS cnt,
+       round(sum(x), 1) AS sum_x,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x,
+       round(avg(x), 5) AS mean_x,
+       round(var_pop(x), 1) AS var_pop_x,
+       round(var_samp(x), 1) AS var_samp_x,
+       round(stddev_pop(x), 4) AS std_pop_x,
+       round(stddev_samp(x), 4) AS std_samp_x,
+       round(avg(pow(x - mu, 3)) / pow(avg(pow(x - mu, 2)), 1.5), 6) AS skew_x,
+       round(avg(pow(x - mu, 4)) / pow(avg(pow(x - mu, 2)), 2) - 3, 6) AS kurt_x
+FROM s, m
+GROUP BY mu
+"""
+
+
+@register(
+    "summary_stats_extendedprice",
+    oracle=_MOMENTS_ORACLE_GLOBAL,
+    doc="Full SummaryStats result (crick/stats.pyx surface) in one aggregate pass; "
+    "skew/kurt are population forms matching crick defaults "
+    "(crick/stats_stubs.c:113-136).",
+)
+def summary_stats_extendedprice(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    x = nan_to_null(F.col("l_extendedprice"))
+    return li.agg(
+        F.count(x).alias("cnt"),
+        F.round(F.sum(x), 1).alias("sum_x"),
+        F.round(F.min(x), 6).alias("min_x"),
+        F.round(F.max(x), 6).alias("max_x"),
+        F.round(F.avg(x), 5).alias("mean_x"),
+        F.round(F.var_pop(x), 1).alias("var_pop_x"),
+        F.round(F.var_samp(x), 1).alias("var_samp_x"),
+        F.round(F.stddev_pop(x), 4).alias("std_pop_x"),
+        F.round(F.stddev_samp(x), 4).alias("std_samp_x"),
+        F.round(F.skewness(x), 6).alias("skew_x"),
+        F.round(F.kurtosis(x), 6).alias("kurt_x"),
+    )
+
+
+_MOMENTS_ORACLE_GROUPED = """
+WITH s AS (SELECT l_returnflag AS g, l_quantity AS x FROM lineitem
+           WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+     m AS (SELECT g, avg(x) AS mu FROM s GROUP BY g)
+SELECT s.g AS l_returnflag,
+       count(*) AS cnt,
+       round(sum(x), 2) AS sum_x,
+       round(avg(x), 6) AS mean_x,
+       round(var_pop(x), 6) AS var_pop_x,
+       round(stddev_samp(x), 6) AS std_samp_x,
+       round(avg(pow(x - mu, 3)) / pow(avg(pow(x - mu, 2)), 1.5), 6) AS skew_x,
+       round(avg(pow(x - mu, 4)) / pow(avg(pow(x - mu, 2)), 2) - 3, 6) AS kurt_x
+FROM s JOIN m ON s.g = m.g
+GROUP BY s.g, m.mu
+"""
+
+
+@register(
+    "summary_stats_by_returnflag",
+    oracle=_MOMENTS_ORACLE_GROUPED,
+    doc="Grouped SummaryStats — Catalyst partial+final aggregation is exactly "
+    "crick's update+merge contract (SURVEY §3.4).",
+)
+def summary_stats_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    x = nan_to_null(F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(x).alias("cnt"),
+        F.round(F.sum(x), 2).alias("sum_x"),
+        F.round(F.avg(x), 6).alias("mean_x"),
+        F.round(F.var_pop(x), 6).alias("var_pop_x"),
+        F.round(F.stddev_samp(x), 6).alias("std_samp_x"),
+        F.round(F.skewness(x), 6).alias("skew_x"),
+        F.round(F.kurtosis(x), 6).alias("kurt_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (TDigest.quantile oracle, crick/tdigest_stubs.c:483-516)
+# ---------------------------------------------------------------------------
+_QS = [0.001, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999]
+
+
+@register(
+    "percentile_events_value",
+    oracle="""
+SELECT """
+    + ",\n       ".join(
+        f"round(quantile_cont(value, {q}), 6) AS p{str(q).replace('.', '_')}" for q in _QS
+    )
+    + """
+FROM events
+""",
+    doc="Exact linear-interpolation percentiles over events.value; sort-based "
+    "aggregate — for >10⁹-row groups use tdigest_quantiles instead.",
+)
+def percentile_events_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = nan_to_null(F.col("value"))
+    return ev.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"p{str(q).replace('.', '_')}")
+            for q in _QS
+        ]
+    )
+
+
+@register(
+    "percentile_quantity_by_returnflag",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p0_25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p0_5,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p0_75,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p0_99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Grouped exact percentiles.",
+)
+def percentile_quantity_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    c = nan_to_null(F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"p{str(q).replace('.', '_')}")
+            for q in [0.25, 0.5, 0.75, 0.99]
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact CDF (TDigest.cdf oracle — midpoint-at-ties, test_tdigest.py:52-56)
+# ---------------------------------------------------------------------------
+_CDF_POINTS = [1.0, 5.0, 10.0, 25.0, 50.0, 100.0, 200.0, 400.0]
+
+
+@register(
+    "cdf_events_value",
+    oracle="""
+SELECT """
+    + ",\n       ".join(
+        f"(count(*) FILTER (WHERE value < {x}) + 0.5 * count(*) FILTER (WHERE value = {x}))"
+        f" / count(value) AS cdf_{str(x).replace('.', '_')}"
+        for x in _CDF_POINTS
+    )
+    + """
+FROM events
+""",
+    doc="Exact CDF at fixed points, crick midpoint-at-ties convention; pure "
+    "integer counts → bit-deterministic under any partitioning.",
+)
+def cdf_events_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(*cdf_exprs(F.col("value"), _CDF_POINTS))
+
+
+# ---------------------------------------------------------------------------
+# Exact histogram (TDigest.histogram oracle, crick/tdigest.pyx:165-229)
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_quantity",
+    oracle="""
+WITH src AS (
+  SELECT least(CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT), 9) AS bin
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+    AND l_quantity >= 0.0 AND l_quantity <= 50.0
+),
+counts AS (SELECT bin, count(*) AS cnt FROM src GROUP BY bin)
+SELECT b.bin,
+       round(0.0 + b.bin * 5.0, 6) AS bin_lo,
+       round(0.0 + (b.bin + 1) * 5.0, 6) AS bin_hi,
+       coalesce(c.cnt, 0) AS cnt
+FROM (SELECT unnest(range(10)) AS bin) b
+LEFT JOIN counts c USING (bin)
+""",
+    doc="Fixed-range 10-bin histogram over [0,50], top edge inclusive (numpy "
+    "convention crick follows); integer bucket arithmetic.",
+)
+def histogram_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_quantity", 0.0, 50.0, 10)
+
+
+# ---------------------------------------------------------------------------
+# Exact top-k (SpaceSaving.topk oracle, crick/space_saving.pyx:304-341)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_event_types",
+    oracle="""
+SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT event_type AS item, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+  FROM events GROUP BY event_type
+) WHERE rk <= 5
+""",
+    doc="Global exact top-k with deterministic tie-break (count DESC, item ASC); "
+    "error=0 marks the exact path of the SpaceSaving contract.",
+)
+def topk_event_types(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return exact_topk(ev, "event_type", 5)
+
+
+@register(
+    "topk_users_by_events",
+    oracle="""
+SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT user_id AS item, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 20
+""",
+    doc="Heavy-hitter users: map-side partial agg collapses to distinct keys "
+    "before the shuffle; sort input is |distinct users|, not |events|.",
+)
+def topk_users_by_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return exact_topk(ev, "user_id", 20)
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+SELECT p_brand, item, cnt FROM (
+  SELECT p.p_brand, l.l_partkey AS item, count(*) AS cnt,
+         row_number() OVER (PARTITION BY p.p_brand
+                            ORDER BY count(*) DESC, l.l_partkey ASC) AS rk
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+) WHERE rk <= 3
+""",
+    doc="Per-group top-k through a dimension join; part is broadcast "
+    "(dimension ≪ fact) so no shuffle of lineitem for the join.",
+)
+def topk_parts_per_brand(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    return exact_topk_per_group(joined, ["p_brand"], "l_partkey", 3)
+
+
+# ---------------------------------------------------------------------------
+# Relational drive-train: multi-join rollup (scan→broadcast join→agg)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       round(avg(o.o_totalprice), 5) AS avg_order
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="Star-schema rollup: customer/nation/region broadcast; orders never "
+    "shuffles for the joins, only the tiny aggregate does.",
+)
+def revenue_by_nation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 5).alias("avg_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window (batch form; streaming twin in streaming/)
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1-hour event-time rollup (batch twin of the streaming "
+    "window aggregate).",
+)
+def events_hourly_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / set-op coverage (SURVEY §2.5 checklist rows)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_mktsegments_per_region",
+    oracle="""
+SELECT r.r_name,
+       count(DISTINCT c.c_mktsegment) AS n_segments,
+       count(DISTINCT c.c_nationkey) AS n_nations
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    doc="Exact distinct-count coverage (approx twin: approx_distinct_users).",
+)
+def distinct_mktsegments_per_region(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+        )
+    )

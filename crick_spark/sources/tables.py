@@ -1,0 +1,59 @@
+"""Sources: the driver's synthetic star schema + events/documents/embeddings.
+
+The reference has no scan layer (inputs are in-memory ndarrays,
+``crick/tdigest.pyx:294``); the engine's sources are Spark's native readers.
+Parquet is the primary format — column pruning and predicate pushdown reach
+the scan via Catalyst, which is what makes the 100 TB case workable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; normalizes the ``events.ts`` nanosecond timestamp.
+
+    The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long nanos (legacy conf) and truncate to
+    microseconds — the same truncation DuckDB applies, so oracle
+    comparisons agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so spark.sql() queries run on them."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
