@@ -1,0 +1,227 @@
+"""The crick operator surface as DataFrame-level aggregations.
+
+Each function is the Spark-native form of a reference operator (SURVEY §2):
+``tdigest_*`` ↔ ``crick.TDigest``, ``spacesaving_topk`` ↔
+``crick.SpaceSaving.topk``, ``moments_agg`` ↔ ``crick.SummaryStats`` — all
+running through the two-phase sketch aggregation in ``sketch_agg`` (bounded
+state, buffer-only shuffle; SURVEY §3.3/§3.4).
+
+``tdigest_agg`` returns the *sketch itself* as a column (crick's pickle
+surface, ``tdigest.pyx:246-263``): persistable to parquet, mergeable later
+with ``merge_sketches`` — the pattern for incremental rollups where
+yesterday's digests merge with today's partials without rescanning.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from crick_spark.operators.sketch_agg import SketchOps, merge_sketches, partial_sketches, sketch_aggregate
+from crick_spark.sketches import Moments, SpaceSaving, TDigest
+
+
+def _qname(q: float) -> str:
+    return f"p{str(q).replace('.', '_')}"
+
+
+def _xname(prefix: str, x: float) -> str:
+    return f"{prefix}{str(x).replace('.', '_').replace('-', 'm')}"
+
+
+# ---------------------------------------------------------------------------
+# TDigest
+# ---------------------------------------------------------------------------
+def _tdigest_ops(col: str, weight_col: str | None, compression: float) -> SketchOps:
+    def build(pdf: pd.DataFrame) -> TDigest:
+        w = pdf[weight_col].to_numpy(np.float64) if weight_col else None
+        return TDigest.from_values(
+            pdf[col].to_numpy(np.float64), w, compression=compression
+        )
+
+    return SketchOps(build=build, merge=lambda a, b: a.merge(b))
+
+
+def tdigest_agg(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    compression: float = 100.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Aggregate to a digest column (by…, sketch: binary) — one row per
+    group; the persistable/mergeable sketch state."""
+    by = by or []
+    ops = _tdigest_ops(col, weight_col, compression)
+    cols = [col] + ([weight_col] if weight_col else [])
+    return partial_sketches(df, ops, cols, by)
+
+
+def tdigest_merge_finalize(
+    partials: DataFrame,
+    by: list[str] | None,
+    finalize: Callable[[TDigest], pd.DataFrame],
+    result_schema: StructType,
+) -> DataFrame:
+    """Merge a (possibly persisted) digest-column DataFrame and finalize."""
+    ops = SketchOps(build=None, merge=lambda a, b: a.merge(b))
+    return merge_sketches(partials, ops, by or [], finalize, result_schema)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    by: list[str] | None = None,
+    compression: float = 100.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Approximate quantiles via mergeable t-digest (crick
+    ``TDigest.quantile``): one row per group, one column per q."""
+    schema = StructType([StructField(_qname(q), DoubleType()) for q in qs])
+
+    def finalize(sk: TDigest) -> pd.DataFrame:
+        return pd.DataFrame([{_qname(q): float(sk.quantile(q)) for q in qs}])
+
+    ops = _tdigest_ops(col, weight_col, compression)
+    cols = [col] + ([weight_col] if weight_col else [])
+    return sketch_aggregate(df, ops, cols, by, finalize, schema)
+
+
+def tdigest_cdf(
+    df: DataFrame,
+    col: str,
+    points: list[float],
+    by: list[str] | None = None,
+    compression: float = 100.0,
+) -> DataFrame:
+    """Approximate CDF at fixed points (crick ``TDigest.cdf``)."""
+    schema = StructType(
+        [StructField(_xname("cdf_", x), DoubleType()) for x in points]
+    )
+
+    def finalize(sk: TDigest) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{_xname("cdf_", x): float(sk.cdf(x)) for x in points}]
+        )
+
+    return sketch_aggregate(
+        df, _tdigest_ops(col, None, compression), [col], by, finalize, schema
+    )
+
+
+def tdigest_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    by: list[str] | None = None,
+    compression: float = 100.0,
+) -> DataFrame:
+    """Approximate histogram by CDF differencing (crick
+    ``TDigest.histogram``): rows (by…, bin, bin_lo, bin_hi, cnt_est)."""
+    schema = StructType(
+        [
+            StructField("bin", LongType()),
+            StructField("bin_lo", DoubleType()),
+            StructField("bin_hi", DoubleType()),
+            StructField("cnt_est", DoubleType()),
+        ]
+    )
+
+    def finalize(sk: TDigest) -> pd.DataFrame:
+        hist, edges = sk.histogram(bins=nbins, range=(lo, hi))
+        return pd.DataFrame(
+            {
+                "bin": np.arange(nbins),
+                "bin_lo": edges[:-1],
+                "bin_hi": edges[1:],
+                "cnt_est": hist,
+            }
+        )
+
+    return sketch_aggregate(
+        df, _tdigest_ops(col, None, compression), [col], by, finalize, schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving
+# ---------------------------------------------------------------------------
+def spacesaving_topk(
+    df: DataFrame,
+    col: str,
+    k: int,
+    by: list[str] | None = None,
+    capacity: int = 20,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k with per-item error bounds (crick
+    ``SpaceSaving.topk``): rows (by…, item, cnt, error) where
+    ``cnt ≤ actual ≤ cnt + error``; item keeps the input column's type."""
+    item_field = StructField("item", df.schema[col].dataType)
+    schema = StructType(
+        [item_field, StructField("cnt", LongType()), StructField("error", LongType())]
+    )
+
+    def build(pdf: pd.DataFrame) -> SpaceSaving:
+        counts = pdf[count_col].to_numpy(np.int64) if count_col else None
+        return SpaceSaving.from_batch(
+            pdf[col].to_numpy(), counts, capacity=capacity
+        )
+
+    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+
+    def finalize(sk: SpaceSaving) -> pd.DataFrame:
+        rows = sk.topk(k)
+        return pd.DataFrame(rows, columns=["item", "cnt", "error"])
+
+    cols = [col] + ([count_col] if count_col else [])
+    return sketch_aggregate(df, ops, cols, by, finalize, schema)
+
+
+# ---------------------------------------------------------------------------
+# Moments (SummaryStats)
+# ---------------------------------------------------------------------------
+_MOMENTS_FIELDS = [
+    ("cnt", LongType()),
+    ("sum_x", DoubleType()),
+    ("min_x", DoubleType()),
+    ("max_x", DoubleType()),
+    ("mean_x", DoubleType()),
+    ("var_pop_x", DoubleType()),
+    ("var_samp_x", DoubleType()),
+    ("std_pop_x", DoubleType()),
+    ("std_samp_x", DoubleType()),
+    ("skew_x", DoubleType()),
+    ("kurt_x", DoubleType()),
+]
+
+
+def moments_agg(df: DataFrame, col: str, by: list[str] | None = None) -> DataFrame:
+    """Full SummaryStats struct in one pass through the sketch path (crick
+    ``SummaryStats``); the built-in fast path for the same result is
+    ``crick_spark.functions.stats.summary_stats_exprs``."""
+    schema = StructType([StructField(n, t) for n, t in _MOMENTS_FIELDS])
+
+    def build(pdf: pd.DataFrame) -> Moments:
+        return Moments.from_values(pdf[col].to_numpy(np.float64))
+
+    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+
+    def finalize(sk: Moments) -> pd.DataFrame:
+        return pd.DataFrame([sk.finalize()])
+
+    return sketch_aggregate(df, ops, [col], by, finalize, schema)

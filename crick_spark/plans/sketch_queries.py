@@ -1,5 +1,167 @@
-"""Sketch-operator queries (approximate — rows-only driver check; accuracy
-is asserted in tests/ against the exact oracles with reference tolerances).
+"""Sketch-operator queries (SURVEY §2.1-2.3 approximate surface).
 
-Populated as the sketch UDAFs land (SURVEY §7.1 M2-M4).
+Approximate results can't hash-match an exact SQL oracle → most entries are
+rows-only for the driver; their accuracy is asserted in
+``tests/test_sketch_operators.py`` at the reference's own tolerances.
+
+Two exceptions get full oracles:
+
+* ``spacesaving_topk_event_types`` — with |distinct| ≤ capacity the
+  Space-Saving summary never evicts, so counts are exact and error = 0
+  (the guarantee ``count ≤ actual ≤ count+error`` collapses); deterministic.
+* ``moments_sketch_extendedprice`` — SummaryStats is an *exact* algorithm
+  (only FP summation order differs) → hash-matches after rounding.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crick_spark.operators import (
+    moments_agg,
+    spacesaving_topk,
+    tdigest_cdf,
+    tdigest_histogram,
+    tdigest_quantiles,
+)
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "tdigest_quantiles_events_value",
+    doc="Mergeable t-digest quantiles over events.value (crick TDigest.quantile); "
+    "accuracy ≤0.012 in q-space asserted in tests.",
+)
+def tdigest_quantiles_events_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return tdigest_quantiles(ev, "value", _QS)
+
+
+@register(
+    "tdigest_quantiles_by_returnflag",
+    doc="Grouped t-digest quantiles (per-group mergeable sketch state).",
+)
+def tdigest_quantiles_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return tdigest_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], by=["l_returnflag"])
+
+
+@register(
+    "tdigest_cdf_events_value",
+    doc="t-digest CDF at fixed points (crick TDigest.cdf); exact twin: cdf_events_value.",
+)
+def tdigest_cdf_events_value(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return tdigest_cdf(ev, "value", [5.0, 25.0, 50.0, 100.0, 200.0])
+
+
+@register(
+    "tdigest_histogram_quantity",
+    doc="t-digest histogram by CDF differencing; exact twin: histogram_quantity.",
+)
+def tdigest_histogram_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return tdigest_histogram(li, "l_quantity", 0.0, 50.0, 10)
+
+
+@register(
+    "spacesaving_topk_event_types",
+    oracle="""
+SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT event_type AS item, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+  FROM events GROUP BY event_type
+) WHERE rk <= 5
+""",
+    doc="Space-Saving top-k on a low-cardinality column: summary never fills "
+    "→ exact counts, error=0 (crick/tests/test_space_saving.py:34-41 regime) "
+    "— deterministic, full oracle.",
+)
+def spacesaving_topk_event_types(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return spacesaving_topk(ev, "event_type", 5, capacity=20)
+
+
+@register(
+    "spacesaving_topk_users",
+    doc="Space-Saving heavy-hitter users with error bounds (capacity 50 < "
+    "|users|); bounds count≤actual≤count+error asserted in tests.",
+)
+def spacesaving_topk_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return spacesaving_topk(ev, "user_id", 10, capacity=50)
+
+
+@register(
+    "moments_sketch_extendedprice",
+    oracle="""
+WITH s AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL
+           AND NOT isnan(l_extendedprice)),
+     m AS (SELECT avg(x) AS mu FROM s)
+SELECT count(*) AS cnt,
+       round(sum(x), 1) AS sum_x,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x,
+       round(avg(x), 5) AS mean_x,
+       round(var_pop(x), 1) AS var_pop_x,
+       round(var_samp(x), 1) AS var_samp_x,
+       round(stddev_pop(x), 4) AS std_pop_x,
+       round(stddev_samp(x), 4) AS std_samp_x,
+       round(avg(pow(x - mu, 3)) / pow(avg(pow(x - mu, 2)), 1.5), 5) AS skew_x,
+       round(avg(pow(x - mu, 4)) / pow(avg(pow(x - mu, 2)), 2) - 3, 5) AS kurt_x
+FROM s, m
+GROUP BY mu
+""",
+    doc="SummaryStats through the two-phase sketch path — exact algorithm "
+    "(Pébay merge), so it hash-matches the oracle after rounding; proves "
+    "the partial→merge pipeline end-to-end.",
+)
+def moments_sketch_extendedprice(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = moments_agg(li, "l_extendedprice")
+    return out.select(
+        "cnt",
+        F.round("sum_x", 1).alias("sum_x"),
+        F.round("min_x", 6).alias("min_x"),
+        F.round("max_x", 6).alias("max_x"),
+        F.round("mean_x", 5).alias("mean_x"),
+        F.round("var_pop_x", 1).alias("var_pop_x"),
+        F.round("var_samp_x", 1).alias("var_samp_x"),
+        F.round("std_pop_x", 4).alias("std_pop_x"),
+        F.round("std_samp_x", 4).alias("std_samp_x"),
+        F.round("skew_x", 5).alias("skew_x"),
+        F.round("kurt_x", 5).alias("kurt_x"),
+    )
+
+
+@register(
+    "approx_quantiles_builtin",
+    doc="Built-in percentile_approx fast path (GK sketch — same contract as "
+    "t-digest, SURVEY §2.1); API-completeness twin of tdigest_quantiles.",
+)
+def approx_quantiles_builtin(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        *[
+            F.percentile_approx("value", F.lit(q), F.lit(10000)).alias(
+                f"p{str(q).replace('.', '_')}"
+            )
+            for q in _QS
+        ]
+    )
+
+
+@register(
+    "approx_distinct_users",
+    doc="approx_count_distinct (HLL++) — API completeness (SURVEY §2.5 "
+    "'Distinct' row); exact twin inside distinct_mktsegments_per_region.",
+)
+def approx_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_event_types"),
+    )

@@ -1,0 +1,200 @@
+"""Spark integration tests for the two-phase sketch operators.
+
+Mirrors the reference's merge-path tests (SURVEY §5): partition-count
+invariance (1 vs 32 partitions exercises partial/final merge), accuracy vs
+the exact built-ins at reference tolerances, exact top-k recovery, and
+sketch persistence round-trips (crick pickle surface)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crick_spark.operators import (
+    moments_agg,
+    spacesaving_topk,
+    tdigest_agg,
+    tdigest_cdf,
+    tdigest_histogram,
+    tdigest_quantiles,
+)
+from crick_spark.operators.crick_ops import tdigest_merge_finalize
+from crick_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF_SMALL, "lineitem").cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_SMALL, "events").cache()
+
+
+def test_tdigest_quantiles_accuracy_vs_exact(spark, lineitem):
+    est = tdigest_quantiles(lineitem, "l_extendedprice", QS).collect()[0]
+    exact = lineitem.agg(
+        *[F.percentile("l_extendedprice", F.lit(q)).alias(f"q{i}") for i, q in enumerate(QS)]
+    ).collect()[0]
+    values = np.sort(
+        np.array(lineitem.select("l_extendedprice").toPandas()["l_extendedprice"])
+    )
+    n = len(values)
+    for i, q in enumerate(QS):
+        est_v = est[f"p{str(q).replace('.', '_')}"]
+        # error measured in q-space like the reference (test_tdigest.py:87-102)
+        rank = np.searchsorted(values, est_v) / n
+        assert abs(rank - q) <= 0.012, (q, est_v, exact[f"q{i}"])
+
+
+def test_tdigest_partition_invariance(spark, lineitem):
+    """repartition(1) vs repartition(32) → same accuracy (the merge path)."""
+    one = tdigest_quantiles(lineitem.repartition(1), "l_quantity", [0.5]).collect()[0]
+    many = tdigest_quantiles(lineitem.repartition(32), "l_quantity", [0.5]).collect()[0]
+    exact = lineitem.agg(F.percentile("l_quantity", F.lit(0.5))).collect()[0][0]
+    assert abs(one["p0_5"] - exact) <= 1.0
+    assert abs(many["p0_5"] - exact) <= 1.0
+
+
+def test_tdigest_grouped(spark, lineitem):
+    out = tdigest_quantiles(lineitem, "l_extendedprice", [0.5], by=["l_returnflag"])
+    rows = {r["l_returnflag"]: r["p0_5"] for r in out.collect()}
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for flag, v in rows.items():
+        assert abs(v - exact[flag]) / exact[flag] <= 0.05, flag
+
+
+def test_tdigest_cdf_accuracy(spark, events):
+    pts = [5.0, 25.0, 50.0, 100.0, 200.0]
+    est = tdigest_cdf(events, "value", pts).collect()[0]
+    n = events.count()
+    for x in pts:
+        lt = events.where(F.col("value") < x).count()
+        eq = events.where(F.col("value") == x).count()
+        true = (lt + 0.5 * eq) / n
+        name = f"cdf_{str(x).replace('.', '_')}"
+        assert abs(est[name] - true) <= 0.005, (x, est[name], true)
+
+
+def test_tdigest_histogram_close_to_exact(spark, lineitem):
+    out = tdigest_histogram(lineitem, "l_quantity", 0.0, 50.0, 10).collect()
+    n = lineitem.count()
+    exact = {
+        r["bin"]: r["cnt"]
+        for r in __import__("crick_spark.functions.quantiles", fromlist=["histogram"])
+        .histogram(lineitem, "l_quantity", 0.0, 50.0, 10)
+        .collect()
+    }
+    assert len(out) == 10
+    # discrete integer data puts mass exactly on bin edges; the CDF midpoint
+    # convention splits it across adjacent bins (same behavior as crick's
+    # cdf-differencing histogram) → allow half an edge-value's mass (~2%)
+    for r in out:
+        assert abs(r["cnt_est"] - exact[r["bin"]]) / n <= 0.02, r
+
+
+def test_tdigest_sketch_persistence_roundtrip(spark, lineitem, tmp_path):
+    """Digest column → parquet → read → merge+finalize (crick pickle
+    surface, tdigest.pyx:246-263)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    import pandas as pd
+
+    path = str(tmp_path / "digests.parquet")
+    tdigest_agg(lineitem, "l_extendedprice", by=["l_returnflag"]).write.parquet(path)
+    persisted = spark.read.parquet(path)
+    schema = StructType([StructField("p0_5", DoubleType())])
+    out = tdigest_merge_finalize(
+        persisted,
+        ["l_returnflag"],
+        lambda sk: pd.DataFrame([{"p0_5": float(sk.quantile(0.5))}]),
+        schema,
+    )
+    rows = {r["l_returnflag"]: r["p0_5"] for r in out.collect()}
+    assert len(rows) == 3
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    for flag in rows:
+        assert abs(rows[flag] - exact[flag]) / exact[flag] <= 0.05
+
+
+def test_spacesaving_exact_recovery_spark(spark, events):
+    """Low-cardinality column: top-k counts exact (test_space_saving.py:34-41)."""
+    out = spacesaving_topk(events, "event_type", 5, capacity=20).collect()
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(out) == min(5, len(exact))
+    for r in out:
+        assert r["cnt"] == exact[r["item"]], r
+        assert r["error"] == 0
+
+
+def test_spacesaving_bounds_high_cardinality(spark, events):
+    """user_id (150 distinct) through capacity-50 summaries: bounds hold."""
+    out = spacesaving_topk(
+        events.repartition(16), "user_id", 10, capacity=50
+    ).collect()
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in out:
+        actual = exact[r["item"]]
+        assert r["cnt"] - r["error"] <= actual <= r["cnt"], r
+
+
+def test_spacesaving_grouped(spark, events):
+    out = spacesaving_topk(events, "event_type", 2, by=["user_id"], capacity=10)
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"user_id", "item", "cnt", "error"}
+    assert (pdf.groupby("user_id").size() <= 2).all()
+
+
+def test_moments_agg_matches_builtin(spark, lineitem):
+    sk = moments_agg(lineitem, "l_extendedprice").collect()[0]
+    bi = lineitem.agg(
+        F.count("l_extendedprice").alias("cnt"),
+        F.sum("l_extendedprice").alias("s"),
+        F.avg("l_extendedprice").alias("mean"),
+        F.var_pop("l_extendedprice").alias("vp"),
+        F.var_samp("l_extendedprice").alias("vs"),
+        F.skewness("l_extendedprice").alias("sk"),
+        F.kurtosis("l_extendedprice").alias("ku"),
+    ).collect()[0]
+    assert sk["cnt"] == bi["cnt"]
+    assert math.isclose(sk["sum_x"], bi["s"], rel_tol=1e-10)
+    assert math.isclose(sk["mean_x"], bi["mean"], rel_tol=1e-12)
+    assert math.isclose(sk["var_pop_x"], bi["vp"], rel_tol=1e-9)
+    assert math.isclose(sk["var_samp_x"], bi["vs"], rel_tol=1e-9)
+    assert math.isclose(sk["skew_x"], bi["sk"], rel_tol=1e-6)
+    assert math.isclose(sk["kurt_x"], bi["ku"], rel_tol=1e-6)
+
+
+def test_moments_partition_invariance(spark, lineitem):
+    a = moments_agg(lineitem.repartition(1), "l_quantity").collect()[0]
+    b = moments_agg(lineitem.repartition(32), "l_quantity").collect()[0]
+    for f in ("cnt", "sum_x", "mean_x", "var_pop_x", "skew_x", "kurt_x"):
+        assert math.isclose(a[f], b[f], rel_tol=1e-8), f
+
+
+def test_moments_grouped(spark, lineitem):
+    out = moments_agg(lineitem, "l_quantity", by=["l_returnflag", "l_linestatus"])
+    assert out.count() == lineitem.select("l_returnflag", "l_linestatus").distinct().count()
