@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact dedup, MinHash+LSH near-dup, SimHash near-dup, and exact n-gram
+Jaccard verification — all as *pure DataFrame expressions* (whole-stage
+codegen, zero Python in the hot path).  Design for 100 TB:
+
+* Signatures are computed per-row (no shuffle) from word shingles via
+  ``xxhash64`` under ``num_perm`` seeds — Spark evaluates the whole
+  signature inside codegen.
+* LSH banding turns near-dup search into an equi-join on (band, hash):
+  the only shuffle is by band bucket, and candidate verification touches
+  only bucket collisions, never the O(n²) pair space.
+* Exact-Jaccard verification re-joins candidate ids to their shingle sets
+  and uses ``array_intersect``/``array_union`` — still JVM-side.
+
+The sketch-contract lens (SURVEY §7.4): a MinHash signature is a mergeable
+sketch of a shingle set (elementwise min merges two signatures), same
+(init/add/merge/finalize) algebra as crick's operators.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5 of the content columns,
+    keep the smallest id per group.  One shuffle on the content hash; at
+    scale the hash (16 B) shuffles, never the content."""
+    h = F.md5(F.concat_ws("\x1f", *content_cols)).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("keep_id"), h)
+        .groupBy("content_hash")
+        .agg(F.min("keep_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+def words_expr(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (codegen only).
+    Guards the sequence() call: Spark's sequence(1, 0) would count *down*."""
+    w = words_expr(text)
+    nsh = F.size(w) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), nsh),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(nsh >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """MinHash signature as a single Column: element i = min over shingles
+    of xxhash64(s, i).  A mergeable sketch: merge = elementwise min (crick
+    contract).  NOTE: fine for small num_perm; for the full pipeline use
+    ``minhash_signatures`` below — Catalyst inlines this expression once
+    per permutation, re-evaluating the shingle transform num_perm times."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode → hash-aggregate of per-permutation
+    mins: each shingle is hashed exactly once per permutation, map-side
+    partial aggregation collapses to one 64-long row per doc per partition,
+    so the shuffle is ~0.5 KB/doc regardless of document size."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("s")
+    )
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: two docs are candidates iff one band of their signatures
+    matches exactly.  Implemented as explode(band) → shuffle by (band, hash)
+    → self-join inside buckets; emits distinct (id_a < id_b) pairs."""
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets back and
+    compute |∩|/|∪| with array ops (JVM-side)."""
+    sh = docs.select(
+        F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold.
+    End-to-end near-duplicate pair detection (shingle→minhash→band→
+    bucket-join→verify)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    return jaccard_verify_pairs(cand, docs, id_col, text_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_expr(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of a text's word set, fully in codegen: per word a
+    64-bit hash votes ±1 on every bit position; sign of each bit-sum forms
+    the fingerprint.  Per-row computation — no shuffle, no UDF."""
+    w = words_expr(text)
+    h = F.transform(w, lambda s: F.xxhash64(s))
+
+    def bit_component(b: int) -> Column:
+        votes = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return reduce(
+        lambda a, c: a.bitwiseOR(c), [bit_component(b) for b in range(bits)]
+    ).alias("simhash")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: block on 4 × 16-bit chunks (two fingerprints within
+    hamming ≤ 3 must share ≥ 1 exact chunk) → verify hamming with
+    bit_count(xor).  The chunk join is the only shuffle."""
+    sh = docs.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "sh", "cc.chunk_id", "cc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

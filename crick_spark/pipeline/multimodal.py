@@ -1,0 +1,114 @@
+"""Multimodal column conventions: image/audio/video as opaque binary +
+typed metadata, with Arrow-batched decode/feature plumbing.
+
+The container has no image/audio libraries, so the *decode step* is a
+deterministic fake behind ``_decode_bytes`` (clearly marked; swap in
+PIL/ffmpeg in production).  Everything Spark-side is real and tested:
+the schema convention, ``mapInPandas`` batch iteration, output schemas,
+and partition-preserving flow — which is what a 100 TB media pipeline
+actually exercises (decode is embarrassingly parallel per row; the only
+design question is batch shape and column pruning, handled here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("std_intensity", DoubleType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic binary media column from each document (test
+    stand-in for real blobs): media = utf-8 bytes, meta from doc stats."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("media"),
+        F.struct(
+            kind.alias("kind"),
+            (F.col("n_chars") % 640 + 32).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 32).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.col("n_chars") / 100.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytes(data: bytes, kind: str) -> np.ndarray:
+    """STUB decode: deterministic pseudo-pixels from a hash of the bytes.
+
+    Production would be PIL/libsndfile/ffmpeg here; this container has
+    none, so a seeded PRNG stream stands in.  Raises for unknown kinds
+    exactly like a real decoder would."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=256, dtype=np.int64)
+
+
+def decode_media_batch(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode each blob, emit per-item features.
+    Arrow gives the batch boundary; state is one batch at a time."""
+    for pdf in pdfs:
+        out = []
+        for doc_id, data, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+            kind = meta["kind"]
+            px = _decode_bytes(bytes(data), kind)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "kind": kind,
+                    "n_bytes": len(data),
+                    "mean_intensity": float(px.mean()),
+                    "std_intensity": float(px.std()),
+                    "phash": int(px[:64].mean() > px.mean()) * 2 + 1,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def extract_image_features(media_df: DataFrame) -> DataFrame:
+    """Decode + feature-extract over the media column (Arrow-batched)."""
+    return media_df.select("doc_id", "media", "meta").mapInPandas(
+        decode_media_batch, schema=FEATURE_SCHEMA
+    )

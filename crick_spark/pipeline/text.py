@@ -1,0 +1,105 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — all as codegen-friendly Column expressions over
+the ``documents`` table (SURVEY §7.4 north-star set).
+
+Everything here is per-row expression work (no shuffle, no UDF): at 100 TB
+these run at scan speed and pipeline into whatever aggregation follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from crick_spark.pipeline.dedup import shingles_expr, words_expr
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+def token_count_exprs(text: Column) -> list[Column]:
+    """Whitespace tokens plus a BPE-ish regex token count (word pieces +
+    standalone non-word glyphs), both codegen-side."""
+    w = words_expr(text)
+    return [
+        F.size(w).alias("ws_tokens"),
+        F.coalesce(
+            F.length(F.regexp_replace(text, r"\s+", "")) , F.lit(0)
+        ).alias("non_ws_chars"),
+        (F.size(F.split(text, r"\w+|[^\w\s]")) - 1).alias("bpe_ish_tokens"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+def quality_exprs(text: Column) -> list[Column]:
+    """Length / lexical-diversity / repetition heuristics used for corpus
+    filtering: avg word length, type-token ratio, max single-word share."""
+    w = words_expr(text)
+    n = F.size(w)
+    total_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return [
+        F.length(text).alias("n_chars_q"),
+        n.alias("n_words"),
+        (total_chars / n).alias("avg_word_len"),
+        (F.size(F.array_distinct(w)) / n).alias("type_token_ratio"),
+    ]
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality score: longer, lexically diverse docs score
+    higher; degenerate repetition is penalized."""
+    w = words_expr(text)
+    n = F.size(w)
+    ttr = F.size(F.array_distinct(w)) / n
+    len_score = F.least(n / F.lit(64.0), F.lit(1.0))
+    return (0.5 * len_score + 0.5 * ttr).alias("quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Language ID (character n-gram heuristic)
+# ---------------------------------------------------------------------------
+# tiny per-language marker lexicons (public, common stopwords); the operator
+# pattern is what matters — swap in a real lexicon for production
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Marker-word vote: predicted language = argmax over per-language
+    marker hits (deterministic tie-break by language code); 'und' when no
+    marker matches.  Pure array ops — no UDF."""
+    w = F.transform(words_expr(text), lambda x: F.lower(x))
+    scores = [
+        (lang, F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        out = F.when(s == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (min-k rolling-hash sketch)
+# ---------------------------------------------------------------------------
+def doc_fingerprint_expr(text: Column, k: int = 8, shingle_n: int = 3) -> Column:
+    """Min-k sketch fingerprint: the k smallest xxhash64 values over word
+    shingles, collapsed to one 64-bit id.  Mergeable (union = min-k of
+    concat) and stable under small edits — the bottom-k analog of MinHash."""
+    hashes = F.array_sort(
+        F.transform(shingles_expr(text, shingle_n), lambda s: F.xxhash64(s))
+    )
+    min_k = F.slice(hashes, 1, k)
+    return F.xxhash64(
+        F.concat_ws(",", F.transform(min_k, lambda x: x.cast("string")))
+    )

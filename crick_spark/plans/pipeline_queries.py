@@ -1,4 +1,251 @@
-"""LLM-data-pipeline queries (dedup / similarity / text analysis / multimodal).
+"""LLM-data-pipeline queries (SURVEY §7.4): dedup, similarity search, text
+analysis, multimodal — over the driver's documents/embeddings tables.
 
-Populated as the pipeline operators land (SURVEY §7.4).
+Oracle-able entries (exact, deterministic in both engines): exact dedup,
+token/quality stats, embedding norms, brute-force cosine top-k.  Hash-based
+operators (MinHash/SimHash/fingerprints use Spark's xxhash64, which DuckDB
+can't reproduce) and the ANN path are rows-only with accuracy asserted in
+``tests/test_pipeline.py``.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crick_spark.pipeline.dedup import exact_dedup, near_dup_pairs, simhash_near_dup_pairs
+from crick_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from crick_spark.pipeline.text import (
+    doc_fingerprint_expr,
+    lang_id_expr,
+    quality_exprs,
+    token_count_exprs,
+)
+from crick_spark.pipeline.multimodal import attach_fake_media, extract_image_features
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    oracle="""
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+""",
+    doc="Exact content dedup: hash-groupBy, keep min id (16-byte hash "
+    "shuffles, never the text).",
+)
+def dedup_exact_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", ["text"])
+
+
+@register(
+    "minhash_near_dup_pairs",
+    doc="MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard verified ≥0.7 "
+    "(shingle→minhash→band→bucket-join→verify); xxhash64-based → rows-only; "
+    "recall/precision asserted in tests vs exact pairwise Jaccard.",
+)
+def minhash_near_dup_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@register(
+    "simhash_near_dup_pairs",
+    doc="SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit chunk blocking.",
+)
+def simhash_near_dup_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "token_stats_by_lang",
+    oracle=r"""
+WITH t AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+         length(regexp_replace(text, '\s+', '', 'g')) AS non_ws_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(ws_tokens) AS total_tokens,
+       round(avg(ws_tokens), 6) AS avg_tokens,
+       round(avg(non_ws_chars), 6) AS avg_non_ws_chars
+FROM t GROUP BY lang
+""",
+    doc="Whitespace token counting rolled up per language.",
+)
+def token_stats_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", *token_count_exprs(F.col("text")))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.round(F.avg("ws_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("non_ws_chars"), 6).alias("avg_non_ws_chars"),
+    )
+
+
+@register(
+    "text_quality_by_lang",
+    oracle=r"""
+WITH t AS (
+  SELECT lang,
+         length(text) AS n_chars_q,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                      w -> length(w))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS type_token_ratio
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars_q), 6) AS avg_chars,
+       round(avg(avg_word_len), 6) AS avg_word_len,
+       round(avg(type_token_ratio), 6) AS avg_ttr
+FROM t GROUP BY lang
+""",
+    doc="Quality heuristics (length, avg word length, type-token ratio) "
+    "per language — corpus-filtering features at scan speed.",
+)
+def text_quality_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", *quality_exprs(F.col("text")))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars_q"), 6).alias("avg_chars"),
+        F.round(F.avg("avg_word_len"), 6).alias("avg_word_len"),
+        F.round(F.avg("type_token_ratio"), 6).alias("avg_ttr"),
+    )
+
+
+@register(
+    "lang_id_documents",
+    doc="Marker-lexicon language ID votes per document, rolled up into a "
+    "predicted×labeled confusion table (rows-only; the synthetic corpus "
+    "shares one vocabulary across langs, so accuracy is exercised on "
+    "constructed fixtures in tests).",
+)
+def lang_id_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    doc="Min-k rolling-hash fingerprints (bottom-k sketch per doc) grouped "
+    "into collision stats; xxhash64-based → rows-only.",
+)
+def doc_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", doc_fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))),
+           6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=_KNN_ORACLE,
+    doc="Brute-force cosine top-10 neighbors of vec 0 — exact ANN baseline, "
+    "zip_with/aggregate fold in codegen (no UDF).",
+)
+def knn_bruteforce_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk(emb, list(query), k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "knn_lsh_ann",
+    doc="LSH-bucketed ANN (12-bit hyperplane fingerprint, hamming-1 "
+    "multiprobe, exact rerank) — the 100 TB path; recall vs brute force "
+    "asserted in tests.",
+)
+def knn_lsh_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    # nbits sized to corpus: ~2^6 buckets for O(500) vectors; at 10^9+
+    # vectors use 16-24 bits so candidate sets stay small
+    out = lsh_ann_topk(emb, list(query), k=10, nbits=6, num_tables=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x)))), 6)
+         AS avg_norm
+FROM embeddings GROUP BY label
+""",
+    doc="L2 norms per label (embedding hygiene check).",
+)
+def embedding_norms_by_label(spark, sf_dir):
+    from crick_spark.pipeline.similarity import norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(norm_expr(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_feature_stats",
+    doc="Binary media columns + Arrow-batched decode/feature plumbing "
+    "(decode stubbed deterministically — no media libs in container; the "
+    "Spark-side schema/batching/partitioning is real), rolled up per kind.",
+)
+def multimodal_feature_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_image_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+    )

@@ -1,0 +1,161 @@
+"""Pipeline operator tests: MinHash/SimHash recall vs exact pairwise
+Jaccard, ANN recall vs brute force, language-ID on constructed fixtures,
+token/quality counts vs Python oracles, multimodal plumbing."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crick_spark.pipeline import (
+    attach_fake_media,
+    cosine_topk,
+    exact_dedup,
+    extract_image_features,
+    lang_id_expr,
+    lsh_ann_topk,
+    near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from crick_spark.pipeline.text import doc_fingerprint_expr
+from crick_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    w = text.strip().split()
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _exact_jaccard_pairs(pdf, threshold: float) -> set[tuple[int, int]]:
+    sets = {r.doc_id: _shingle_set(r.text) for r in pdf.itertuples()}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_minhash_near_dup_recall_precision(spark, docs):
+    pdf = docs.select("doc_id", "text").toPandas()
+    truth = _exact_jaccard_pairs(pdf, 0.7)
+    found = {
+        (r.id_a, r.id_b) for r in near_dup_pairs(docs, "doc_id", "text", 0.7).collect()
+    }
+    assert truth, "fixture should contain near-duplicates"
+    # exact-Jaccard verification step makes precision 1.0 by construction
+    assert found <= truth or all(
+        (a, b) in truth for a, b in found
+    ), f"false positives: {found - truth}"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"recall {recall}: missed {truth - found}"
+
+
+def test_simhash_near_dups_find_exact_dups(spark, docs):
+    """Identical word multisets → identical simhash (hamming 0)."""
+    pdf = docs.select("doc_id", "text").toPandas()
+    exact_dup_pairs = set()
+    by_text = {}
+    for r in pdf.itertuples():
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    for ids in by_text.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            exact_dup_pairs.add((a, b))
+    found = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    for pair in exact_dup_pairs:
+        assert pair in found and found[pair] == 0, pair
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", ["text"]).toPandas()
+    assert out["dup_cnt"].sum() == docs.count()
+    assert (out["keep_id"] >= 0).all()
+    n_unique_texts = docs.select("text").distinct().count()
+    assert len(out) == n_unique_texts
+
+
+def test_lang_id_on_clear_fixtures(spark):
+    fixtures = [
+        ("the cat and the dog sat in a house that it was for", "en"),
+        ("der hund und die katze ist nicht mit einem ball zu den", "de"),
+        ("le chat et la maison est dans les arbres que une", "fr"),
+        ("el perro y la casa es que los gatos en un jardín", "es"),
+        ("我 是 一个 人 的 和 不 在 这 有", "zh"),
+    ]
+    df = spark.createDataFrame(fixtures, ["text", "expected"])
+    out = df.select("expected", lang_id_expr(F.col("text")).alias("pred")).collect()
+    for r in out:
+        assert r.pred == r.expected, r
+    # no markers → undetermined
+    und = spark.createDataFrame([("qwtz brfx",)], ["text"])
+    assert und.select(lang_id_expr(F.col("text"))).collect()[0][0] == "und"
+
+
+def test_token_counts_match_python(spark, docs):
+    from crick_spark.pipeline.text import token_count_exprs
+
+    out = docs.select("doc_id", "text", *token_count_exprs(F.col("text"))).collect()
+    for r in out[:50]:
+        assert r.ws_tokens == len(r.text.strip().split()), r.doc_id
+        assert r.non_ws_chars == len(r.text.replace(" ", "")), r.doc_id
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[ids == 0][0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(cos, 12)))
+    expected = list(ids[order][:10])
+    got = [r.vec_id for r in cosine_topk(emb, list(q), 10).collect()]
+    assert got == expected
+
+
+def test_lsh_ann_recall(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    brute = {r.vec_id for r in cosine_topk(emb, q, 10).collect()}
+    ann = {r.vec_id for r in lsh_ann_topk(emb, q, 10, nbits=6, num_tables=8).collect()}
+    recall = len(brute & ann) / len(brute)
+    # synthetic fixture's neighbors are near-orthogonal (cos ≈ 0.37) — the
+    # hardest regime for hyperplane LSH; real clustered embeddings do better
+    assert recall >= 0.6, f"ANN recall {recall}"
+    assert 0 in ann  # query vector is its own nearest neighbor
+
+
+def test_doc_fingerprint_stability(spark, docs):
+    fp = docs.select("doc_id", "text", doc_fingerprint_expr(F.col("text")).alias("fp"))
+    pdf = fp.toPandas()
+    by_text = pdf.groupby("text")["fp"].nunique()
+    assert (by_text == 1).all()  # identical text → identical fingerprint
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = extract_image_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) == docs.count()
+    assert set(pdf["kind"]) <= {"image", "audio", "video"}
+    assert (pdf["n_bytes"] > 0).all()
+    # deterministic stub: re-run produces identical features
+    pdf2 = extract_image_features(media).toPandas()
+    a = pdf.sort_values("doc_id", ignore_index=True)
+    b = pdf2.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

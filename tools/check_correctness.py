@@ -15,8 +15,11 @@ import math
 import sys
 import time
 
+import functools
 import duckdb
 import pandas as pd
+
+print = functools.partial(print, flush=True)
 
 sys.path.insert(0, ".")
 
