@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total warm sec), "unit", "queries", "sf"}.
+
+Each query is executed once cold-discarded? No — JVM+session startup is
+excluded (session built first, one warmup action runs), then every query
+is timed on its own full execution (plan → run → collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational / exact surface
+    "q1_pricing_summary",
+    "summary_stats_extendedprice",
+    "percentile_events_value",
+    "cdf_events_value",
+    "histogram_quantity",
+    "topk_users_by_events",
+    "topk_parts_per_brand",
+    "revenue_by_nation",
+    "events_hourly_rollup",
+    # sketch surface
+    "tdigest_quantiles_events_value",
+    "tdigest_quantiles_by_returnflag",
+    "spacesaving_topk_users",
+    "moments_sketch_extendedprice",
+    "approx_quantiles_builtin",
+    # pipeline surface
+    "dedup_exact_documents",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "token_stats_by_lang",
+    "knn_bruteforce_cosine",
+    "knn_lsh_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from crick_spark.session import get_session
+    from crick_spark.plans import QUERIES
+
+    spark = get_session("crick-spark-bench")
+    spark.range(1_000_000).count()  # JVM warmup
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        n = fn(spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+        assert len(n) >= 0
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

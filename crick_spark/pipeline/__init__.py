@@ -8,6 +8,7 @@ from crick_spark.pipeline.dedup import (  # noqa: F401
     shingles_expr,
     simhash_expr,
     simhash_near_dup_pairs,
+    simhash_signatures,
 )
 from crick_spark.pipeline.similarity import cosine_topk, lsh_ann_topk  # noqa: F401
 from crick_spark.pipeline.text import (  # noqa: F401

@@ -89,10 +89,12 @@ def minhash_signatures(
     so the shuffle is ~0.5 KB/doc regardless of document size."""
     sh = docs.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("s")
-    )
+    ).select(F.col(id_col), F.xxhash64(F.col("s")).alias("h"))
+    # permutation i re-hashes the 8-byte base hash (cheap) instead of the
+    # full shingle string 64× — the string is hashed exactly once
     agg = sh.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
             for i in range(num_perm)
         ]
     )
@@ -153,21 +155,34 @@ def jaccard_verify_pairs(
     pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets back and
-    compute |∩|/|∪| with array ops (JVM-side)."""
+    compute |∩|/|∪| with array ops (JVM-side).
+
+    Join shape matters twice over here: (a) the pair side must be the
+    broadcast side — the docs side carries the heavy shingle arrays, and
+    left to itself Spark may broadcast the *array* table, shipping the
+    whole corpus' shingles to every task; (b) the candidate subtree must be
+    evaluated exactly once — so each pair explodes into two (pair, doc)
+    rows, one broadcast join tags the shingle sets, and a regroup pairs
+    them back up."""
     sh = docs.select(
         F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
     )
-    out = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .select("id_a", "id_b", "jaccard")
+    tagged = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("side_id")
     )
-    return out
+    joined = sh.join(F.broadcast(tagged), sh[id_col] == tagged["side_id"])
+    regrouped = joined.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("side_id") == F.col("id_a"), F.col("sh")), True).alias("sh_a"),
+        F.first(F.when(F.col("side_id") == F.col("id_b"), F.col("sh")), True).alias("sh_b"),
+    )
+    return regrouped.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
+    )
 
 
 def near_dup_pairs(
@@ -216,13 +231,42 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
     ).alias("simhash")
 
 
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash-64 via explode → hash-aggregate: each word hashed once, 64
+    bit-vote sums accumulate map-side, fingerprint assembled from the
+    aggregated votes.  Materializing through the aggregation barrier also
+    stops Catalyst re-inlining the 64-fold expression tree at every
+    downstream reference (the pure-expression ``simhash_expr`` is kept for
+    single-use column contexts)."""
+    h = docs.select(
+        F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("w")
+    ).select(F.col(id_col), F.xxhash64(F.col("w")).alias("h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fingerprint = reduce(
+        lambda a, c: a.bitwiseOR(c),
+        [
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    return votes.select(F.col(id_col), fingerprint.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dup: block on 4 × 16-bit chunks (two fingerprints within
     hamming ≤ 3 must share ≥ 1 exact chunk) → verify hamming with
     bit_count(xor).  The chunk join is the only shuffle."""
-    sh = docs.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("sh"))
+    sh = simhash_signatures(docs, id_col, text_col)
     chunks = sh.select(
         id_col,
         "sh",
