@@ -52,3 +52,4 @@ def oracle_sql_map() -> dict[str, str]:
 from crick_spark.plans import exact_queries  # noqa: E402,F401
 from crick_spark.plans import sketch_queries  # noqa: E402,F401
 from crick_spark.plans import pipeline_queries  # noqa: E402,F401
+from crick_spark.plans import streaming_queries  # noqa: E402,F401

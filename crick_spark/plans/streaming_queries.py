@@ -1,0 +1,95 @@
+"""Streaming queries (SURVEY §7.1 M5).
+
+``streaming_hourly_rollup`` runs a real Structured Streaming query
+(availableNow → memory sink) inside the correctness harness and shares the
+*batch* oracle — batch/stream equivalence IS the correctness statement.
+``session_rollup_users`` checks Spark's session_window against classic
+gaps-and-islands SQL.  The stateful-sketch stream is rows-only (approx).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from crick_spark.plans.registry import register
+from crick_spark.streaming.windows import session_rollup_batch, stream_events
+from crick_spark.streaming.sketch_state import tdigest_stream_quantiles
+from crick_spark.sources.tables import load_table
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling-window rollup executed through Structured Streaming "
+    "(availableNow trigger, complete mode, watermark) — hash-matches the "
+    "BATCH oracle: stream ≡ batch on the same input.",
+)
+def streaming_hourly_rollup(spark, sf_dir):
+    from crick_spark.streaming.windows import streamed_hourly_rollup
+
+    return streamed_hourly_rollup(spark, sf_dir)
+
+
+@register(
+    "session_rollup_users",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sess_id
+""",
+    doc="Gap-based session windows (10 min) per user via session_window, "
+    "hash-matched against gaps-and-islands SQL.",
+)
+def session_rollup_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return session_rollup_batch(ev, "10 minutes")
+
+
+@register(
+    "tdigest_stream_quantiles",
+    doc="Per-event-type running t-digest as custom streaming state "
+    "(applyInPandasWithState): bounded per-key state, update-mode emission; "
+    "final estimates vs batch digest asserted in tests.",
+)
+def tdigest_stream_quantiles_q(spark, sf_dir):
+    sdf = stream_events(spark, sf_dir)
+    out = tdigest_stream_quantiles(sdf, "event_type", "value")
+    sink = f"tdigest_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink may hold one row per key per batch; keep the last
+    t = spark.table(sink)
+    return t.groupBy("key").agg(
+        F.max_by(F.struct("n", *[c for c in t.columns if c.startswith("p")]), "n").alias("s")
+    ).select("key", "s.*")

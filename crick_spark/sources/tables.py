@@ -42,9 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") in ("bigint", "long"):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: double division loses precision on ~1.7e18
+            # nanosecond values (> 2^53) and rounds the microsecond up
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

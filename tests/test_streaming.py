@@ -1,0 +1,160 @@
+"""Streaming tests: batch/stream equivalence, incremental multi-trigger
+processing, stateful sketch accuracy, watermark/late-data semantics."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from crick_spark.operators import tdigest_quantiles
+from crick_spark.sources.tables import load_table
+from crick_spark.streaming import (
+    session_rollup_batch,
+    stream_events,
+    streamed_hourly_rollup,
+    tdigest_stream_quantiles,
+    windowed_rollup,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_stream_equals_batch_hourly(spark):
+    """Structured Streaming correctness contract: same input ⇒ same result."""
+    streamed = streamed_hourly_rollup(spark, SF_SMALL).toPandas()
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = (
+        windowed_rollup(ev)
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        .toPandas()
+    )
+    cols = sorted(streamed.columns)
+    s = streamed[cols].sort_values(cols, ignore_index=True)
+    b = batch[cols].sort_values(cols, ignore_index=True)
+    assert s.equals(b)
+
+
+def test_sliding_window_batch(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = windowed_rollup(ev, window="2 hours", slide="1 hour").toPandas()
+    n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    # every event lands in exactly 2 sliding windows
+    assert out["cnt"].sum() == 2 * ev.count()
+    assert len(out) > n_hours
+
+
+def test_session_rollup_conservation(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = session_rollup_batch(ev, "10 minutes").toPandas()
+    assert out["n_events"].sum() == ev.count()
+    # sessions per user ≥ 1, starts unique per user
+    per_user = out.groupby("user_id")["session_start"].nunique()
+    sizes = out.groupby("user_id").size()
+    assert (per_user == sizes).all()
+
+
+def test_tdigest_stream_state_matches_batch(spark):
+    """Final streaming-state digest ≈ batch digest over the same data,
+    fed through multiple triggers (maxFilesPerTrigger=1 still gives ≥1
+    micro-batch; state merge path exercised by partitioned input)."""
+    sdf = stream_events(spark, SF_SMALL)
+    out = tdigest_stream_quantiles(sdf, "event_type", "value", (0.5, 0.9))
+    sink = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(sink)
+    final = (
+        res.groupBy("key")
+        .agg(F.max_by(F.struct("n", "p0_5", "p0_9"), "n").alias("s"))
+        .select("key", "s.*")
+        .toPandas()
+        .set_index("key")
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = (
+        tdigest_quantiles(ev, "value", [0.5, 0.9], by=["event_type"])
+        .toPandas()
+        .set_index("event_type")
+    )
+    counts = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(final.index) == set(batch.index)
+    for k in final.index:
+        assert final.loc[k, "n"] == counts[k]
+        for col in ("p0_5", "p0_9"):
+            rel = abs(final.loc[k, col] - batch.loc[k, col]) / max(
+                1e-9, abs(batch.loc[k, col])
+            )
+            assert rel <= 0.05, (k, col, final.loc[k, col], batch.loc[k, col])
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with watermark: a record older than the
+    watermark at its arrival time is dropped (late-data semantics)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: establishes watermark at 03:00 - 1h = 02:00
+    write_batch([(t0 + dt.timedelta(hours=3), 1.0), (t0 + dt.timedelta(hours=3, minutes=5), 2.0)])
+
+    sdf = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    def run_once():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # watermark after: 02:05
+    # batch 2: hour-0 record is now LATE (watermark 02:05 > its window end
+    # 01:00 → dropped); hour-4 record is on time and advances the watermark
+    write_batch([(t0 + dt.timedelta(hours=4, minutes=10), 3.0), (t0, 99.0)])
+    run_once()  # watermark after: 03:10
+    # two more advancing batches so the hour-3/hour-4 windows close & emit
+    write_batch([(t0 + dt.timedelta(hours=6), 4.0)])
+    run_once()  # watermark after: 05:00 → emits windows ending ≤ 03:10
+    write_batch([(t0 + dt.timedelta(hours=8), 5.0)])
+    run_once()  # watermark 05:00 at start → emits hour-3 and hour-4 windows
+    emitted = {r["ws"]: r["cnt"] for r in spark.read.parquet(out_dir).collect()}
+    # hour-3 window closed and emitted; hour-0 late record never appears
+    assert t0 + dt.timedelta(hours=3) in emitted
+    assert emitted[t0 + dt.timedelta(hours=3)] == 2
+    # the hour-4 window emitted exactly 1 row: the late hour-0 record from
+    # the same input file was dropped, not misassigned
+    assert emitted.get(t0 + dt.timedelta(hours=4)) == 1
+    assert t0 not in emitted
