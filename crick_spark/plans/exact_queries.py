@@ -402,3 +402,204 @@ def distinct_mktsegments_per_region(spark, sf_dir):
             F.count_distinct("c_nationkey").alias("n_nations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (free from Catalyst — SURVEY §2.5 'Aggregations')
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_revenue_region_nation",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    doc="ROLLUP hierarchy totals (region → nation → grand total) — "
+    "grouping-sets coverage; one pass, partial aggregation per set.",
+)
+def rollup_revenue_region_nation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.5 'Set ops')
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+WITH big_spenders AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+),
+builders AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT
+  (SELECT count(*) FROM (SELECT k FROM big_spenders UNION SELECT k FROM builders)) AS n_union,
+  (SELECT count(*) FROM (SELECT k FROM big_spenders INTERSECT SELECT k FROM builders)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT k FROM big_spenders EXCEPT SELECT k FROM builders)) AS n_except
+""",
+    doc="UNION / INTERSECT / EXCEPT over customer cohorts.",
+)
+def set_ops_customer_cohorts(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    builders = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    row = [
+        big.union(builders).distinct().count(),
+        big.intersect(builders).count(),
+        big.exceptAll(builders.intersect(big)).count(),
+    ]
+    return spark.createDataFrame(
+        [tuple(row)], "n_union bigint, n_intersect bigint, n_except bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage (string/date/math — SURVEY §2.5 'Scalar functions')
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_functions_orders",
+    oracle="""
+SELECT year(o_orderdate) AS yr,
+       count(*) AS cnt,
+       count(DISTINCT month(o_orderdate)) AS n_months,
+       min(upper(substr(o_orderpriority, 1, 8))) AS min_prio,
+       round(avg(sqrt(o_totalprice)), 6) AS avg_sqrt_price,
+       round(avg(ln(o_totalprice)), 8) AS avg_ln_price,
+       round(avg(abs(o_totalprice - 150000.0)), 4) AS avg_abs_dev,
+       max(concat(o_orderstatus, '-', CAST(year(o_orderdate) AS VARCHAR))) AS max_tag
+FROM orders
+GROUP BY year(o_orderdate)
+""",
+    doc="String/date/math scalar-function coverage rolled up per year.",
+)
+def scalar_functions_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct(F.month("o_orderdate")).alias("n_months"),
+        F.min(F.upper(F.substring("o_orderpriority", 1, 8))).alias("min_prio"),
+        F.round(F.avg(F.sqrt("o_totalprice")), 6).alias("avg_sqrt_price"),
+        F.round(F.avg(F.log("o_totalprice")), 8).alias("avg_ln_price"),
+        F.round(F.avg(F.abs(F.col("o_totalprice") - 150000.0)), 4).alias("avg_abs_dev"),
+        F.max(
+            F.concat(
+                F.col("o_orderstatus"), F.lit("-"), F.year("o_orderdate").cast("string")
+            )
+        ).alias("max_tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5 'Window functions')
+# ---------------------------------------------------------------------------
+@register(
+    "window_functions_customer_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, rk,
+       round(running_spend, 2) AS running_spend,
+       round(coalesce(prev_price, 0.0), 2) AS prev_price
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS rk,
+         sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS running_spend,
+         lag(o_totalprice) OVER w AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+WHERE rk <= 3
+""",
+    doc="row_number / running sum / lag per customer (deterministic order "
+    "keys) — window-function coverage.",
+)
+def window_functions_customer_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rk"),
+            F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+            F.round(
+                F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+            ).alias("prev_price"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks: write → read-back round trip (SURVEY §2.5 'Scans/sources/sinks')
+# ---------------------------------------------------------------------------
+@register(
+    "sink_roundtrip_parquet",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       round(avg(o.o_totalprice), 5) AS avg_order
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="Sink coverage: aggregate → write parquet → read back; result must "
+    "survive the round trip bit-exact.",
+)
+def sink_roundtrip_parquet(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.plans.registry import QUERIES
+
+    out = QUERIES["revenue_by_nation"].fn(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="crick_sink_") + "/revenue.parquet"
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Version probe (crick numpy_version, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+@register(
+    "engine_version",
+    doc="Version probe (crick/numpy_version.pyx analog): engine + spark + "
+    "numpy versions as a one-row DataFrame.",
+)
+def engine_version(spark, sf_dir):
+    import numpy as np
+
+    import crick_spark
+
+    return spark.createDataFrame(
+        [(crick_spark.version(), spark.version, np.__version__)],
+        "engine_version string, spark_version string, numpy_version string",
+    )
