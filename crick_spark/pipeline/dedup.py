@@ -4,9 +4,13 @@ Exact dedup, MinHash+LSH near-dup, SimHash near-dup, and exact n-gram
 Jaccard verification — all as *pure DataFrame expressions* (whole-stage
 codegen, zero Python in the hot path).  Design for 100 TB:
 
-* Signatures are computed per-row (no shuffle) from word shingles via
-  ``xxhash64`` under ``num_perm`` seeds — Spark evaluates the whole
-  signature inside codegen.
+* Signatures are computed by explode → hash-aggregate: each shingle string
+  is hashed once, permutations re-hash the 8-byte value, and map-side
+  partial aggregation collapses to one signature row per doc per partition
+  (~0.5 KB/doc shuffled regardless of document size).  All plain-column
+  ``xxhash64`` — whole-stage codegen.  (A per-row higher-order-function
+  formulation looks cheaper but is ~30× slower in practice: ``transform``
+  lambdas are interpreted, never codegen'd.)
 * LSH banding turns near-dup search into an equi-join on (band, hash):
   the only shuffle is by band bucket, and candidate verification touches
   only bucket collisions, never the O(n²) pair space.
@@ -65,9 +69,10 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """MinHash signature as a single Column: element i = min over shingles
     of xxhash64(s, i).  A mergeable sketch: merge = elementwise min (crick
-    contract).  NOTE: fine for small num_perm; for the full pipeline use
-    ``minhash_signatures`` below — Catalyst inlines this expression once
-    per permutation, re-evaluating the shingle transform num_perm times."""
+    contract).  NOTE: fine for small num_perm in single-use column contexts
+    only; for the full pipeline use ``minhash_signatures`` below — this
+    expression re-evaluates the shingle transform per permutation, and
+    higher-order-function lambdas run interpreted (no codegen)."""
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
@@ -163,12 +168,20 @@ def jaccard_verify_pairs(
     whole corpus' shingles to every task; (b) the candidate subtree must be
     evaluated exactly once — so each pair explodes into two (pair, doc)
     rows, one broadcast join tags the shingle sets, and a regroup pairs
-    them back up."""
-    sh = docs.select(
-        F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
-    )
+    them back up.
+
+    The docs side is semi-join-pruned on the candidate ids *before* the
+    shingle transform: candidates are a tiny fraction of the corpus, and
+    without the prune the shingle arrays are materialized for every
+    document only to be dropped at the join.  The second consumption of
+    ``pairs`` this adds is nearly free — both consumers sit above the same
+    shuffle exchange, which ReuseExchange evaluates once."""
     tagged = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("side_id")
+    )
+    cand_ids = tagged.select(F.col("side_id").alias(id_col)).distinct()
+    sh = docs.join(F.broadcast(cand_ids), id_col, "semi").select(
+        F.col(id_col), shingles_expr(F.col(text_col), n).alias("sh")
     )
     joined = sh.join(F.broadcast(tagged), sh[id_col] == tagged["side_id"])
     regrouped = joined.groupBy("id_a", "id_b").agg(
