@@ -38,9 +38,11 @@ HEADLINE = [
     "dedup_exact_documents",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
+    "jaccard_ngram_dup_pairs",
     "token_stats_by_lang",
     "knn_bruteforce_cosine",
     "knn_lsh_ann",
+    "embedding_near_dup_pairs",
 ]
 
 

@@ -218,6 +218,71 @@ def near_dup_pairs(
     )
 
 
+def jaccard_ngram_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs within blocks: self-join on
+    ``block_col`` (e.g. language), ``|∩| / (|A|+|B|−|∩|)`` over distinct
+    word n-gram shingle sets, keep pairs ≥ threshold.  Fully deterministic
+    — the SQL-oracle-able ground truth that the MinHash/SimHash sketch
+    paths approximate.
+
+    Scale shape — a *sparse* similarity join, never the quadratic block
+    pair space: explode to (doc, shingle-hash) postings, self-join on the
+    shingle, and count shared shingles per pair — only pairs that actually
+    share ≥ 1 shingle are ever materialized (a blocked self-join +
+    ``array_intersect`` formulation measured 150s at sf0.1; this shape runs
+    in seconds).  The union size comes from inclusion–exclusion with the
+    per-doc set sizes (broadcast — two longs per doc).  Work is
+    Σ_shingle c² over posting-list lengths; partial aggregation collapses
+    pair counts map-side.  Shingles are compared by 64-bit hash (cross-doc
+    collision odds ~|corpus shingles|²/2⁶⁴ — immaterial)."""
+    t = float(threshold)
+    base = docs.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        shingles_expr(F.col(text_col), n).alias("sh"),
+    )
+    sizes = base.select(F.col(id_col), F.size("sh").alias("sz"))
+    postings = base.select(
+        F.col(id_col), F.col("blk"), F.explode("sh").alias("s")
+    ).select(F.col(id_col), F.col("blk"), F.xxhash64("s").alias("h"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -63,6 +63,82 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates via a distributed block-pair
+    (triangle) join: rows hash into ``n_blocks`` blocks, every unordered
+    block pair becomes one task, and each task scores its two blocks with
+    one vectorized numpy matmul (Arrow-batched ``applyInPandas``).
+
+    Scale shape: each row is replicated ``n_blocks`` times (the classic
+    O(n·√P) all-pairs replication), the O(n²) pair space exists only inside
+    numpy and is filtered to survivors before leaving the task.  Per-task
+    memory is 2 blocks × dim doubles — pick ``n_blocks`` so a block fits an
+    executor.  This is the exact baseline; the sub-quadratic scale path for
+    loose thresholds is LSH bucketing (``lsh_ann_topk``'s fingerprints) in
+    place of hash blocking."""
+    nb = int(n_blocks)
+    t = float(threshold)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb))
+    replicated = (
+        embeddings.select(F.col(id_col), F.col(vec_col), blk.alias("blk"))
+        .withColumn(
+            "bp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.least(F.col("blk"), F.lit(p)).alias("bi"),
+                            F.greatest(F.col("blk"), F.lit(p)).alias("bj"),
+                        )
+                        for p in range(nb)
+                    ]
+                )
+            ),
+        )
+        .select(F.col("bp.bi"), F.col("bp.bj"), "blk", id_col, vec_col)
+    )
+
+    def score_block_pair(key, pdf):
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj] if bi != bj else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ma = np.asarray(a[vec_col].tolist(), dtype=np.float64)
+        mb = np.asarray(b[vec_col].tolist(), dtype=np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= t)
+        ida = a[id_col].to_numpy()[ii]
+        idb = b[id_col].to_numpy()[jj]
+        cos = sims[ii, jj]
+        if bi == bj:
+            # same block: the matrix holds both (x,y) and (y,x) — keep one
+            keep = ida < idb
+            ida, idb, cos = ida[keep], idb[keep], cos[keep]
+        else:
+            # cross block: each unordered pair appears exactly once — order it
+            ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "cosine": cos})
+
+    return (
+        replicated.groupBy("bi", "bj")
+        .applyInPandas(score_block_pair, "id_a long, id_b long, cosine double")
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((nbits, dim))
 

@@ -603,3 +603,100 @@ def engine_version(spark, sf_dir):
         [(crick_spark.version(), spark.version, np.__version__)],
         "engine_version string, spark_version string, numpy_version string",
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON sources (SURVEY §2.5 'Scans/sources/sinks')
+# ---------------------------------------------------------------------------
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+SELECT n.n_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 2) AS total_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="CSV source coverage: supplier → write csv (header) → read back with "
+    "explicit schema → join + aggregate; must survive the text round trip.",
+)
+def source_csv_roundtrip(spark, sf_dir):
+    import tempfile
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="crick_csv_") + "/supplier.csv"
+    s.write.mode("overwrite").option("header", True).csv(path)
+    s2 = spark.read.schema(s.schema).option("header", True).csv(path)
+    return (
+        s2.join(F.broadcast(n), s2.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="JSON-lines source coverage: nation → write json → read back with "
+    "explicit schema → join + aggregate.",
+)
+def source_json_roundtrip(spark, sf_dir):
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    path = tempfile.mkdtemp(prefix="crick_json_") + "/nation.json"
+    n.write.mode("overwrite").json(path)
+    n2 = spark.read.schema(n.schema).json(path)
+    return (
+        n2.join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-type coverage: outer / semi / anti (SURVEY §2.5 'Joins')
+# ---------------------------------------------------------------------------
+@register(
+    "join_types_customer_orders",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(*) FILTER (WHERE n_orders = 0) AS inactive,
+       count(*) FILTER (WHERE n_orders > 0) AS active,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders
+FROM per_cust
+GROUP BY c_mktsegment
+""",
+    doc="LEFT OUTER + semi/anti semantics per market segment: customers with "
+    "and without orders (anti-join = inactive), order totals preserved.",
+)
+def join_types_customer_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.count(F.when(F.col("n_orders") == 0, 1)).alias("inactive"),
+        F.count(F.when(F.col("n_orders") > 0, 1)).alias("active"),
+        F.sum("n_orders").alias("total_orders"),
+    )

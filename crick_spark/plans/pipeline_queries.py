@@ -12,8 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crick_spark.pipeline.dedup import exact_dedup, near_dup_pairs, simhash_near_dup_pairs
-from crick_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+from crick_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_ngram_pairs,
+    near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from crick_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
 from crick_spark.pipeline.text import (
     doc_fingerprint_expr,
     lang_id_expr,
@@ -51,6 +60,37 @@ def dedup_exact_documents(spark, sf_dir):
 def minhash_near_dup_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@register(
+    "jaccard_ngram_dup_pairs",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+    END AS sh
+  FROM documents
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE j >= 0.5
+""",
+    doc="Exact 3-gram Jaccard duplicate pairs (≥0.5) blocked by language — "
+    "the deterministic ground truth the MinHash/SimHash paths approximate; "
+    "size-ratio prune before the set intersection.",
+)
+def jaccard_ngram_dup_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    )
 
 
 @register(
@@ -229,6 +269,30 @@ def embedding_norms_by_label(spark, sf_dir):
         F.count("*").alias("n_vecs"),
         F.round(F.avg(norm_expr(F.col("embedding"))), 6).alias("avg_norm"),
     )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) AS c
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+) WHERE c >= 0.4
+""",
+    doc="Exact embedding-cosine near-duplicate pairs (≥0.4) via distributed "
+    "block-pair triangle join: O(n·√P) replication, the O(n²) pair space "
+    "exists only inside per-task numpy matmuls.",
+)
+def embedding_near_dup_pairs_q(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------

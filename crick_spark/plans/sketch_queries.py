@@ -165,3 +165,37 @@ def approx_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_type").alias("approx_event_types"),
     )
+
+
+@register(
+    "tdigest_persist_roundtrip",
+    doc="Sketch persistence (SURVEY §7.2 'sketch persistence'; crick pickle "
+    "surface tdigest.pyx:246-263): per-group digest state → parquet → read "
+    "back → merge → quantiles.  The incremental-rollup pattern: yesterday's "
+    "persisted digests merge with today's partials without rescanning; "
+    "equality with the direct path asserted in tests.",
+)
+def tdigest_persist_roundtrip(spark, sf_dir):
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from crick_spark.operators.crick_ops import tdigest_agg, tdigest_merge_finalize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    path = tempfile.mkdtemp(prefix="crick_digests_") + "/digests.parquet"
+    partials.write.mode("overwrite").parquet(path)
+    restored = spark.read.parquet(path)
+    qs = [0.25, 0.5, 0.75, 0.99]
+    schema = StructType(
+        [StructField(f"p{str(q).replace('.', '_')}", DoubleType()) for q in qs]
+    )
+
+    def finalize(sk):
+        return pd.DataFrame(
+            [{f"p{str(q).replace('.', '_')}": float(sk.quantile(q)) for q in qs}]
+        )
+
+    return tdigest_merge_finalize(restored, ["l_returnflag"], finalize, schema)

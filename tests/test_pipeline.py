@@ -159,3 +159,61 @@ def test_multimodal_plumbing(spark, docs):
     a = pdf.sort_values("doc_id", ignore_index=True)
     b = pdf2.sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_jaccard_sparse_join_matches_naive(spark, docs):
+    """Sparse posting-join Jaccard ≡ naive array_intersect formulation."""
+    from crick_spark.pipeline.dedup import jaccard_ngram_pairs, shingles_expr
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_ngram_pairs(
+            docs, "doc_id", "text", "lang", threshold=0.3
+        ).collect()
+    }
+    sh = docs.select(
+        "doc_id", "lang", shingles_expr(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    naive = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                inter.cast("double")
+                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+    expected = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in naive.collect()}
+    assert got == expected
+
+
+def test_embedding_near_dup_matches_numpy(spark):
+    from crick_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.35, n_blocks=4).collect()
+    }
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.35, k=1))
+    expected = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j])): round(float(sims[i, j]), 6)
+        for i, j in zip(ii, jj)
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, k

@@ -198,3 +198,45 @@ def test_moments_partition_invariance(spark, lineitem):
 def test_moments_grouped(spark, lineitem):
     out = moments_agg(lineitem, "l_quantity", by=["l_returnflag", "l_linestatus"])
     assert out.count() == lineitem.select("l_returnflag", "l_linestatus").distinct().count()
+
+
+def test_tdigest_persist_roundtrip_equals_direct(spark, tmp_path):
+    """Persisted-then-merged digests ≡ directly aggregated digests."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from crick_spark.operators.crick_ops import (
+        tdigest_agg,
+        tdigest_merge_finalize,
+        tdigest_quantiles,
+    )
+    from crick_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    direct = {
+        r.l_returnflag: (r.p0_25, r.p0_5, r.p0_99)
+        for r in tdigest_quantiles(
+            li, "l_extendedprice", [0.25, 0.5, 0.99], by=["l_returnflag"]
+        ).collect()
+    }
+    partials = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
+    path = str(tmp_path / "digests.parquet")
+    partials.write.parquet(path)
+    schema = StructType(
+        [StructField(p, DoubleType()) for p in ("p0_25", "p0_5", "p0_99")]
+    )
+
+    def finalize(sk):
+        return pd.DataFrame(
+            [{p: float(sk.quantile(q)) for p, q in
+              zip(("p0_25", "p0_5", "p0_99"), (0.25, 0.5, 0.99))}]
+        )
+
+    restored = tdigest_merge_finalize(
+        spark.read.parquet(path), ["l_returnflag"], finalize, schema
+    )
+    got = {r.l_returnflag: (r.p0_25, r.p0_5, r.p0_99) for r in restored.collect()}
+    assert set(got) == set(direct)
+    for k in got:
+        for g, d in zip(got[k], direct[k]):
+            assert g == pytest.approx(d, rel=1e-9), k
