@@ -9,6 +9,8 @@ from crick_spark.operators.crick_ops import (  # noqa: F401
     spacesaving_topk,
     tdigest_agg,
     tdigest_cdf,
+    tdigest_centroids,
+    tdigest_decayed_quantiles,
     tdigest_histogram,
     tdigest_quantiles,
 )

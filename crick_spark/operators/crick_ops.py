@@ -20,6 +20,7 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -155,6 +156,106 @@ def tdigest_histogram(
     return sketch_aggregate(
         df, _tdigest_ops(col, None, compression), [col], by, finalize, schema
     )
+
+
+def tdigest_centroids(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    compression: float = 100.0,
+) -> DataFrame:
+    """The digest's internal state as rows (crick ``TDigest.centroids``,
+    ``tdigest.pyx:231-244``): (by…, centroid, mean, weight), means
+    ascending, Σweight = group count."""
+    schema = StructType(
+        [
+            StructField("centroid", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+
+    def finalize(sk: TDigest) -> pd.DataFrame:
+        arr = sk.centroids()
+        return pd.DataFrame(
+            {
+                "centroid": np.arange(len(arr)),
+                "mean": arr["mean"],
+                "weight": arr["weight"],
+            }
+        )
+
+    return sketch_aggregate(
+        df, _tdigest_ops(col, None, compression), [col], by, finalize, schema
+    )
+
+
+def tdigest_decayed_quantiles(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    qs: list[float],
+    by: list[str] | None = None,
+    half_life_days: float = 7.0,
+    compression: float = 100.0,
+) -> DataFrame:
+    """Exponentially-decayed quantiles — the crick ``TDigest.scale`` use
+    case (``tdigest.pyx:326-340``: 'used for exponential decay of
+    windows').  Each day's partial digests are scaled by
+    ``0.5^(age_days/half_life)`` and merged; recent data dominates the
+    estimate, old data fades instead of falling off a cliff.
+
+    ``scale`` is linear in the weights, so scaling per-partition partials
+    before the merge equals scaling the merged day-digest — the
+    decay composes with the two-phase distributed aggregation unchanged.
+    Emits (by…, decayed_n, p…)."""
+    by = by or []
+    day = F.to_date(F.col(ts_col))
+    ref_day = df.agg(F.max(day).alias("d")).collect()[0]["d"]
+    partials = tdigest_agg(
+        df.withColumn("__day__", day), col, by=by + ["__day__"], compression=compression
+    )
+    schema = StructType(
+        [StructField("decayed_n", DoubleType())]
+        + [StructField(_qname(q), DoubleType()) for q in qs]
+    )
+    out_schema = StructType(
+        ([partials.schema[k] for k in by]) + list(schema.fields)
+    )
+    hl = float(half_life_days)
+
+    def merge_decayed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic fold order (cf. merge_sketches) → run-stable floats
+        pdf = pdf.assign(__blob__=pdf["sketch"].map(bytes)).sort_values(
+            ["__day__", "__blob__"], kind="stable"
+        )
+        merged = None
+        for _, r in pdf.iterrows():
+            age = (ref_day - r["__day__"]).days
+            sk = pickle.loads(bytes(r["sketch"])).scale(0.5 ** (age / hl))
+            merged = sk if merged is None else merged.merge(sk)
+        row = {"decayed_n": float(merged.size())}
+        for q in qs:
+            row[_qname(q)] = float(merged.quantile(q))
+        res = pd.DataFrame([row])
+        for i, k in enumerate(by):
+            res.insert(i, k, pdf[k].iloc[0])
+        return res
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge_decayed, out_schema)
+    from crick_spark.operators.sketch_agg import GROUP_KEY
+    from pyspark.sql.types import IntegerType
+
+    grouped = partials.withColumn(GROUP_KEY, F.lit(1)).groupBy(GROUP_KEY)
+    out_g = StructType([StructField(GROUP_KEY, IntegerType())] + list(schema.fields))
+
+    def merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = merge_decayed(pdf)
+        res.insert(0, GROUP_KEY, 1)
+        return res
+
+    return grouped.applyInPandas(merge_global, out_g).drop(GROUP_KEY)
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,32 @@ def tdigest_persist_roundtrip(spark, sf_dir):
         )
 
     return tdigest_merge_finalize(restored, ["l_returnflag"], finalize, schema)
+
+
+@register(
+    "tdigest_centroids_events",
+    doc="Digest internal state as rows (crick TDigest.centroids, "
+    "tdigest.pyx:231-244) per event_type; invariants (means ascending, "
+    "Σweight = count) asserted in tests.",
+)
+def tdigest_centroids_events(spark, sf_dir):
+    from crick_spark.operators import tdigest_centroids
+
+    ev = load_table(spark, sf_dir, "events")
+    return tdigest_centroids(ev, "value", by=["event_type"])
+
+
+@register(
+    "tdigest_decayed_quantiles",
+    doc="Exponentially-decayed quantiles via TDigest.scale "
+    "(tdigest.pyx:326-340 'exponential decay of windows'): per-day digests "
+    "scaled by 0.5^(age/7d) and merged per event_type — recent data "
+    "dominates, old data fades; decay weights asserted in tests.",
+)
+def tdigest_decayed_quantiles_q(spark, sf_dir):
+    from crick_spark.operators import tdigest_decayed_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return tdigest_decayed_quantiles(
+        ev, "value", "ts", [0.5, 0.9, 0.99], by=["event_type"], half_life_days=7.0
+    )

@@ -93,3 +93,52 @@ def tdigest_stream_quantiles_q(spark, sf_dir):
     return t.groupBy("key").agg(
         F.max_by(F.struct("n", *[c for c in t.columns if c.startswith("p")]), "n").alias("s")
     ).select("key", "s.*")
+
+
+@register(
+    "sliding_window_rollup",
+    oracle="""
+WITH e AS (
+  SELECT unnest([
+           make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000),
+           make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+         ]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM e GROUP BY 1, 2
+""",
+    doc="Sliding-window rollup (1h window / 30min slide) through Structured "
+    "Streaming — each event lands in exactly two windows; oracle expands "
+    "the membership with unnest (stream ≡ batch ≡ SQL).",
+)
+def sliding_window_rollup(spark, sf_dir):
+    import uuid as _uuid
+
+    from crick_spark.streaming.windows import stream_events, windowed_rollup
+
+    sdf = stream_events(spark, sf_dir)
+    agg = windowed_rollup(sdf, window="1 hour", slide="30 minutes")
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "cnt",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+    sink = f"stream_sliding_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

@@ -240,3 +240,44 @@ def test_tdigest_persist_roundtrip_equals_direct(spark, tmp_path):
     for k in got:
         for g, d in zip(got[k], direct[k]):
             assert g == pytest.approx(d, rel=1e-9), k
+
+
+def test_tdigest_centroids_invariants(spark):
+    """Means ascending, weights positive, Σweight = group count (crick
+    TDigest.centroids contract)."""
+    from crick_spark.operators import tdigest_centroids
+    from crick_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    pdf = tdigest_centroids(ev, "value", by=["event_type"]).toPandas()
+    counts = {
+        r["event_type"]: r["cnt"]
+        for _, r in ev.groupBy("event_type").count().withColumnRenamed("count", "cnt").toPandas().iterrows()
+    }
+    for key, g in pdf.groupby("event_type"):
+        g = g.sort_values("centroid")
+        assert (np.diff(g["mean"].to_numpy()) >= 0).all(), key
+        assert (g["weight"] > 0).all(), key
+        assert g["weight"].sum() == pytest.approx(counts[key]), key
+
+
+def test_tdigest_decayed_weights(spark):
+    """decayed_n = Σ_day 0.5^(age/half_life) · n_day, and quantiles of a
+    uniform-age stream match the undecayed digest."""
+    from crick_spark.operators import tdigest_decayed_quantiles
+    from crick_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = tdigest_decayed_quantiles(
+        ev, "value", "ts", [0.5], by=["event_type"], half_life_days=7.0
+    ).toPandas()
+    days = ev.select(
+        "event_type", F.to_date("ts").alias("d")
+    ).groupBy("event_type", "d").count().toPandas()
+    ref = days["d"].max()
+    for _, r in out.iterrows():
+        g = days[days["event_type"] == r["event_type"]]
+        expect = sum(
+            0.5 ** ((ref - d).days / 7.0) * c for d, c in zip(g["d"], g["count"])
+        )
+        assert r["decayed_n"] == pytest.approx(expect, rel=1e-9), r["event_type"]
