@@ -16,6 +16,7 @@ Two tiers (SURVEY §7.4):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,6 +153,29 @@ def lsh_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_buckets_udf(planes_per_table: list[np.ndarray]):
+    """Arrow-batched bucket computation: ONE numpy matmul per batch yields
+    every table's sign-bit fingerprint (vs. nbits × num_tables interpreted
+    ``aggregate`` folds — higher-order-function lambdas never reach
+    codegen).  Returns a pandas UDF: embedding → array<long> of per-table
+    buckets."""
+    from pyspark.sql.functions import pandas_udf
+
+    stacked = np.vstack(planes_per_table)  # (T*nbits, dim)
+    nbits = planes_per_table[0].shape[0]
+    ntables = len(planes_per_table)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ stacked.T) > 0  # (n, T*nbits)
+        b = bits.reshape(len(mat), ntables, nbits) @ weights  # (n, T)
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -174,16 +198,26 @@ def lsh_ann_topk(
     embedding corpora with close neighbors (cos ≳ 0.8) recall far better."""
     dim = len(query_vec)
     qv = np.asarray(query_vec, dtype=np.float64)
-    match = F.lit(False)
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, nbits, seed + 1000 * t)
-        qbucket = 0
-        for i, p in enumerate(planes):
-            if float(qv @ p) > 0:
-                qbucket |= 1 << i
-        probes = [qbucket] + (
-            [qbucket ^ (1 << i) for i in range(nbits)] if multiprobe else []
+    planes_per_table = [
+        _hyperplanes(dim, nbits, seed + 1000 * t) for t in range(num_tables)
+    ]
+    probe_sets = []
+    for planes in planes_per_table:
+        qbucket = int(weights_dot(qv, planes))
+        probe_sets.append(
+            [qbucket]
+            + ([qbucket ^ (1 << i) for i in range(nbits)] if multiprobe else [])
         )
-        match = match | lsh_bucket_expr(F.col(vec_col), planes).isin(probes)
-    cand = embeddings.where(match)
+    buckets = lsh_buckets_udf(planes_per_table)
+    with_buckets = embeddings.withColumn("__bk__", buckets(F.col(vec_col)))
+    match = F.lit(False)
+    for t, probes in enumerate(probe_sets):
+        match = match | F.element_at(F.col("__bk__"), t + 1).isin(probes)
+    cand = with_buckets.where(match).drop("__bk__")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def weights_dot(qv: np.ndarray, planes: np.ndarray) -> int:
+    """Query-side bucket (plain numpy, driver-side)."""
+    bits = (planes @ qv) > 0
+    return int(bits @ (1 << np.arange(planes.shape[0], dtype=np.int64)))
