@@ -228,3 +228,84 @@ def tdigest_decayed_quantiles_q(spark, sf_dir):
     return tdigest_decayed_quantiles(
         ev, "value", "ts", [0.5, 0.9, 0.99], by=["event_type"], half_life_days=7.0
     )
+
+
+@register(
+    "spacesaving_topk_types_by_nation",
+    oracle="""
+SELECT n.n_name, e.item, e.cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT c.c_nationkey AS nk, o.o_orderpriority AS item,
+         count(*) AS cnt,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY count(*) DESC, o.o_orderpriority) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_orderpriority
+) e JOIN nation n ON e.nk = n.n_nationkey
+WHERE e.rk <= 3
+""",
+    doc="Grouped Space-Saving top-3 order priorities per nation: |distinct| "
+    "(5) ≤ capacity (20) → no evictions, counts exact, error = 0 — "
+    "hash-matches the exact window-rank oracle (deterministic tie-break "
+    "by item built into the summary's count-then-insertion order).",
+)
+def spacesaving_topk_types_by_nation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    out = spacesaving_topk(
+        joined, "o_orderpriority", k=3, by=["n_name"], capacity=20
+    )
+    return out.select("n_name", "item", "cnt", "error")
+
+
+@register(
+    "tdigest_weighted_quantiles",
+    doc="Weighted t-digest (crick TDigest.add(x, w), tdigest.pyx:265-280): "
+    "quantiles of l_extendedprice weighted by l_quantity; weighted-stream "
+    "equivalence asserted in kernel tests.",
+)
+def tdigest_weighted_quantiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return tdigest_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], weight_col="l_quantity"
+    )
+
+
+@register(
+    "moments_sketch_by_returnflag",
+    oracle="""
+WITH s AS (SELECT l_returnflag AS g, l_quantity AS x FROM lineitem
+           WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+     m AS (SELECT g, avg(x) AS mu FROM s GROUP BY g)
+SELECT s.g AS l_returnflag,
+       count(*) AS cnt,
+       round(sum(x), 2) AS sum_x,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x,
+       round(avg(x), 6) AS mean_x,
+       round(var_pop(x), 6) AS var_pop_x,
+       round(avg(pow(x - mu, 3)) / pow(avg(pow(x - mu, 2)), 1.5), 5) AS skew_x,
+       round(avg(pow(x - mu, 4)) / pow(avg(pow(x - mu, 2)), 2) - 3, 5) AS kurt_x
+FROM s JOIN m ON s.g = m.g
+GROUP BY s.g, m.mu
+""",
+    doc="Grouped single-pass Pébay moments sketch (crick SummaryStats per "
+    "group) — exact algorithm, hash-matches two-pass oracle after rounding.",
+)
+def moments_sketch_by_returnflag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = moments_agg(li, "l_quantity", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        "cnt",
+        F.round("sum_x", 2).alias("sum_x"),
+        F.round("min_x", 6).alias("min_x"),
+        F.round("max_x", 6).alias("max_x"),
+        F.round("mean_x", 6).alias("mean_x"),
+        F.round("var_pop_x", 6).alias("var_pop_x"),
+        F.round("skew_x", 5).alias("skew_x"),
+        F.round("kurt_x", 5).alias("kurt_x"),
+    )
