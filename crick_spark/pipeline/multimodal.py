@@ -112,3 +112,95 @@ def extract_image_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media", "meta").mapInPandas(
         decode_media_batch, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize images to (width, height): decode → interpolate → re-encode,
+    emitting the same (doc_id, media, meta) convention so resize stages
+    compose/chain.  The pixel source is the stub decoder; the resampling
+    itself is real array math (linear interpolation over the pixel stream),
+    and the Spark shape — partition-preserving mapInPandas, binary in/out,
+    meta rewrite — is exactly a production PIL kernel's."""
+    w, h = int(width), int(height)
+
+    def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, data, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                px = _decode_bytes(bytes(data), meta["kind"]).astype(np.float64)
+                resized = np.interp(
+                    np.linspace(0.0, len(px) - 1, w * h), np.arange(len(px)), px
+                )
+                new_meta = dict(meta)
+                new_meta["width"], new_meta["height"] = w, h
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media": resized.astype(np.uint8).tobytes(),
+                        "meta": new_meta,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "meta"])
+
+    return media_df.select("doc_id", "media", "meta").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_offset_s", DoubleType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame, fps: float = 1.0, max_frames: int = 8
+) -> DataFrame:
+    """Sample frames from video rows at ``fps`` (≤ ``max_frames`` per
+    video): one output row per frame — the 1→N explode shape of a video
+    curation pipeline.  Frame extraction is the stub decoder seeded
+    per-(video, frame index); timing math (duration → frame offsets) and
+    the row-explosion plumbing are real."""
+    f = float(fps)
+
+    def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, data, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                if meta["kind"] != "video":
+                    continue
+                dur = float(meta["duration_s"] or 0.0)
+                n = min(int(max_frames), max(int(dur * f), 1))
+                for i in range(n):
+                    t = i / f
+                    frame = _decode_bytes(
+                        bytes(data) + i.to_bytes(4, "big"), "video"
+                    )
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": i,
+                            "t_offset_s": t,
+                            "frame": frame.astype(np.uint8).tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in FRAME_SCHEMA.fields]
+            )
+
+    return media_df.select("doc_id", "media", "meta").mapInPandas(
+        kernel, schema=FRAME_SCHEMA
+    )

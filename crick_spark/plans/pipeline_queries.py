@@ -313,3 +313,57 @@ def multimodal_feature_stats(spark, sf_dir):
         F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
         F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
     )
+
+
+@register(
+    "video_frame_samples",
+    doc="Video frame sampling (1 fps, ≤8 frames/video): decode stubbed, the "
+    "1→N frame-explosion plumbing, timing math, and binary frame columns "
+    "are real; per-video frame counts + intensity stats.",
+)
+def video_frame_samples(spark, sf_dir):
+    from crick_spark.pipeline.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, fps=1.0, max_frames=8)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.avg(F.length("frame")), 1).alias("avg_frame_bytes"),
+        F.max("t_offset_s").alias("last_offset_s"),
+    )
+
+
+@register(
+    "salted_hot_key_agg",
+    oracle="""
+SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+""",
+    doc="Salted two-phase aggregation over a 5-distinct-key column: "
+    "pre-aggregate on (key, salt) so all cores contribute instead of 5 "
+    "reducers — identical results to the direct groupBy (the oracle).",
+)
+def salted_hot_key_agg(spark, sf_dir):
+    from crick_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("value", "count", "cnt"),
+            ("value", "sum", "sum_value_raw"),
+            ("value", "min", "min_value_raw"),
+            ("value", "max", "max_value_raw"),
+        ],
+        n_salts=32,
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.round("sum_value_raw", 4).alias("sum_value"),
+        F.round("min_value_raw", 6).alias("min_value"),
+        F.round("max_value_raw", 6).alias("max_value"),
+    )

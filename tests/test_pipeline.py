@@ -217,3 +217,66 @@ def test_embedding_near_dup_matches_numpy(spark):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, k
+
+
+def test_resize_media_dims_and_determinism(spark, docs):
+    from crick_spark.pipeline.multimodal import resize_media
+
+    media = attach_fake_media(docs.limit(50))
+    resized = resize_media(media, 16, 8).toPandas()
+    assert len(resized) == 50
+    for _, r in resized.iterrows():
+        assert len(bytes(r["media"])) == 16 * 8
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 8
+    again = resize_media(media, 16, 8).toPandas()
+    a = resized.sort_values("doc_id", ignore_index=True)["media"].map(bytes)
+    b = again.sort_values("doc_id", ignore_index=True)["media"].map(bytes)
+    assert (a == b).all()
+
+
+def test_sample_frames_timing(spark, docs):
+    from crick_spark.pipeline.multimodal import sample_frames
+
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, fps=1.0, max_frames=8).toPandas()
+    meta = media.select("doc_id", "meta").toPandas()
+    videos = {
+        r["doc_id"]: r["meta"]["duration_s"]
+        for _, r in meta.iterrows()
+        if r["meta"]["kind"] == "video"
+    }
+    assert set(frames["doc_id"]) == set(videos)  # only videos sampled
+    for doc_id, g in frames.groupby("doc_id"):
+        expect = min(8, max(int(videos[doc_id] * 1.0), 1))
+        assert len(g) == expect, doc_id
+        assert sorted(g["frame_idx"]) == list(range(expect))
+        assert (g["t_offset_s"] == g["frame_idx"] * 1.0).all()
+
+
+def test_salted_agg_and_join_equal_plain(spark):
+    from crick_spark.functions.skew import salted_agg, salted_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    plain = {
+        r["event_type"]: (r["cnt"], round(r["s"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["cnt"], round(r["s"], 6))
+        for r in salted_agg(
+            ev, ["event_type"], [("value", "count", "cnt"), ("value", "sum", "s")]
+        ).collect()
+    }
+    assert plain == salted
+
+    n = load_table(spark, SF_SMALL, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    c = load_table(spark, SF_SMALL, "customer")
+    plain_j = c.join(n, "c_nationkey").groupBy("n_name").count()
+    salted_j = salted_join(c, n, "c_nationkey", n_salts=4).groupBy("n_name").count()
+    assert {(r["n_name"], r["count"]) for r in plain_j.collect()} == {
+        (r["n_name"], r["count"]) for r in salted_j.collect()
+    }
