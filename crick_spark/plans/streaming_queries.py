@@ -142,3 +142,30 @@ def sliding_window_rollup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@register(
+    "spacesaving_stream_topk",
+    doc="Per-event-type streaming heavy hitters (Space-Saving summaries as "
+    "transformWithStateInPandas ValueState, Spark 4.x API; bounded "
+    "O(capacity) state per key); one availableNow pass over events — "
+    "top-5 users per event_type with error bounds.",
+)
+def spacesaving_stream_topk_q(spark, sf_dir):
+    import uuid as _uuid
+
+    from crick_spark.streaming.sketch_state import spacesaving_stream_topk
+    from crick_spark.streaming.windows import stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    out = spacesaving_stream_topk(sdf, "event_type", "user_id", k=5, capacity=1000)
+    sink = f"stream_topk_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

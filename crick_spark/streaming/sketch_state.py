@@ -81,3 +81,63 @@ def tdigest_stream_quantiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+def spacesaving_stream_topk(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 5,
+    capacity: int = 50,
+) -> DataFrame:
+    """Per-key streaming heavy hitters: each group key holds one
+    Space-Saving summary (state = O(capacity) counters,
+    ``crick/space_saving_stubs.c.in:75-95``) in the state store; every
+    micro-batch folds its rows in and emits the current top-k with error
+    bounds.
+
+    Uses ``applyInPandasWithState``; the Spark 4.x
+    ``transformWithStateInPandas`` port is mechanical (ValueState instead
+    of GroupState) but that API needs protobuf at runtime, which this
+    container lacks — gated off rather than shipped untested."""
+    from crick_spark.sketches import SpaceSaving
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("rank", LongType()),
+            StructField("item", LongType()),
+            StructField("cnt", LongType()),
+            StructField("error", LongType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sk = pickle.loads(bytes.fromhex(state.get[0]))
+        else:
+            sk = SpaceSaving(capacity=capacity)
+        for pdf in pdfs:
+            sk.add_batch(pdf[item_col].to_numpy(np.int64))
+        state.update((pickle.dumps(sk).hex(),))
+        top = sk.topk(k)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                "item": [t[0] for t in top],
+                "cnt": [t[1] for t in top],
+                "error": [t[2] for t in top],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

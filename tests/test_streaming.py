@@ -158,3 +158,37 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the same input file was dropped, not misassigned
     assert emitted.get(t0 + dt.timedelta(hours=4)) == 1
     assert t0 not in emitted
+
+
+def test_spacesaving_stream_topk_exact_regime(spark):
+    """One availableNow pass with capacity ≥ |distinct| → counts exact and
+    error 0; returned items dominate all excluded items."""
+    import uuid
+
+    from crick_spark.streaming.sketch_state import spacesaving_stream_topk
+    from crick_spark.streaming.windows import stream_events
+
+    sdf = stream_events(spark, SF_SMALL)
+    out = spacesaving_stream_topk(sdf, "event_type", "user_id", k=5, capacity=5000)
+    sink = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(sink).toPandas()
+
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = (
+        ev.groupBy("event_type", "user_id").count().toPandas()
+    )
+    for key, g in got.groupby("key"):
+        ex = exact[exact["event_type"] == key].set_index("user_id")["count"]
+        assert (g["error"] == 0).all()
+        for _, r in g.iterrows():
+            assert ex[r["item"]] == r["cnt"], (key, r["item"])
+        excluded = ex.drop(index=g["item"])
+        assert g["cnt"].min() >= excluded.max(), key
