@@ -700,3 +700,78 @@ def join_types_customer_orders(spark, sf_dir):
         F.count(F.when(F.col("n_orders") > 0, 1)).alias("active"),
         F.sum("n_orders").alias("total_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage layout: bucketed co-located join + partitioned pruning
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_join_order_totals",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Co-located join on bucketed tables: orders and customer are "
+    "written bucketed by custkey (one shuffle at write time), then joined "
+    "with ZERO exchange below the join — the layout lever for fact-fact "
+    "joins at 100 TB.  Exchange-freeness is asserted, not assumed.",
+)
+def bucketed_join_order_totals(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.sources.layout import (
+        assert_no_shuffle_join,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = tempfile.mkdtemp(prefix="crick_buckets_")
+    write_bucketed(
+        o.withColumnRenamed("o_custkey", "custkey"),
+        "orders_bkt", "custkey", 8, path=f"{base}/orders_bkt",
+    )
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "custkey"),
+        "customer_bkt", "custkey", 8, path=f"{base}/customer_bkt",
+    )
+    joined = bucketed_join(spark, "orders_bkt", "customer_bkt", "custkey")
+    assert_no_shuffle_join(joined)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "partition_pruned_scan",
+    oracle="""
+SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY o_orderpriority
+""",
+    doc="Partitioned layout + pruning: orders written partitionBy(year), "
+    "a year predicate prunes whole directories at planning time "
+    "(PartitionFilters asserted in the scan) — no I/O for other years.",
+)
+def partition_pruned_scan(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.sources.layout import assert_partition_pruned
+
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="crick_part_") + "/orders_by_year"
+    o.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(base)
+    scan = spark.read.parquet(base).where(F.col("o_year") == 1997)
+    assert_partition_pruned(scan, "o_year")
+    return scan.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
