@@ -221,3 +221,118 @@ def weights_dot(qv: np.ndarray, planes: np.ndarray) -> int:
     """Query-side bucket (plain numpy, driver-side)."""
     bits = (planes @ qv) > 0
     return int(bits @ (1 << np.arange(planes.shape[0], dtype=np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-probed search
+# ---------------------------------------------------------------------------
+def _assign_udf(centroids: np.ndarray):
+    """vector → nearest-centroid id, one numpy matmul per Arrow batch.
+    Cosine metric: centroids and vectors are L2-normalized, so nearest
+    centroid = argmax dot."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ cn.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd k-means (the IVF coarse quantizer) as DataFrame
+    iterations: assignment is an Arrow-batched matmul per partition,
+    the update shuffles only (cluster, partial-sum, count) per partition —
+    k×d doubles cross the wire per iteration, never the vectors.  The
+    centroid matrix (k×d — KBs) lives driver-side between iterations,
+    exactly like MLlib's implementation.  Deterministic init: the k
+    hash-smallest ids."""
+    seed_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+
+    sum_schema = f"cluster int, psum array<double>, pcount long"
+
+    for _ in range(n_iter):
+        assign = _assign_udf(centroids)
+        assigned = embeddings.select(
+            assign(F.col(vec_col)).alias("cluster"), F.col(vec_col)
+        )
+
+        def partial_sums(pdfs):
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cl = pdf["cluster"].to_numpy()
+                rows = []
+                for c in np.unique(cl):
+                    sel = mat[cl == c]
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "psum": sel.sum(axis=0).tolist(),
+                            "pcount": int(len(sel)),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["cluster", "psum", "pcount"])
+
+        partials = assigned.mapInPandas(partial_sums, sum_schema).collect()
+        sums = {}
+        counts = {}
+        for r in partials:
+            c = r["cluster"]
+            v = np.asarray(r["psum"], dtype=np.float64)
+            sums[c] = sums.get(c, 0) + v
+            counts[c] = counts.get(c, 0) + r["pcount"]
+        for c, s in sums.items():
+            centroids[c] = s / counts[c]
+    return centroids
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the IVF cluster id — at scale this is the *write-time* step:
+    persist partitioned/bucketed by cluster so probes read only their
+    clusters' files (cf. sources/layout.py)."""
+    assign = _assign_udf(centroids)
+    return embeddings.withColumn("ivf_cluster", assign(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids against the query driver-side, scan only
+    the ``nprobe`` nearest clusters, exact cosine rerank on that candidate
+    subset.  Cost = nprobe/k of the corpus per query; recall is tuned by
+    nprobe (= brute force at nprobe = k)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = np.argsort(-(cn @ qn))[: int(nprobe)].tolist()
+    indexed = ivf_index(embeddings, centroids, vec_col)
+    cand = indexed.where(F.col("ivf_cluster").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

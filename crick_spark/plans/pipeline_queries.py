@@ -367,3 +367,20 @@ def salted_hot_key_agg(spark, sf_dir):
         F.round("min_value_raw", 6).alias("min_value"),
         F.round("max_value_raw", 6).alias("max_value"),
     )
+
+
+@register(
+    "knn_ivf_ann",
+    doc="IVF ANN: distributed Lloyd k-means coarse quantizer (16 clusters, "
+    "5 iterations — per-iteration shuffle is k×d partial sums, never the "
+    "vectors), probe the 4 nearest clusters, exact cosine rerank; recall "
+    "vs brute force asserted in tests.",
+)
+def knn_ivf_ann(spark, sf_dir):
+    from crick_spark.pipeline.similarity import ivf_ann_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    centroids = train_ivf_centroids(emb, k=16, n_iter=5)
+    out = ivf_ann_topk(emb, list(query), centroids, k=10, nprobe=4)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))

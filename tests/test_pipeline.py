@@ -280,3 +280,34 @@ def test_salted_agg_and_join_equal_plain(spark):
     assert {(r["n_name"], r["count"]) for r in plain_j.collect()} == {
         (r["n_name"], r["count"]) for r in salted_j.collect()
     }
+
+
+def test_ivf_ann_recall_and_kmeans_convergence(spark):
+    from crick_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    centroids = train_ivf_centroids(emb, k=8, n_iter=4)
+    assert centroids.shape == (8, mat.shape[1])
+    # every cluster non-degenerate on this data
+    idx = ivf_index(emb, centroids).toPandas()
+    assert idx["ivf_cluster"].nunique() >= 2
+    # nprobe = k degenerates to brute force (recall 1.0 by construction)
+    q = list(pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0])
+    brute = [r.vec_id for r in cosine_topk(emb, q, 10).collect()]
+    full = [
+        r.vec_id for r in ivf_ann_topk(emb, q, centroids, k=10, nprobe=8).collect()
+    ]
+    assert full == brute
+    # partial probes: decent recall at 3/8 of the corpus scanned
+    part = {
+        r.vec_id for r in ivf_ann_topk(emb, q, centroids, k=10, nprobe=3).collect()
+    }
+    assert len(part & set(brute)) / 10 >= 0.5
