@@ -103,3 +103,33 @@ def doc_fingerprint_expr(text: Column, k: int = 8, shingle_n: int = 3) -> Column
     return F.xxhash64(
         F.concat_ws(",", F.transform(min_k, lambda x: x.cast("string")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-data prep: token windows with overlap)
+# ---------------------------------------------------------------------------
+def chunk_exprs(
+    text: Column, chunk_tokens: int = 32, overlap: int = 8
+) -> Column:
+    """Split a document into overlapping word-token windows — the
+    training-data chunking step of an LLM pipeline.  Chunk i covers words
+    [i·stride, i·stride + chunk_tokens), stride = chunk − overlap; the
+    last window is included only if it adds words beyond the previous
+    chunk's overlap.  Returns array<struct<chunk_idx, chunk_text,
+    n_chunk_tokens>> (posexplode at the call site).  Deterministic and
+    SQL-oracle-able; per-row expression work."""
+    c, o = int(chunk_tokens), int(overlap)
+    stride = c - o
+    w = words_expr(text)
+    n = F.size(w)
+    n_chunks = F.ceil(F.greatest(n - o, F.lit(1)) / F.lit(float(stride))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).alias("chunk_idx"),
+            F.array_join(F.slice(w, (i - 1) * stride + 1, c), " ").alias(
+                "chunk_text"
+            ),
+            F.least(n - (i - 1) * stride, F.lit(c)).alias("n_chunk_tokens"),
+        ),
+    )

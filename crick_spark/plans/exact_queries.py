@@ -775,3 +775,40 @@ def partition_pruned_scan(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON / semi-structured scalar functions (SURVEY §2.5 'Scalar functions')
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_rollup",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON scalar functions over the events.props payload: parse with "
+    "from_json (schema'd struct, codegen) and roll up the extracted field.",
+)
+def json_props_rollup(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            F.col("props"), StructType([StructField("k", LongType())])
+        )["k"].alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct("k").alias("n_k"),
+    )

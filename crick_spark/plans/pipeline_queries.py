@@ -384,3 +384,40 @@ def knn_ivf_ann(spark, sf_dir):
     centroids = train_ivf_centroids(emb, k=16, n_iter=5)
     out = ivf_ann_topk(emb, list(query), centroids, k=10, nprobe=4)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "chunk_documents",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+),
+n AS (
+  SELECT doc_id, words, len(words) AS nw,
+         CAST(ceil(greatest(len(words) - 8, 1) / 24.0) AS INT) AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       i - 1 AS chunk_idx,
+       array_to_string(words[(i - 1) * 24 + 1 : least((i - 1) * 24 + 32, nw)], ' ') AS chunk_text,
+       least(nw - (i - 1) * 24, 32) AS n_chunk_tokens
+FROM n, unnest(generate_series(1, n_chunks)) AS t(i)
+""",
+    doc="Training-data chunking: overlapping 32-token windows (stride 24) "
+    "per document — the 1→N chunk explosion of an LLM data pipeline, "
+    "hash-matched against the SQL oracle.",
+)
+def chunk_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import chunk_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(chunk_exprs(F.col("text"), 32, 8)).alias("ch"),
+    ).select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
