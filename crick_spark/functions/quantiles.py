@@ -53,7 +53,12 @@ def cdf_exprs(col: Column, points: list[float]) -> list[Column]:
 
 
 def histogram(
-    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Exact fixed-range histogram (crick ``histogram``,
     ``crick/tdigest.pyx:165-229``): values binned into ``nbins`` equal bins
@@ -61,9 +66,12 @@ def histogram(
 
     Implemented as integer bucket arithmetic + hash aggregate; out-of-range
     rows are dropped (crick raises only for range=None auto-ranging; with an
-    explicit range numpy drops out-of-range).  Returns (bin, bin_lo, bin_hi,
-    cnt) with empty bins filled in so the result shape is deterministic.
+    explicit range numpy drops out-of-range).  Returns (by…, bin, bin_lo,
+    bin_hi, cnt) with empty bins filled in (dense per group when ``by`` is
+    given — bins cross-joined against the distinct groups, both broadcast)
+    so the result shape is deterministic.
     """
+    by = by or []
     spark = df.sparkSession
     c = nan_to_null(F.col(col))
     width = (hi - lo) / nbins
@@ -72,14 +80,17 @@ def histogram(
     )
     counts = (
         df.where(c.isNotNull() & (c >= lo) & (c <= hi))
-        .select(bucket.alias("bin"))
-        .groupBy("bin")
+        .select(*by, bucket.alias("bin"))
+        .groupBy(*by, "bin")
         .agg(F.count("*").alias("cnt"))
     )
     bins = spark.range(nbins).select(F.col("id").alias("bin"))
+    if by:
+        bins = df.select(*by).distinct().crossJoin(F.broadcast(bins))
     return (
-        bins.join(counts, "bin", "left")
+        bins.join(counts, [*by, "bin"], "left")
         .select(
+            *by,
             "bin",
             F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
             F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),

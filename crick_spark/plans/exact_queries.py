@@ -812,3 +812,92 @@ def json_props_rollup(spark, sf_dir):
         F.max("k").alias("max_k"),
         F.count_distinct("k").alias("n_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bias-corrected moments (crick skew(bias=False)/kurt(bias=False),
+# stats_stubs.c:121,134) — DuckDB's builtins ARE the corrected sample forms
+# ---------------------------------------------------------------------------
+@register(
+    "moments_bias_corrected",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS cnt,
+       round(skewness(l_quantity), 6) AS skew_corrected,
+       round(kurtosis(l_quantity), 6) AS kurt_corrected
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Bias-corrected skew/kurt (crick bias=False closed forms over the "
+    "population moments) — matches DuckDB's sample-corrected builtins "
+    "exactly, proving the correction formulas.",
+)
+def moments_bias_corrected(spark, sf_dir):
+    from crick_spark.functions.stats import kurt_unbiased, skew_unbiased
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = nan_to_null(F.col("l_quantity"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(x).alias("cnt"),
+        F.skewness(x).alias("g1"),
+        F.kurtosis(x).alias("g2"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "cnt",
+        F.round(skew_unbiased(F.col("cnt"), F.col("g1")), 6).alias(
+            "skew_corrected"
+        ),
+        F.round(kurt_unbiased(F.col("cnt"), F.col("g2")), 6).alias(
+            "kurt_corrected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (all grouping-set combinations) + grouped histogram
+# ---------------------------------------------------------------------------
+@register(
+    "cube_orders_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority): all four grouping sets in one pass.",
+)
+def cube_orders_status_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "histogram_value_by_event_type",
+    oracle="""
+WITH src AS (
+  SELECT event_type,
+         least(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 7) AS bin
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND value >= 0.0 AND value <= 200.0
+),
+counts AS (SELECT event_type, bin, count(*) AS cnt FROM src GROUP BY event_type, bin),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, b.bin,
+       round(0.0 + b.bin * 25.0, 6) AS bin_lo,
+       round(0.0 + (b.bin + 1) * 25.0, 6) AS bin_hi,
+       coalesce(c.cnt, 0) AS cnt
+FROM types t
+CROSS JOIN (SELECT unnest(range(8)) AS bin) b
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+""",
+    doc="Grouped fixed-range histogram (8 bins over [0,200] per event "
+    "type), dense bins including empty ones.",
+)
+def histogram_value_by_event_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return histogram(ev, "value", 0.0, 200.0, 8, by=["event_type"])
