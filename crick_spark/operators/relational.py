@@ -1,0 +1,128 @@
+"""Temporal relational operators Spark lacks as built-ins: as-of join and
+range (interval) join.
+
+Neither exists in the crick reference (crick has no relational layer at
+all — SURVEY §2.5); they are part of the engine's beyond-reference surface
+for event/telemetry analytics at 100 TB.  Both are expressed as pure
+DataFrame plans so Catalyst handles pushdown/AQE, and both are shaped to
+avoid the quadratic pair space a naive theta-join would produce:
+
+* ``asof_join``: union-merge formulation — tag both inputs, union, one
+  window per key ordered by time, carry the last-seen right payload
+  forward.  ONE shuffle on the key, zero row explosion, no per-left-row
+  probe of the right side (the classic sort-merge as-of, cf. pandas
+  ``merge_asof`` / QuestDB ASOF JOIN semantics).
+* ``range_join``: time-bucketed equi-join — each left row explodes into
+  the (at most two) fixed-width time buckets its window can touch, the
+  join runs on (key, bucket) with the range predicate as a residual
+  filter.  Turns the theta-join into an equi-join Spark can hash/sort-
+  merge; work is proportional to true pair density per bucket, not
+  |L|x|R| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_cols`` from
+    the right row with the same key and the greatest ``right_time`` <=
+    ``left_time`` (inclusive).  Left rows with no prior right row keep
+    NULL payloads (filter afterwards for inner semantics).
+
+    Determinism: among right rows tied on ``right_time``, the greatest
+    ``right_cols`` tuple (lexicographic struct order) wins — put a unique
+    id first in ``right_cols`` to pin the winner.
+
+    Scale shape: unionByName → single window (shuffle by key, sort by
+    time within partition) → filter.  State per key is one payload
+    struct, never a buffered row set; skewed keys are bounded by the
+    window sort, not a join fanout.
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__asof_p__")
+    r = right.select(
+        F.col(right_on).alias(left_on),
+        F.col(right_time).alias("__asof_t__"),
+        F.lit(0).alias("__asof_side__"),
+        payload,
+    )
+    l = left.select(
+        "*",
+        F.col(left_time).alias("__asof_t__"),
+        F.lit(1).alias("__asof_side__"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows (side 0) sort before left rows at equal time -> inclusive;
+    # the last non-null payload in this order is the as-of match.
+    win = (
+        Window.partitionBy(left_on)
+        .orderBy("__asof_t__", "__asof_side__", "__asof_p__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__asof_m__", F.last("__asof_p__", ignorenulls=True).over(win))
+    return matched.where(F.col("__asof_side__") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__asof_m__.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower_us: int,
+    upper_us: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Interval join: pairs (l, r) sharing ``on`` with
+    ``l.time + lower_us < r.time <= l.time + upper_us`` (times compared in
+    exact integer microseconds — no float drift).
+
+    Implementation: bucket width = window length, each left row joins the
+    two adjacent buckets its window can span, right rows land in exactly
+    one bucket; the range predicate is a residual filter on the equi-join.
+    """
+    width = upper_us - lower_us
+    lt = F.unix_micros(F.col(left_time))
+    rt = F.unix_micros(F.col(right_time))
+    lft = left.select(
+        F.col(on),
+        lt.alias("__lt__"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((lt + F.lit(lower_us)) / width),
+                    F.floor((lt + F.lit(upper_us)) / width),
+                )
+            )
+        ).alias("__bkt__"),
+    )
+    rgt = right.select(
+        F.col(on),
+        rt.alias("__rt__"),
+        F.floor(rt / width).alias("__bkt__"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    return (
+        lft.join(rgt, [on, "__bkt__"])
+        .where(
+            (F.col("__rt__") > F.col("__lt__") + F.lit(lower_us))
+            & (F.col("__rt__") <= F.col("__lt__") + F.lit(upper_us))
+        )
+        .drop("__bkt__", "__lt__", "__rt__")
+    )

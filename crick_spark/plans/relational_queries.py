@@ -1,0 +1,304 @@
+"""Temporal joins, pivots, bivariate stats, and training-split queries.
+
+Beyond-reference relational surface (crick has no relational layer,
+SURVEY §2.5): as-of / range joins over the event stream, PIVOT, exact
+corr/covar/regression aggregates, percentile winsorization, deterministic
+md5 train/val/test splits, and per-language term ranking.  All pure
+DataFrame plans, all DuckDB-oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crick_spark.operators.relational import asof_join, range_join
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event -> latest order of that customer at event time
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_events_orders",
+    oracle="""
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id,
+       o_orderkey AS asof_o_orderkey,
+       round(o_totalprice, 2) AS asof_o_totalprice
+FROM ranked WHERE rn = 1
+""",
+    doc="Backward as-of join (union-merge, one shuffle, no pair "
+    "explosion): every event picks the customer's latest order at or "
+    "before the event timestamp; ties on order date break to the max "
+    "order key.  The oracle is the quadratic row_number formulation the "
+    "operator avoids.",
+)
+def asof_join_events_orders(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    joined = asof_join(
+        ev,
+        od,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.where(F.col("asof_o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "asof_o_orderkey",
+        F.round("asof_o_totalprice", 2).alias("asof_o_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: per-user event pairs within a 60-second forward window
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_event_pairs",
+    oracle="""
+SELECT a.user_id,
+       count(*) AS n_pairs,
+       round(avg(b.value - a.value), 6) AS avg_dv
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND epoch_us(b.ts) >  epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+GROUP BY a.user_id
+""",
+    doc="Interval self-join via time bucketing (equi-join on (user, "
+    "bucket) + residual range filter — never the per-user quadratic "
+    "theta-join): ordered event pairs within 60s per user, with the "
+    "pair count and mean value delta.",
+)
+def range_join_event_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    pairs = range_join(
+        ev,
+        ev,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        lower_us=0,
+        upper_us=60_000_000,
+        left_cols=["value"],
+        right_cols=["value"],
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.col("r_value") - F.col("l_value")), 6).alias("avg_dv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: revenue matrix status x priority
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = {
+    "1-URGENT": "rev_urgent",
+    "2-HIGH": "rev_high",
+    "3-MEDIUM": "rev_medium",
+    "4-NOT SPECIFIED": "rev_notspec",
+    "5-LOW": "rev_low",
+}
+
+
+@register(
+    "pivot_revenue_status_priority",
+    oracle="""
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS rev_urgent,
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS rev_high,
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS rev_medium,
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS rev_notspec,
+       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS rev_low
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="groupBy().pivot() with an explicit value list (no extra "
+    "distinct-values job, single hash aggregate); oracle is the "
+    "conditional-aggregation expansion.",
+)
+def pivot_revenue_status_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(_PRIO_ALIAS[p]) for p in _PRIORITIES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics: corr / covar / simple regression
+# ---------------------------------------------------------------------------
+@register(
+    "corr_covar_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS cnt,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+       round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_pop_qp,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_samp_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept_price_on_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact one-pass bivariate moments (corr, covariance population/"
+    "sample, OLS slope+intercept) per group — the 2-D extension of the "
+    "SummaryStats moment family, all built-in partial aggregates.",
+)
+def corr_covar_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.corr(y, x), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop(y, x), 2).alias("covar_pop_qp"),
+        F.round(F.covar_samp(y, x), 2).alias("covar_samp_qp"),
+        F.round(F.regr_slope(y, x), 4).alias("slope_price_on_qty"),
+        F.round(F.regr_intercept(y, x), 2).alias("icept_price_on_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip at per-group exact percentiles, then re-aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "winsorize_extendedprice",
+    oracle="""
+WITH p AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS cnt,
+       round(any_value(p.p01), 4) AS p01,
+       round(any_value(p.p99), 4) AS p99,
+       round(avg(least(greatest(l.l_extendedprice, p.p01), p.p99)), 4) AS avg_winsorized,
+       round(stddev_samp(least(greatest(l.l_extendedprice, p.p01), p.p99)), 2) AS std_winsorized
+FROM lineitem l JOIN p USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+    doc="Percentile winsorization (outlier clipping for training "
+    "pipelines): exact per-group p01/p99 (tiny aggregate, broadcast "
+    "back), clip JVM-side, re-aggregate.  Two passes over the fact "
+    "table, no quadratic work.",
+)
+def winsorize_extendedprice(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.any_value("p01"), 4).alias("p01"),
+            F.round(F.any_value("p99"), 4).alias("p99"),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            F.round(F.stddev_samp(clipped), 2).alias("std_winsorized"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic md5 train/val/test split (training-pipeline staple)
+# ---------------------------------------------------------------------------
+@register(
+    "train_val_test_split",
+    oracle="""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1
+""",
+    doc="Deterministic content-stable train/val/test split (75/12.5/12.5) "
+    "by the first hex nibble of md5(doc_id) — reproducible across "
+    "engines/runs, no RNG state, embarrassingly parallel (pure per-row "
+    "expression, zero shuffle before the final rollup).",
+)
+def train_val_test_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top terms per language (explode -> count -> window rank)
+# ---------------------------------------------------------------------------
+@register(
+    "top_terms_per_lang",
+    oracle="""
+WITH words AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+counts AS (SELECT lang, w, count(*) AS cnt FROM words GROUP BY lang, w),
+ranked AS (
+  SELECT lang, w, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS rnk
+  FROM counts
+)
+SELECT lang, w AS term, cnt, rnk FROM ranked WHERE rnk <= 5
+""",
+    doc="Exact top-5 terms per language: explode to (lang, word), "
+    "hash-aggregate counts (map-side combine collapses the token "
+    "stream), then a per-language window rank over the tiny count "
+    "table.  The exact ground truth the Space-Saving sketch "
+    "approximates at stream scale.",
+)
+def top_terms_per_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("w"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= 5)
+        .select("lang", F.col("w").alias("term"), "cnt", "rnk")
+    )

@@ -1,0 +1,101 @@
+"""Unit tests for the temporal join operators (asof_join / range_join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from crick_spark.operators.relational import asof_join, range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00")),  # before any right row -> NULL
+            (2, _ts("2024-01-01T12:00:00")),  # exactly at right ts -> inclusive
+            (3, _ts("2024-01-01T13:30:00")),  # between -> earlier row
+            (4, _ts("2024-01-01T15:00:00")),  # after all -> latest row
+        ],
+        "id long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T12:00:00"), 1.0),
+            (200, _ts("2024-01-01T14:00:00"), 2.0),
+        ],
+        "rid long, rt timestamp, v double",
+    )
+    left = left.withColumn("k", F.lit(1))
+    right = right.withColumn("k", F.lit(1))
+    out = asof_join(
+        left, right, "k", "k", "t", "rt", right_cols=["rid", "v"]
+    )
+    got = {r["id"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got == {
+        1: (None, None),
+        2: (100, 1.0),
+        3: (100, 1.0),
+        4: (200, 2.0),
+    }
+
+
+def test_asof_tie_breaks_to_max_payload(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01T12:00:00"))], "id long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01T11:00:00"), 5),
+            (7, _ts("2024-01-01T11:00:00"), 9),  # same ts: max rid wins
+        ],
+        "k long, rt timestamp, rid long",
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", right_cols=["rid"])
+    assert out.collect()[0]["asof_rid"] == 9
+
+
+def test_range_join_window_boundaries(spark):
+    base = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [(1, 10, base)], "id long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, base, "same-instant"),  # excluded: strict lower bound
+            (10, base + dt.timedelta(seconds=60), "at-upper"),  # included
+            (10, base + dt.timedelta(seconds=61), "past-upper"),  # excluded
+            (99, base + dt.timedelta(seconds=30), "other-key"),  # excluded
+        ],
+        "k long, t timestamp, tag string",
+    )
+    out = range_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        lower_us=0,
+        upper_us=60_000_000,
+        left_cols=["id"],
+        right_cols=["tag"],
+    )
+    assert [r["r_tag"] for r in out.collect()] == ["at-upper"]
+
+
+def test_range_join_bucket_crossing(spark):
+    # right row lands in the bucket after the left row's own bucket:
+    # the two-bucket explode must still find it.
+    base = _ts("2024-01-01T00:00:55")
+    left = spark.createDataFrame([(1, 1, base)], "id long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=50))], "k long, t timestamp"
+    )
+    out = range_join(
+        left, right, "k", "t", "t", 0, 60_000_000, ["id"], []
+    )
+    assert out.count() == 1
