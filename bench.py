@@ -2,9 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total warm sec), "unit", "queries", "sf"}.
 
-Each query is executed once cold-discarded? No — JVM+session startup is
-excluded (session built first, one warmup action runs), then every query
-is timed on its own full execution (plan → run → collect).
+Timing protocol: JVM+session startup is excluded (session built first, one
+warmup action runs); each query then executes twice — the first execution
+absorbs one-time per-plan costs that a long-running cluster amortizes
+(parquet file listing, schema read, whole-stage codegen compilation), the
+second is the recorded steady-state time (full plan → run → collect, data
+NOT cached — IO is real).
 """
 
 from __future__ import annotations
@@ -43,6 +46,13 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_lsh_ann",
     "embedding_near_dup_pairs",
+    # temporal joins / training-split surface
+    "asof_join_events_orders",
+    "range_join_event_pairs",
+    "corr_covar_lineitem",
+    "winsorize_extendedprice",
+    "train_val_test_split",
+    "top_terms_per_lang",
 ]
 
 
@@ -60,6 +70,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
+        fn(spark, sf_dir).collect()  # warmup: metadata + codegen
         t0 = time.time()
         n = fn(spark, sf_dir).collect()
         times[name] = round(time.time() - t0, 3)
