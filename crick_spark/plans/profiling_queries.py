@@ -1,0 +1,259 @@
+r"""Data-profiling, discretization, and corpus-curation queries.
+
+The operational layer a training-data pipeline runs before/after the
+sketch and dedup operators: column profiling (null/distinct/range per
+column in one scan), quantile-bin discretization (ntile), the long tail
+of aggregate functions (median / bool / ordered string agg), per-label
+embedding centroids, and the end-to-end curation composite
+(quality-filter -> exact-dedup -> deterministic split) that chains the
+pipeline operators into one plan.  All DuckDB-oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: one scan, every column's null/distinct/range stats
+# ---------------------------------------------------------------------------
+_PROFILE_NUM = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+SELECT 'l_orderkey' AS column_name, count(*) - count(l_orderkey) AS n_nulls,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       round(min(l_orderkey), 6) AS min_d, round(max(l_orderkey), 6) AS max_d
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', count(*) - count(l_partkey), count(DISTINCT l_partkey),
+       round(min(l_partkey), 6), round(max(l_partkey), 6) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*) - count(l_quantity), count(DISTINCT l_quantity),
+       round(min(l_quantity), 6), round(max(l_quantity), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*) - count(l_discount), count(DISTINCT l_discount),
+       round(min(l_discount), 6), round(max(l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), NULL, NULL FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*) - count(l_linestatus),
+       count(DISTINCT l_linestatus), NULL, NULL FROM lineitem
+""",
+    doc="Data profiling: per-column null count, exact distinct count, and "
+    "numeric range — computed in a SINGLE scan (one aggregate row of "
+    "3x7 expressions, unpivoted driver-side with stack()), where the "
+    "naive per-column formulation (the oracle) scans 7 times.  At 100 "
+    "TB swap count_distinct for approx_count_distinct per column.",
+)
+def profile_lineitem_columns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    stacked = []
+    for c in _PROFILE_NUM:
+        stacked.append(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        )
+    for c in _PROFILE_STR:
+        stacked.append(
+            f"'{c}', {c}__nulls, {c}__distinct, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+    n = len(_PROFILE_NUM) + len(_PROFILE_STR)
+    return row.selectExpr(
+        f"stack({n}, {', '.join(stacked)}) AS "
+        "(column_name, n_nulls, n_distinct, min_d, max_d)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-bin discretization (ntile)
+# ---------------------------------------------------------------------------
+@register(
+    "ntile_price_quartiles",
+    oracle="""
+WITH binned AS (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(4) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS q
+  FROM lineitem
+)
+SELECT l_returnflag, q AS quartile, count(*) AS cnt,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM binned GROUP BY l_returnflag, q
+""",
+    doc="Quantile-bin discretization (feature bucketing): ntile(4) per "
+    "group with a total tie-break order, then per-bin stats.  One "
+    "shuffle + sort; at 100 TB prefer width_bucket against t-digest "
+    "cutpoints (no global sort) — both forms are exposed.",
+)
+def ntile_price_quartiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    win = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    binned = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.ntile(4).over(win).alias("quartile"),
+    )
+    return binned.groupBy("l_returnflag", "quartile").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-function long tail: median, bool_and/or, count_if, ordered listagg
+# ---------------------------------------------------------------------------
+@register(
+    "misc_aggregates_orders",
+    oracle="""
+WITH pr AS (
+  SELECT o_orderstatus,
+         string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       round(median(o.o_totalprice), 4) AS median_price,
+       bool_and(o.o_totalprice > 0) AS all_positive,
+       bool_or(o.o_totalprice > 400000) AS any_over_400k,
+       count(*) FILTER (WHERE o.o_totalprice > 200000) AS n_over_200k,
+       any_value(pr.priorities) AS priorities
+FROM orders o JOIN pr USING (o_orderstatus)
+GROUP BY o.o_orderstatus
+""",
+    doc="Long-tail aggregates: exact median (interpolated), bool_and/"
+    "bool_or, filtered count, and a deterministic ordered list-agg of "
+    "the distinct priorities (sorted collect_set, so order never "
+    "depends on partitioning).",
+)
+def misc_aggregates_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_over_200k"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids per label (leading dimensions)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+SELECT label, count(*) AS n_vecs,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS dim0,
+       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS dim1,
+       round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS dim2,
+       round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS dim3
+FROM embeddings GROUP BY label
+""",
+    doc="Per-label centroid of the embedding column (leading 4 dims "
+    "shown): plain columnar aggregation over array elements — the "
+    "feature-space rollup behind IVF coarse quantizers and label "
+    "diagnostics.  Scales as one map-side-combined agg; no shuffle of "
+    "the vectors themselves.",
+)
+def embedding_centroids_by_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        *[
+            F.round(F.avg(F.col("embedding")[i].cast("double")), 6).alias(f"dim{i}")
+            for i in range(4)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality filter -> exact dedup -> split rollup
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_curation_pipeline",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         0.5 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+       + 0.5 * (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\s+'))) AS q
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE q >= 0.5),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+final AS (
+  SELECT k.lang, k.q,
+         CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+              WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k JOIN canonical c USING (doc_id)
+)
+SELECT split, lang, count(*) AS n_docs, round(avg(q), 6) AS avg_quality
+FROM final GROUP BY split, lang
+""",
+    doc="The curation composite an LLM-data pipeline runs end-to-end: "
+    "quality-score filter (pure expressions) -> exact content dedup "
+    "keeping the smallest doc_id (one shuffle on the 16-byte md5) -> "
+    "deterministic md5 train/val/test assignment -> per-(split, lang) "
+    "rollup.  Catalyst fuses score+filter+hash into the scan stage; "
+    "only ids and hashes ever shuffle, never document text.",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    from crick_spark.pipeline.text import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id", "text", "lang", quality_score_expr(F.col("text")).alias("q")
+    ).where(F.col("q") >= 0.5)
+    canonical = (
+        kept.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    final = kept.join(canonical, "doc_id").select(
+        split.alias("split"), "lang", "q"
+    )
+    return final.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
