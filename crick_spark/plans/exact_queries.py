@@ -901,3 +901,96 @@ LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
 def histogram_value_by_event_type(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return histogram(ev, "value", 0.0, 200.0, 8, by=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Count-weighted moments (crick update(x, count): each x observed count
+# times, stats.pyx:108-126) — two-pass population form for numeric stability
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_moments_price",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         sum(CAST(l_quantity AS BIGINT)) AS n,
+         sum(l_quantity * l_extendedprice) / sum(l_quantity) AS mu
+  FROM lineitem GROUP BY l_returnflag
+),
+p AS (
+  SELECT l.l_returnflag,
+         any_value(m.n) AS n_obs,
+         any_value(m.mu) AS mu,
+         sum(l.l_quantity * pow(l.l_extendedprice - m.mu, 2)) / any_value(m.n) AS m2,
+         sum(l.l_quantity * pow(l.l_extendedprice - m.mu, 3)) / any_value(m.n) AS m3,
+         sum(l.l_quantity * pow(l.l_extendedprice - m.mu, 4)) / any_value(m.n) AS m4
+  FROM lineitem l JOIN m USING (l_returnflag)
+  GROUP BY l.l_returnflag
+)
+SELECT l_returnflag, n_obs,
+       round(mu, 4) AS wmean,
+       round(sqrt(m2), 2) AS wstd,
+       round(m3 / pow(m2, 1.5), 6) AS wskew,
+       round(m4 / (m2 * m2) - 3, 6) AS wkurt
+FROM p
+""",
+    doc="Count-weighted moments (crick's update(x, count) semantics — "
+    "each value observed `count` times; here price weighted by "
+    "quantity): weighted mean/std/skew/kurt via the numerically stable "
+    "two-pass central-moment form (raw power sums lose ~8 digits at "
+    "this magnitude).  Pass 1 is a tiny aggregate broadcast back; both "
+    "passes are map-side-combined hash aggregates.",
+)
+def weighted_moments_price(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    c, x = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.sum(c.cast("bigint")).alias("n"),
+        (F.sum(c * x) / F.sum(c)).alias("mu"),
+    )
+    d = x - F.col("mu")
+    p = (
+        li.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("n").alias("n_obs"),
+            F.any_value("mu").alias("mu"),
+            (F.sum(c * F.pow(d, 2)) / F.any_value("n")).alias("m2"),
+            (F.sum(c * F.pow(d, 3)) / F.any_value("n")).alias("m3"),
+            (F.sum(c * F.pow(d, 4)) / F.any_value("n")).alias("m4"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        "n_obs",
+        F.round("mu", 4).alias("wmean"),
+        F.round(F.sqrt("m2"), 2).alias("wstd"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("wskew"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias("wkurt"),
+    )
+
+
+@register(
+    "sink_roundtrip_orc",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       round(avg(o.o_totalprice), 5) AS avg_order
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="ORC sink coverage: aggregate → write ORC → read back bit-exact "
+    "(columnar format parity with the parquet sink).",
+)
+def sink_roundtrip_orc(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.plans.registry import QUERIES
+
+    out = QUERIES["revenue_by_nation"].fn(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="crick_sink_") + "/revenue.orc"
+    out.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

@@ -421,3 +421,65 @@ def chunk_documents(spark, sf_dir):
         F.col("ch.chunk_text").alias("chunk_text"),
         F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+_JACCARD_PAIRS_CTE = r"""
+s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+    END AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+)
+"""
+
+
+@register(
+    "dup_cluster_rollup",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  )
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.n
+),
+comp AS (SELECT n AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY n)
+SELECT cluster_id, count(*) AS n_docs
+FROM comp GROUP BY cluster_id
+""",
+    doc="Duplicate clustering: connected components (iterative min-label "
+    "propagation, lineage-checkpointed driver loop of distributed jobs) "
+    "over the exact Jaccard near-dup pair graph; cluster_id is the "
+    "minimum doc_id = the canonical document to keep.  The oracle walks "
+    "the same graph with a recursive CTE — iterative graph algorithms "
+    "and SQL recursion agree exactly.",
+)
+def dup_cluster_rollup(spark, sf_dir):
+    from crick_spark.pipeline.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    )
+    labels = dup_clusters(pairs)
+    return labels.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))

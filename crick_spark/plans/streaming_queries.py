@@ -169,3 +169,72 @@ def spacesaving_stream_topk_q(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@register(
+    "streaming_dedup_users",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    doc="Streaming exact dedup: dropDuplicates on (event_type, user_id) "
+    "over the event stream (append mode — each key emitted once, state "
+    "is one entry per distinct key; add withWatermark/"
+    "dropDuplicatesWithinWatermark to bound state on unbounded feeds), "
+    "then a batch rollup of the deduped sink.  Hash-matches the batch "
+    "COUNT(DISTINCT) oracle: stream dedup ≡ batch distinct.",
+)
+def streaming_dedup_users(spark, sf_dir):
+    sdf = stream_events(spark, sf_dir)
+    deduped = sdf.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "stream_static_join_segments",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS cnt, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer dimension (broadcast hash join — the dimension ships to "
+    "executors once, no stream-side shuffle), then a windowless running "
+    "rollup per market segment in complete mode.  Stream ≡ batch join "
+    "oracle.",
+)
+def stream_static_join_segments(spark, sf_dir):
+    sdf = stream_events(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = sdf.join(cust, sdf["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
