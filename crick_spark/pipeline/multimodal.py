@@ -204,3 +204,62 @@ def sample_frames(
     return media_df.select("doc_id", "media", "meta").mapInPandas(
         kernel, schema=FRAME_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("t_start_s", DoubleType()),
+        StructField("rms_energy", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def audio_window_features(
+    media_df: DataFrame, window_s: float = 1.0, max_windows: int = 16
+) -> DataFrame:
+    """Windowed audio features for audio rows: the sample stream (stub
+    decoder; libsndfile in production) is cut into fixed ``window_s``
+    windows and each emits RMS energy, zero-crossing count, and peak —
+    the audio twin of video frame sampling (same 1→N explode shape,
+    Arrow-batched, partition-preserving).  Feature math is real array
+    math over the decoded stream; only the codec is faked."""
+    w_s = float(window_s)
+
+    def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, data, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
+                if meta["kind"] != "audio":
+                    continue
+                dur = float(meta["duration_s"] or 0.0)
+                n = min(int(max_windows), max(int(dur / w_s), 1))
+                samples = _decode_bytes(bytes(data), "audio").astype(np.float64)
+                centered = samples - 127.5
+                per = max(len(centered) // n, 1)
+                for i in range(n):
+                    win = centered[i * per : (i + 1) * per]
+                    if not len(win):
+                        break
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "window_idx": i,
+                            "t_start_s": i * w_s,
+                            "rms_energy": float(np.sqrt(np.mean(win**2))),
+                            "zero_crossings": int(
+                                np.count_nonzero(np.diff(np.signbit(win)))
+                            ),
+                            "peak": float(np.abs(win).max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in AUDIO_WINDOW_SCHEMA.fields]
+            )
+
+    return media_df.select("doc_id", "media", "meta").mapInPandas(
+        kernel, schema=AUDIO_WINDOW_SCHEMA
+    )

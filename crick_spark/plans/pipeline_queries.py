@@ -483,3 +483,27 @@ def dup_cluster_rollup(spark, sf_dir):
     )
     labels = dup_clusters(pairs)
     return labels.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "audio_window_features",
+    doc="Windowed audio features (RMS energy, zero crossings, peak) per "
+    "1s window over the audio rows of the media column — Arrow-batched "
+    "mapInPandas, 1→N explode, stub codec with real feature math "
+    "(pipeline/multimodal.py); rolled up per doc for a stable check.",
+)
+def audio_window_features_q(spark, sf_dir):
+    from crick_spark.pipeline.multimodal import (
+        attach_fake_media,
+        audio_window_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    feats = audio_window_features(media)
+    return feats.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.round(F.avg("rms_energy"), 6).alias("avg_rms"),
+        F.sum("zero_crossings").alias("total_zc"),
+        F.round(F.max("peak"), 6).alias("max_peak"),
+    )

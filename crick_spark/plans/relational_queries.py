@@ -302,3 +302,146 @@ def top_terms_per_lang(spark, sf_dir):
         .where(F.col("rnk") <= 5)
         .select("lang", F.col("w").alias("term"), "cnt", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event inter-arrival time statistics (lag + percentile over gaps)
+# ---------------------------------------------------------------------------
+@register(
+    "inter_arrival_stats",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(gap_us) AS n_gaps,
+       round(avg(gap_us) / 1e6, 6) AS avg_gap_s,
+       round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_gap_s,
+       round(max(gap_us) / 1e6, 6) AS max_gap_s
+FROM d GROUP BY event_type
+""",
+    doc="Per-user event inter-arrival gaps (lag window over exact integer "
+    "microseconds), rolled up per event type with exact median — "
+    "telemetry cadence profiling; one shuffle for the window, one for "
+    "the rollup.",
+)
+def inter_arrival_stats(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type", (us - F.lag(us).over(win)).alias("gap_us")
+    )
+    return d.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("avg_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias("median_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic downsampling (rebalance a skewed corpus)
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_documents",
+    oracle="""
+WITH tagged AS (
+  SELECT lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+           CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN '80' ELSE 'zz' END AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       round(count(*) FILTER (WHERE keep) * 1.0 / count(*), 4) AS kept_ratio
+FROM tagged GROUP BY lang
+""",
+    doc="Stratified deterministic downsampling: per-language keep rates "
+    "(en 25%, fr 50%, rest 100%) decided by comparing the first md5 "
+    "byte of the doc id against the rate threshold — reproducible "
+    "across engines and runs (no RNG), pure per-row expression, the "
+    "corpus-rebalancing step of a training pipeline.",
+)
+def stratified_sample_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    byte0 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = (
+        F.when(F.col("lang") == "en", "40")
+        .when(F.col("lang") == "fr", "80")
+        .otherwise("zz")
+    )
+    tagged = docs.select("lang", (byte0 < thresh).alias("keep"))
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.round(F.count_if(F.col("keep")) / F.count("*"), 4).alias("kept_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentile (percentile_disc / quantile_disc parity)
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_disc_quantity",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS p25_disc,
+       quantile_disc(l_quantity, 0.50) AS p50_disc,
+       quantile_disc(l_quantity, 0.75) AS p75_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Discrete percentiles (smallest value at cumulative probability "
+    ">= q — actual data values, no interpolation): the percentile_disc "
+    "twin of the continuous percentile queries.",
+)
+def percentile_disc_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_pd")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_disc
+        FROM lineitem_pd GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-frame window aggregate (trailing 3-order average)
+# ---------------------------------------------------------------------------
+@register(
+    "moving_avg_customer_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS trailing3_avg
+FROM orders
+""",
+    doc="Bounded-frame window aggregate: trailing 3-order moving average "
+    "per customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the "
+    "frame-spec coverage the running-total query doesn't exercise.",
+)
+def moving_avg_customer_spend(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    win = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(win), 4).alias("trailing3_avg"),
+    )
