@@ -445,3 +445,90 @@ def moving_avg_customer_spend(spark, sf_dir):
         "o_orderkey",
         F.round(F.avg("o_totalprice").over(win), 4).alias("trailing3_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery coverage: scalar subquery, correlated EXISTS, NOT IN
+# ---------------------------------------------------------------------------
+@register(
+    "subqueries_customer_orders",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_big_spenders,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+      )
+  AND c.c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        AND o_totalprice < 50000
+      )
+GROUP BY c.c_mktsegment
+""",
+    doc="Subquery surface: uncorrelated scalar subquery (global average, "
+    "computed once and broadcast), correlated EXISTS (planned as a "
+    "left-semi hash join), NOT IN (null-aware anti join) — rolled up "
+    "per segment.  Catalyst decorrelates all three; no per-row "
+    "re-execution anywhere.",
+)
+def subqueries_customer_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("sq_customer")
+    orders.createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_big_spenders,
+               round(avg(c.c_acctbal), 4) AS avg_acctbal
+        FROM sq_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM sq_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > (SELECT avg(o_totalprice) * 2 FROM sq_orders)
+              )
+          AND c.c_custkey NOT IN (
+                SELECT o_custkey FROM sq_orders WHERE o_orderstatus = 'F'
+                AND o_totalprice < 50000
+              )
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / map function coverage over the embedding column
+# ---------------------------------------------------------------------------
+@register(
+    "array_functions_embeddings",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(avg(len(list_filter(embedding, x -> x > 0))), 6) AS avg_n_positive,
+       round(avg(list_max(embedding)), 6) AS avg_max_elem,
+       round(avg(list_min(embedding)), 6) AS avg_min_elem,
+       round(avg(embedding[1] + embedding[-1]), 6) AS avg_first_plus_last
+FROM embeddings
+GROUP BY label
+""",
+    doc="Array-function coverage (filter/max/min/indexing incl. negative "
+    "index) over the embedding vectors, rolled up per label — element "
+    "ops stay per-row (no explode, no shuffle of vectors).",
+)
+def array_functions_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.size(F.filter(e, lambda x: x > 0))), 6).alias(
+            "avg_n_positive"
+        ),
+        F.round(F.avg(F.array_max(e)), 6).alias("avg_max_elem"),
+        F.round(F.avg(F.array_min(e)), 6).alias("avg_min_elem"),
+        F.round(
+            F.avg(F.element_at(e, 1) + F.element_at(e, -1)), 6
+        ).alias("avg_first_plus_last"),
+    )
