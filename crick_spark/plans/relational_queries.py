@@ -532,3 +532,103 @@ def array_functions_embeddings(spark, sf_dir):
             F.avg(F.element_at(e, 1) + F.element_at(e, -1)), 6
         ).alias("avg_first_plus_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS + grouping_id
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS (two one-dim rollups + grand total in a "
+    "single pass) with grouping_id to distinguish 'NULL group key' from "
+    "'aggregated-away' — one Expand+hash-aggregate, not three scans.",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-family window functions
+# ---------------------------------------------------------------------------
+@register(
+    "rank_functions_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       dense_rank()  OVER w AS drk,
+       round(percent_rank() OVER w, 6) AS prk,
+       round(cume_dist()    OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Rank-family window coverage (dense_rank / percent_rank / "
+    "cume_dist) with a total tie-break order for determinism.",
+)
+def rank_functions_orders(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling semantics: coalesce / nullif / null-safe equality
+# ---------------------------------------------------------------------------
+@register(
+    "null_semantics_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       count(value) AS n_nonnull,
+       count(*) - count(value) AS n_null,
+       round(sum(coalesce(value, 0.0)), 4) AS sum_coalesced,
+       count(nullif(event_type, 'click')) AS n_not_click,
+       count(*) FILTER (WHERE value IS NOT DISTINCT FROM NULL) AS n_nullsafe_null
+FROM events
+GROUP BY event_type
+""",
+    doc="NULL-semantics coverage: coalesce, nullif, and null-safe "
+    "equality (Spark <=> / SQL IS NOT DISTINCT FROM) — aggregate "
+    "null-skipping made explicit.",
+)
+def null_semantics_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.count("value").alias("n_nonnull"),
+        (F.count("*") - F.count("value")).alias("n_null"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias(
+            "sum_coalesced"
+        ),
+        F.count(F.nullif(F.col("event_type"), F.lit("click"))).alias(
+            "n_not_click"
+        ),
+        F.count_if(F.col("value").eqNullSafe(F.lit(None).cast("double"))).alias(
+            "n_nullsafe_null"
+        ),
+    )
