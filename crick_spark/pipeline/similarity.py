@@ -336,3 +336,79 @@ def ivf_ann_topk(
     indexed = ivf_index(embeddings, centroids, vec_col)
     cand = indexed.where(F.col("ivf_cluster").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization: the memory-scale path for 100 TB ANN
+# ---------------------------------------------------------------------------
+def quantization_params(emb: DataFrame, vec_col: str = "embedding") -> tuple[float, float]:
+    """Global symmetric int8 range: one tiny aggregate over per-row
+    min/max (array ops, codegen) — broadcast back as literals."""
+    row = emb.agg(
+        F.min(F.array_min(F.col(vec_col))).alias("lo"),
+        F.max(F.array_max(F.col(vec_col))).alias("hi"),
+    ).collect()[0]
+    return float(row["lo"]), float(row["hi"])
+
+
+def quantize_expr(vec: Column, lo: float, hi: float) -> Column:
+    """Map each float element to an int8 code in [-127, 127]: code =
+    round((x - mid) / half * 127).  4× memory cut (16× vs f64), one
+    multiply to dequantize approximately."""
+    mid, half = (hi + lo) / 2.0, (hi - lo) / 2.0 or 1.0
+    return F.transform(
+        vec,
+        lambda x: F.round((x.cast("double") - F.lit(mid)) / F.lit(half) * 127)
+        .cast("int"),
+    )
+
+
+def quantized_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Quantized-scan ANN: score every row with the int8 codes (integer
+    dot product — ¼ the scan bytes of f32, the reason quantization is
+    the 100 TB memory play), keep ``rerank_factor·k`` candidates, then
+    exact-rerank the survivors with full-precision cosine.  Same
+    plan shape as the brute-force baseline (scan → per-row expression →
+    global top-m), so recall cost is visible and bounded by the rerank
+    pool; recall vs exact is asserted in tests."""
+    lo, hi = quantization_params(emb, vec_col)
+    mid, half = (hi + lo) / 2.0, (hi - lo) / 2.0 or 1.0
+    qcodes = [int(round((float(v) - mid) / half * 127)) for v in query_vec]
+    qlit = F.array(*[F.lit(c) for c in qcodes])
+    coded = emb.select(
+        id_col,
+        vec_col,
+        quantize_expr(F.col(vec_col), lo, hi).alias("codes"),
+    )
+    scored = coded.select(
+        id_col,
+        vec_col,
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), qlit, lambda x, y: (x * y).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qscore"),
+    )
+    pool = scored.orderBy(F.desc("qscore"), id_col).limit(rerank_factor * k)
+    qv = _lit_vec(query_vec)
+    return (
+        pool.select(
+            id_col,
+            (
+                dot_expr(F.col(vec_col), qv)
+                / (norm_expr(F.col(vec_col)) * norm_expr(qv))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )

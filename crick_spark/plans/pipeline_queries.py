@@ -507,3 +507,18 @@ def audio_window_features_q(spark, sf_dir):
         F.sum("zero_crossings").alias("total_zc"),
         F.round(F.max("peak"), 6).alias("max_peak"),
     )
+
+
+@register(
+    "knn_quantized_ann",
+    doc="int8 scalar-quantized ANN: integer-dot scan over 4×-smaller "
+    "codes, rerank-pool exact cosine on the survivors (pipeline/"
+    "similarity.py quantized_cosine_topk) — the memory-scale path; "
+    "recall vs brute force asserted in tests.",
+)
+def knn_quantized_ann(spark, sf_dir):
+    from crick_spark.pipeline.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return quantized_cosine_topk(emb, list(query), k=10)

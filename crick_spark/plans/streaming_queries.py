@@ -238,3 +238,67 @@ def stream_static_join_segments(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@register(
+    "stream_stream_join_click_purchase",
+    oracle="""
+SELECT c.user_id,
+       count(*) AS n_attributed,
+       round(sum(p.value), 4) AS attributed_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >  epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+GROUP BY c.user_id
+""",
+    doc="Stream-stream inner join with event-time range condition "
+    "(click→purchase attribution within 10 min): both sides are "
+    "watermarked streams, state is bounded by watermark + range bound "
+    "(Spark drops buffered rows once the watermark passes the join "
+    "window).  Joined pairs land in an append sink, rolled up batch-"
+    "side; hash-matches the batch range-join oracle.",
+)
+def stream_stream_join_click_purchase(spark, sf_dir):
+    sdf = stream_events(spark, sf_dir)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    sink = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("p_value"), 4).alias("attributed_value"),
+        )
+    )

@@ -311,3 +311,19 @@ def test_ivf_ann_recall_and_kmeans_convergence(spark):
         r.vec_id for r in ivf_ann_topk(emb, q, centroids, k=10, nprobe=3).collect()
     }
     assert len(part & set(brute)) / 10 >= 0.5
+
+
+def test_quantized_ann_recall(spark):
+    from crick_spark.pipeline.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    brute = {r.vec_id for r in cosine_topk(emb, q, 10).collect()}
+    quant = {
+        r.vec_id for r in quantized_cosine_topk(emb, q, 10, rerank_factor=4).collect()
+    }
+    recall = len(brute & quant) / len(brute)
+    # int8 symmetric quantization keeps ~7 bits of mantissa: ordering of the
+    # top pool survives; the 4x rerank pool absorbs boundary swaps
+    assert recall >= 0.8, f"quantized ANN recall {recall}"
+    assert 0 in quant  # query vector is its own nearest neighbor
