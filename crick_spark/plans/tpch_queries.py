@@ -1,0 +1,625 @@
+"""TPC-H-style analytic queries adapted to the driver's star schema.
+
+The reference has no relational layer (SURVEY §2.5 — crick is a sketch
+library); this module exercises the engine's *relational* surface with the
+classic TPC-H query shapes, adapted to the columns the synthetic tables
+actually have (no partsupp table, no commit/receipt dates, no ship modes).
+Each query is a distinct physical shape worth auditing at 100 TB:
+
+- Q3/Q10: selective dim filter -> fact join -> agg -> deterministic top-k.
+- Q4: EXISTS as a LEFT SEMI join whose condition is an equi-key plus a
+  residual inequality (stays a hash semi-join, inequality applied post-probe).
+- Q5/Q7/Q8: multi-way joins where a *pair* of nation keys must agree —
+  join-order stress; nation/region are broadcast explicitly (25/5 rows at
+  every SF), customer/supplier/part are left to AQE so the plan degrades
+  gracefully to shuffle joins at scale instead of OOMing a broadcast.
+- Q6/Q14/Q19: scan-heavy filter+agg; predicates (incl. the Q19 OR-of-ANDs)
+  must reach the parquet scan as PushedFilters.
+- Q15: scalar-subquery max over an aggregate (argmax without a self-join
+  in the DataFrame form: window max on the rounded revenue grid).
+- Q17: correlated scalar aggregate subquery, decorrelated by hand into an
+  aggregate + equi-join (the form Catalyst rewrites to anyway).
+- Q18: HAVING on a fact-side pre-aggregation *before* the dimension joins —
+  the shuffle happens on the reduced key set, not raw lineitem.
+- Q22: anti-join against a date-filtered order set + uncorrelated scalar
+  subquery threshold.
+
+All queries are exact and DuckDB-oracle-matched; money sums are rounded
+in-query to 2 decimals (grid >> summation-order error), and every top-k
+orders by the *rounded* measure with a key tie-break so row selection is
+deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority: unshipped orders of one segment, top 10 by revenue
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: segment filter prunes customers before the fact "
+    "join; both date predicates push to the parquet scans; top-10 on the "
+    "rounded revenue with (date, key) tie-break for determinism.",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    cut = F.lit("1998-06-01").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority: EXISTS(lineitem shipped >60d after order) as semi-join
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape (adapted: no commit/receipt dates, so 'late' = "
+    "shipped >60 days after order date).  LEFT SEMI hash join on the order "
+    "key with the inequality as a residual post-probe condition — no "
+    "row-explosion, no distinct needed.",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(l, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-table join, supplier and customer co-national
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5: the c_nationkey = s_nationkey residual makes join order "
+    "matter; nation/region broadcast explicitly (bounded at every SF), "
+    "customer/supplier joins left to AQE so the plan survives 100 TB.",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure scan filter + scalar aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: everything is a pushable scan predicate; the whole query "
+    "is one WholeStageCodegen span ending in a partial+final scalar agg — "
+    "zero shuffle beyond the single-row exchange.",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and ship year
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7: the two-nation disjunction can't be split per-table "
+    "(each disjunct constrains both sides), so it stays a post-join filter "
+    "on two broadcast nation joins; the fact-side joins carry no residual.",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region for one part type
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+         AS nation_volume,
+       round(sum(volume), 2) AS total_volume
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+) GROUP BY o_year
+""",
+    doc="TPC-H Q8 (share reported as the two rounded sums rather than "
+    "their quotient, keeping the oracle hash-match on a stable grid): "
+    "8-way join, region+type filters prune before the fact scan grows.",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = _revenue()
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)),
+                2,
+            ).alias("nation_volume"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: top 20 customers by lost revenue
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returnflag + date predicates push to both fact scans; "
+    "top-20 on rounded revenue with custkey tie-break.",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .withColumn("c_acctbal", F.round("c_acctbal", 2))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: conditional-sum ratio over one ship month
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 2) AS promo_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+GROUP BY ALL
+""",
+    doc="TPC-H Q14 (the two sums reported instead of their percentage — "
+    "stable rounding grid): one-month scan filter, part join, "
+    "conditional aggregation.",
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _revenue()
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s): revenue per supplier vs the max (scalar subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    doc="TPC-H Q15: argmax over an aggregate.  The max is a second "
+    "aggregation over the same per-supplier rollup broadcast back as a "
+    "1-row threshold — the identical agg subtree means Spark reuses the "
+    "shuffle (ReusedExchange), so lineitem is scanned once and nothing "
+    "collapses to a single partition (an empty-frame window max would).",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(s), top.suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue: correlated avg-per-part subquery, decorrelated
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+""",
+    doc="TPC-H Q17: the correlated scalar subquery is decorrelated by hand "
+    "into a per-part average aggregate joined back on partkey — the same "
+    "rewrite Catalyst performs, made explicit so the plan shows one "
+    "aggregate + one join, no per-row subquery.",
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    # Aggregate only the brand's parts: semi-reduce lineitem first.
+    lp = l.join(p, l.l_partkey == p.p_partkey).drop("p_partkey")
+    thresh = lp.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        lp.join(thresh, on="l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: HAVING on fact pre-aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, big.sum_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="TPC-H Q18: aggregate lineitem to order grain FIRST (HAVING > 300), "
+    "then join the few surviving keys to orders/customer — at 100 TB the "
+    "join input is the reduced key set, not raw lineitem.",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 300)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunction of brand/size/quantity conjunctions
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q19_disjunctive_filter",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+    doc="TPC-H Q19: OR-of-ANDs mixing columns from both sides; the "
+    "per-table implied disjuncts (brand IN (..), quantity ranges) are "
+    "derivable by Catalyst's constraint propagation and land in "
+    "PushedFilters, the cross-table residue stays on the join.",
+)
+def tpch_q19_disjunctive_filter(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#11") & z.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#22") & z.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#33") & z.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — dormant high-balance customers: anti-join + scalar threshold
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment
+""",
+    doc="TPC-H Q22 (adapted: dormancy = no orders since 2000-01-01; the "
+    "schema has no phone column).  Uncorrelated scalar average as a "
+    "broadcast threshold, NOT EXISTS as a LEFT ANTI join on the "
+    "date-filtered order set.",
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_pos = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("thresh"))
+        .select("thresh")
+    )
+    rich = c.join(F.broadcast(avg_pos)).where(F.col("c_acctbal") > F.col("thresh"))
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
