@@ -1,0 +1,167 @@
+"""Scalar-function surface: datetime, calendar densification, map types.
+
+Fills the remaining SURVEY §2.5 'Scalar functions' cells the other plan
+modules don't touch: the date/time function family, generator functions
+(``sequence`` + ``explode`` as the interval-densification pattern every
+time-series pipeline needs), and MapType construction/extraction.  All
+expressions are JVM built-ins inside WholeStageCodegen — no Python UDFs —
+and each query aggregates down before returning, so nothing here shuffles
+wide rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crick_spark.plans.registry import register
+from crick_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Date/time function family over orders x lineitem ship lag
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_functions_orders",
+    oracle="""
+SELECT quarter(o.o_orderdate) AS qtr,
+       dayofweek(CAST(o.o_orderdate AS DATE)) + 1 AS dow_spark,
+       count(*) AS cnt,
+       round(avg(datediff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))), 6) AS avg_ship_days,
+       count(CASE WHEN date_trunc('month', o.o_orderdate)
+                     = date_trunc('month', l.l_shipdate)
+                  THEN 1 END) AS same_month,
+       max(day(last_day(CAST(o.o_orderdate AS DATE)))) AS max_month_len,
+       min(weekofyear(CAST(o.o_orderdate AS DATE))) AS min_week
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+    doc="Datetime coverage: quarter / dayofweek (Spark is 1=Sunday, DuckDB "
+    "0=Sunday — oracle shifts) / datediff / date_trunc month equality / "
+    "last_day / weekofyear (both ISO), grouped so the result is a small "
+    "deterministic grid.",
+)
+def datetime_functions_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    return j.groupBy(
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow_spark"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(
+            F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 6
+        ).alias("avg_ship_days"),
+        F.count(
+            F.when(
+                F.date_trunc("month", F.col("o_orderdate"))
+                == F.date_trunc("month", F.col("l_shipdate")),
+                1,
+            )
+        ).alias("same_month"),
+        F.max(F.dayofmonth(F.last_day("o_orderdate"))).alias("max_month_len"),
+        F.min(F.weekofyear("o_orderdate")).alias("min_week"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification: orders open per month via sequence() + explode()
+# ---------------------------------------------------------------------------
+@register(
+    "calendar_densify_open_orders",
+    oracle="""
+WITH span AS (
+  SELECT o.o_orderkey,
+         date_trunc('month', o.o_orderdate) AS m0,
+         date_trunc('month', max(l.l_shipdate)) AS m1,
+         round(sum(l.l_extendedprice), 2) AS order_value
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate)
+SELECT month_start, count(*) AS open_orders,
+       round(sum(order_value), 2) AS open_value
+FROM span,
+     unnest(generate_series(m0, greatest(m0, m1), INTERVAL 1 MONTH))
+       AS t(month_start)
+GROUP BY month_start
+""",
+    doc="Interval densification — the generator-function pattern for "
+    "time-series gap filling: each order is exploded into the months it "
+    "stays open (order month .. last ship month, clamped so early-ship "
+    "rows still cover the order month) with sequence(), then rolled up "
+    "per month.  Explosion factor is bounded by the max open-interval "
+    "length, not data size, so the shape holds at 100 TB.",
+)
+def calendar_densify_open_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    span = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.max("l_shipdate").alias("last_ship"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_value"),
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("m0"),
+            F.date_trunc("month", "last_ship").alias("m1"),
+            "order_value",
+        )
+    )
+    months = span.select(
+        F.explode(
+            F.sequence(
+                F.col("m0"),
+                F.greatest("m0", "m1"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start"),
+        "order_value",
+    )
+    return months.groupBy("month_start").agg(
+        F.count("*").alias("open_orders"),
+        F.round(F.sum("order_value"), 2).alias("open_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapType construction / extraction / higher-order map functions
+# ---------------------------------------------------------------------------
+@register(
+    "map_functions_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS sum_v,
+       round(sum(value * value), 4) AS sum_v2,
+       sum(CASE WHEN value > 0.5 THEN 2 ELSE 1 END) AS n_entries_kept
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+    doc="MapType coverage: per row build map('v'->value, 'v2'->value^2) "
+    "with map_from_arrays, read back through element_at, and count "
+    "entries surviving map_filter(v > 0.5 keeps both, else drops 'v2') "
+    "via size() — the oracle states the same values scalar-wise, "
+    "verifying the map construction/extraction round-trip.",
+)
+def map_functions_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    m = F.map_from_arrays(
+        F.array(F.lit("v"), F.lit("v2")),
+        F.array(F.col("value"), F.col("value") * F.col("value")),
+    )
+    withm = ev.select("event_type", m.alias("m"))
+    kept = F.size(
+        F.map_filter(
+            F.col("m"), lambda k, v: (k == "v") | (F.element_at(F.col("m"), "v") > 0.5)
+        )
+    )
+    return withm.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.element_at("m", F.lit("v"))), 4).alias("sum_v"),
+        F.round(F.sum(F.element_at("m", F.lit("v2"))), 4).alias("sum_v2"),
+        F.sum(kept).alias("n_entries_kept"),
+    )

@@ -56,3 +56,4 @@ from crick_spark.plans import streaming_queries  # noqa: E402,F401
 from crick_spark.plans import relational_queries  # noqa: E402,F401
 from crick_spark.plans import profiling_queries  # noqa: E402,F401
 from crick_spark.plans import tpch_queries  # noqa: E402,F401
+from crick_spark.plans import functions_queries  # noqa: E402,F401
