@@ -165,3 +165,68 @@ def map_functions_events(spark, sf_dir):
         F.round(F.sum(F.element_at("m", F.lit("v2"))), 4).alias("sum_v2"),
         F.sum(kept).alias("n_entries_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction: latest-wins snapshot per key via max_by (no window)
+# ---------------------------------------------------------------------------
+@register(
+    "changelog_upsert_latest_wins",
+    oracle="""
+SELECT user_id, event_type AS last_type, round(value, 6) AS last_value,
+       ts AS last_ts, n_updates
+FROM (
+  SELECT user_id, event_type, value, ts,
+         count(*) OVER (PARTITION BY user_id) AS n_updates,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+""",
+    doc="Changelog -> snapshot compaction (the batch half of CDC upsert): "
+    "latest event per user wins, tie-broken by event_id.  Implemented "
+    "with max_by over a (ts, event_id) struct — a plain hash aggregate "
+    "with partial/final phases, no per-key sort and no window shuffle of "
+    "the full changelog; the oracle is the row_number formulation.",
+)
+def changelog_upsert_latest_wins(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordk).alias("last_type"),
+        F.round(F.max_by("value", ordk), 6).alias("last_value"),
+        F.max_by("ts", ordk).alias("last_ts"),
+        F.count("*").alias("n_updates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count sketches: build per group, estimate, and union-merge
+# ---------------------------------------------------------------------------
+@register(
+    "hll_distinct_users_by_type",
+    doc="Native Datasketches HLL as the distinct-count member of the "
+    "sketch family (crick's contract: single-pass, bounded state, "
+    "mergeable — SURVEY §2.5 'Distinct / approx distinct').  Per "
+    "event_type sketch -> estimate, plus hll_union_agg proving the "
+    "merge path: the union of per-type sketches estimates total "
+    "distinct users without a second scan.  No SQL oracle (approx); "
+    "tests bound the estimates against exact distinct counts.",
+)
+def hll_distinct_users_by_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    total = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum(F.lit(0)).cast("bigint").alias("exact_distinct"),
+    ).select("event_type", "est_distinct", "exact_distinct")
+    per = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    return per.unionByName(total)

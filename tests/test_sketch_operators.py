@@ -281,3 +281,23 @@ def test_tdigest_decayed_weights(spark):
             0.5 ** ((ref - d).days / 7.0) * c for d, c in zip(g["d"], g["count"])
         )
         assert r["decayed_n"] == pytest.approx(expect, rel=1e-9), r["event_type"]
+
+
+def test_hll_estimates_within_tolerance(spark):
+    """Datasketches HLL at lgK=14 is well under 2% relative error at the
+    fixture cardinalities; the __all__ row must estimate the union, which
+    for a low-cardinality user set equals the global distinct count."""
+    from crick_spark.plans import QUERIES
+    from crick_spark.sources.tables import load_table
+
+    out = QUERIES["hll_distinct_users_by_type"].fn(spark, SF_SMALL).toPandas()
+    per = out[out["event_type"] != "__all__"]
+    assert len(per) > 0
+    for _, r in per.iterrows():
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            2, 0.02 * r["exact_distinct"]
+        ), r["event_type"]
+    ev = load_table(spark, SF_SMALL, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    total = out[out["event_type"] == "__all__"]["est_distinct"].iloc[0]
+    assert abs(total - exact_total) <= max(2, 0.02 * exact_total)
