@@ -46,6 +46,12 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_lsh_ann",
     "embedding_near_dup_pairs",
+    # multi-join analytic (TPC-H-style) surface
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_orders",
+    "changelog_upsert_latest_wins",
+    "calendar_densify_open_orders",
     # temporal joins / training-split surface
     "asof_join_events_orders",
     "range_join_event_pairs",

@@ -430,11 +430,13 @@ FROM supplier s
 JOIN rev r ON s.s_suppkey = r.suppkey
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
 """,
-    doc="TPC-H Q15: argmax over an aggregate.  The max is a second "
-    "aggregation over the same per-supplier rollup broadcast back as a "
-    "1-row threshold — the identical agg subtree means Spark reuses the "
-    "shuffle (ReusedExchange), so lineitem is scanned once and nothing "
-    "collapses to a single partition (an empty-frame window max would).",
+    doc="TPC-H Q15: argmax over an aggregate.  The max side re-derives the "
+    "per-supplier rollup and broadcasts a 1-row threshold; Spark does not "
+    "reuse the rollup exchange across the two consumers, so lineitem is "
+    "scanned twice — both scans carry the pushed 3-month filter, which is "
+    "the cheaper failure mode at scale than the single-scan alternative "
+    "(an empty-frame window max that collapses every supplier into one "
+    "partition).",
 )
 def tpch_q15_top_supplier(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").where(
