@@ -230,3 +230,43 @@ def hll_distinct_users_by_type(spark, sf_dir):
         "exact_distinct",
     )
     return per.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Sorted file layout: range-partition + sort so min/max stats skip row groups
+# ---------------------------------------------------------------------------
+@register(
+    "sorted_layout_minmax_scan",
+    oracle="""
+SELECT event_type, count(*) AS cnt,
+       round(sum(value), 4) AS sum_value
+FROM events
+WHERE value >= 40.0 AND value < 60.0
+GROUP BY event_type
+""",
+    doc="The third layout lever after directory partitioning and "
+    "bucketing: repartitionByRange + sortWithinPartitions on the filter "
+    "column before writing gives each parquet file/row-group a disjoint "
+    "min/max value range, so the pushed range predicate skips most of "
+    "the data at the footer level — the 100 TB version of an index.  "
+    "Result hash-matches the unsorted source (layout never changes "
+    "semantics).",
+)
+def sorted_layout_minmax_scan(spark, sf_dir):
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    path = tempfile.mkdtemp(prefix="crick_sorted_") + "/events_by_value"
+    (
+        ev.repartitionByRange(8, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    scan = spark.read.parquet(path).where(
+        (F.col("value") >= 40.0) & (F.col("value") < 60.0)
+    )
+    return scan.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -632,3 +632,39 @@ def null_semantics_events(spark, sf_dir):
             "n_nullsafe_null"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k (KMV) uniform sample per group
+# ---------------------------------------------------------------------------
+@register(
+    "bottomk_sample_per_source",
+    oracle="""
+SELECT source, doc_id, lang, hx
+FROM (
+  SELECT source, doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+""",
+    doc="Bottom-k-by-hash (KMV) sampling: a deterministic, MERGEABLE "
+    "uniform sample — the k smallest md5(doc_id) per source.  Same "
+    "contract as the crick sketches (single pass, bounded state k, merge "
+    "= keep k smallest of the union), and the k-th hash value doubles as "
+    "a distinct-count estimator (tested).  Spark's WindowGroupLimit "
+    "pushes the rank<=k cut to the map side, so only k rows per "
+    "partition per group reach the shuffle.",
+)
+def bottomk_sample_per_source(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    w = Window.partitionBy("source").orderBy("hx", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )

@@ -302,3 +302,32 @@ def stream_stream_join_click_purchase(spark, sf_dir):
             F.round(F.sum("p_value"), 4).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "streaming_distinct_users_hll",
+    doc="Windowed approx-distinct over the event stream: per-day "
+    "approx_count_distinct(user_id) through Structured Streaming "
+    "(availableNow, complete mode) — HLL±2.5% state per window instead "
+    "of a per-user distinct set, so state size is bounded regardless of "
+    "user cardinality.  Rows-only check (approx); the test bounds every "
+    "window against the exact batch distinct.",
+)
+def streaming_distinct_users_hll(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("w.start").alias("day_start"), "approx_users")
+    )
+    sink = f"hlldistinct_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -301,3 +301,49 @@ def test_hll_estimates_within_tolerance(spark):
     exact_total = ev.select("user_id").distinct().count()
     total = out[out["event_type"] == "__all__"]["est_distinct"].iloc[0]
     assert abs(total - exact_total) <= max(2, 0.02 * exact_total)
+
+
+def test_bottomk_kmv_distinct_estimate(spark):
+    """The k-th smallest normalized hash of a bottom-k sample estimates
+    distinct count as (k-1)/h_k (KMV); with k=20 the relative error bound
+    is loose (~1/sqrt(k-1) ≈ 23%) — assert within 40% per source, and
+    that the map-side rank cut (WindowGroupLimit) is in the plan."""
+    from crick_spark.plans import QUERIES
+    from crick_spark.sources.tables import load_table
+
+    df = QUERIES["bottomk_sample_per_source"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    out = df.toPandas()
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .collect()
+    }
+    for src, g in out.groupby("source"):
+        k = len(g)
+        assert k == 20
+        h_k = int(g["hx"].max()[:8], 16) / 16**8
+        est = (k - 1) / h_k
+        assert abs(est - exact[src]) / exact[src] < 0.40, (src, est, exact[src])
+
+
+def test_streaming_distinct_users_within_tolerance(spark):
+    """Streamed per-day approx_count_distinct within 5% of exact batch."""
+    from crick_spark.plans import QUERIES
+    from crick_spark.sources.tables import load_table
+
+    out = QUERIES["streaming_distinct_users_hll"].fn(spark, SF_SMALL).toPandas()
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(out) == len(exact)
+    for _, r in out.iterrows():
+        e = exact[r["day_start"]]
+        assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), (r["day_start"], e)
