@@ -5,6 +5,7 @@ from crick_spark.operators.sketch_agg import (  # noqa: F401
     sketch_aggregate,
 )
 from crick_spark.operators.crick_ops import (  # noqa: F401
+    cms_frequencies,
     moments_agg,
     spacesaving_topk,
     tdigest_agg,

@@ -326,3 +326,62 @@ def moments_agg(df: DataFrame, col: str, by: list[str] | None = None) -> DataFra
         return pd.DataFrame([sk.finalize()])
 
     return sketch_aggregate(df, ops, [col], by, finalize, schema)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (family extension — not in crick; same contract)
+# ---------------------------------------------------------------------------
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    items: list,
+    by: list[str] | None = None,
+    width: int = 4096,
+    depth: int = 4,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` from one CMS pass over
+    ``df[col]``: rows (by…, item, est_cnt, err_bound) with the guarantee
+    ``actual ≤ est_cnt ≤ actual + err_bound`` w.p. ≥ 1 − e^(−depth).
+
+    Keys are hashed JVM-side with ``xxhash64`` so the kernel is pure int64
+    numpy; the query items go through the same hash via a tiny local
+    DataFrame (one job, ``len(items)`` rows) to keep both sides identical.
+    """
+    from crick_spark.sketches.cms import CountMinSketch
+
+    item_field = StructField("item", df.schema[col].dataType)
+    schema = StructType(
+        [
+            item_field,
+            StructField("est_cnt", LongType()),
+            StructField("err_bound", LongType()),
+        ]
+    )
+    spark = df.sparkSession
+    hashed_items = (
+        spark.createDataFrame([(it,) for it in items], schema=StructType([item_field]))
+        .select("item", F.xxhash64("item").alias("key"))
+        .collect()
+    )
+    item_keys = np.array([r["key"] for r in hashed_items], dtype=np.int64)
+
+    keyed = df.withColumn("__cms_key__", F.xxhash64(col))
+
+    def build(pdf: pd.DataFrame) -> CountMinSketch:
+        counts = pdf[count_col].to_numpy(np.int64) if count_col else None
+        return CountMinSketch.from_batch(
+            pdf["__cms_key__"].to_numpy(np.int64), counts, width=width, depth=depth
+        )
+
+    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+
+    def finalize(sk: CountMinSketch) -> pd.DataFrame:
+        ests = sk.query(item_keys)
+        bound = int(np.ceil(sk.error_bound()))
+        return pd.DataFrame(
+            {"item": items, "est_cnt": ests, "err_bound": bound}
+        )
+
+    cols = ["__cms_key__"] + ([count_col] if count_col else [])
+    return sketch_aggregate(keyed, ops, cols, by, finalize, schema)

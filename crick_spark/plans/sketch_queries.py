@@ -309,3 +309,35 @@ def moments_sketch_by_returnflag(spark, sf_dir):
         F.round("skew_x", 5).alias("skew_x"),
         F.round("kurt_x", 5).alias("kurt_x"),
     )
+
+
+@register(
+    "cms_freq_event_types",
+    oracle="""
+SELECT t.item, coalesce(c.cnt, 0) AS est_cnt
+FROM (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+             ('error'), ('__absent__')) AS t(item)
+LEFT JOIN (SELECT event_type AS item, count(*) AS cnt
+           FROM events GROUP BY event_type) c USING (item)
+""",
+    doc="Count-Min point frequencies (family extension; Cormode & "
+    "Muthukrishnan 2005): one CMS pass over event_type, queried for the "
+    "five known types plus an absent item.  At this key cardinality vs "
+    "width 4096 no cell collides, so the estimates are exactly the true "
+    "counts and the oracle is the exact GROUP BY — the additive-error "
+    "regime (high cardinality) is exercised in tests over user_id.  "
+    "err_bound omitted from the result here to keep the oracle exact; "
+    "the guarantee is asserted in tests.",
+)
+def cms_freq_event_types(spark, sf_dir):
+    from crick_spark.operators import cms_frequencies
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cms_frequencies(
+        ev,
+        "event_type",
+        ["click", "view", "purchase", "signup", "error", "__absent__"],
+        width=4096,
+        depth=4,
+    )
+    return out.select("item", "est_cnt")

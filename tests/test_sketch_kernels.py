@@ -288,3 +288,68 @@ def test_moments_merge_homogeneous_tracking():
     assert math.isnan(a.merge(b).skew())  # still constant
     assert not a.merge(c).homogeneous
     assert not math.isnan(a.merge(c).skew())
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (family extension)
+# ---------------------------------------------------------------------------
+class TestCountMinSketch:
+    def _zipf_keys(self, n=200_000, distinct=5_000):
+        r = np.random.default_rng(7)
+        return r.zipf(1.3, n).clip(1, distinct).astype(np.int64)
+
+    def test_never_underestimates_and_bound_holds(self):
+        from crick_spark.sketches import CountMinSketch
+
+        keys = self._zipf_keys()
+        sk = CountMinSketch.from_batch(keys, width=4096, depth=4)
+        uniq, true = np.unique(keys, return_counts=True)
+        est = sk.query(uniq)
+        assert (est >= true).all()
+        # additive bound (e/w)·N holds w.p. ≥ 1 − e^(−4) ≈ 98.2% per key;
+        # allow a 2% violation share
+        over = est - true
+        assert (over <= sk.error_bound()).mean() > 0.97
+
+    def test_absent_key_small_estimate(self):
+        from crick_spark.sketches import CountMinSketch
+
+        sk = CountMinSketch.from_batch(self._zipf_keys(), width=4096, depth=4)
+        est = sk.query(np.array([10**12 + 7], dtype=np.int64))
+        assert 0 <= est[0] <= sk.error_bound()
+
+    def test_merge_equals_whole(self):
+        from crick_spark.sketches import CountMinSketch
+
+        keys = self._zipf_keys()
+        whole = CountMinSketch.from_batch(keys, width=1024, depth=3)
+        parts = [
+            CountMinSketch.from_batch(c, width=1024, depth=3)
+            for c in np.array_split(keys, 7)
+        ]
+        merged = parts[0].merge(*parts[1:])
+        # CMS merge is exact table addition — bit-for-bit equal, any order
+        assert (merged.table == whole.table).all()
+        assert merged.n == whole.n
+        rev = parts[-1].merge(*parts[:-1][::-1])
+        assert (rev.table == whole.table).all()
+
+    def test_weighted_counts(self):
+        from crick_spark.sketches import CountMinSketch
+
+        keys = np.array([1, 2, 1], dtype=np.int64)
+        sk = CountMinSketch.from_batch(keys, np.array([5, 3, 2]), width=64, depth=4)
+        assert sk.n == 10
+        assert sk.query(np.array([1]))[0] >= 7
+
+    def test_shape_validation(self):
+        from crick_spark.sketches import CountMinSketch
+
+        with pytest.raises(ValueError):
+            CountMinSketch(width=1000)  # not a power of two
+        with pytest.raises(ValueError):
+            CountMinSketch(depth=99)
+        a = CountMinSketch(width=64, depth=2)
+        b = CountMinSketch(width=128, depth=2)
+        with pytest.raises(ValueError):
+            a.merge(b)

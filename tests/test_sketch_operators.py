@@ -347,3 +347,31 @@ def test_streaming_distinct_users_within_tolerance(spark):
     for _, r in out.iterrows():
         e = exact[r["day_start"]]
         assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), (r["day_start"], e)
+
+
+def test_cms_operator_partition_invariant_and_bounded(spark):
+    """CMS merge is exact table addition, so the distributed estimate is
+    bit-identical across partitionings, and every estimate obeys
+    true <= est <= true + err_bound on the high-cardinality user_id."""
+    from crick_spark.operators import cms_frequencies
+    from crick_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    users = [r["user_id"] for r in ev.select("user_id").distinct().limit(25).collect()]
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    outs = []
+    for parts in (1, 13):
+        out = (
+            cms_frequencies(ev.repartition(parts), "user_id", users,
+                            width=1024, depth=4)
+            .toPandas()
+            .sort_values("item", ignore_index=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    for _, r in outs[0].iterrows():
+        t = exact[r["item"]]
+        assert t <= r["est_cnt"] <= t + r["err_bound"], (r["item"], t, dict(r))
