@@ -157,6 +157,64 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_opm(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-permutation MinHash with rotation densification (Shrivastava &
+    Li, *Densifying One Permutation Hashing via Rotation for Fast Near
+    Neighbor Search*, ICML 2014): hash every shingle ONCE, route it to
+    bucket ``h mod num_perm``, take the min per bucket, and fill empty
+    buckets from the nearest non-empty bucket to the right (circular).
+
+    MEASURED, NOT ADOPTED as default (bench.py steady-state, sf0.1,
+    identical 256 verified pairs on every variant):
+
+    - classic 64-rehash aggregate: 3.7 s warm — 64 vectorized JVM
+      ``xxhash64(h, i)`` updates per posting, ONE row per doc per
+      partition reaches the shuffle.
+    - this conditional-min form: 4.6 s warm — the 64 ``when(pmod(h,64)=i)``
+      aggregate updates still evaluate per posting, so it saves hashing
+      but not branching; wins only cold (7.4 s vs 10.7 s including plan
+      compilation — the 64-rehash codegen is expensive to compile).
+    - routed ``groupBy(doc, bucket)`` form (true 1-hash-per-posting):
+      5.2 s warm — per-posting CPU drops 64× but the shuffle carries 64
+      rows per doc per partition instead of one; the extra exchange
+      dominates.
+
+    Kept because the cold-path win matters for interactive/one-shot use
+    and as the recorded experiment; ``near_dup_pairs`` defaults to the
+    classic signatures.  Densification runs after the aggregate, on one
+    64-wide row per doc, so its interpreted higher-order expression
+    touches #docs rows, never the posting explosion.
+    """
+    sh = shingle_hash_postings(docs, id_col, text_col, shingle_n).withColumnRenamed(
+        "th", "h"
+    )
+    b = F.pmod(F.col("h"), F.lit(num_perm))
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.when(b == i, F.col("h"))).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+    # Nearest non-null to the right, circular: every doc has ≥1 posting
+    # (shingle_hash_postings emits the whole text as a fallback shingle),
+    # so a full rotation always terminates with a non-null value.
+    borrow = ", ".join(
+        f"element_at(sig, (CAST(i + {j} AS INT) % {num_perm}) + 1)"
+        for j in range(num_perm)
+    )
+    dens = F.expr(f"transform(sequence(0, {num_perm - 1}), i -> coalesce({borrow}))")
+    return agg.select(F.col(id_col), sig.alias("sig")).select(
+        F.col(id_col), dens.alias("minhash")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -254,12 +312,18 @@ def near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    one_perm: bool = False,
 ) -> DataFrame:
     """MinHash → LSH candidates → exact-Jaccard verify ≥ threshold.
     End-to-end near-duplicate pair detection (shingle→minhash→band→
-    bucket-join→verify)."""
+    bucket-join→verify).  ``one_perm`` selects the densified
+    one-permutation signature — faster cold (compile-light), slower
+    steady-state; see ``minhash_signatures_opm`` for the measurements.
+    The exact-Jaccard verify step makes signature noise a recall concern
+    only, never precision."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    make_sigs = minhash_signatures_opm if one_perm else minhash_signatures
+    sigs = make_sigs(docs, id_col, text_col, num_perm, shingle_n)
     cand = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
     return jaccard_verify_pairs(cand, docs, id_col, text_col, shingle_n).where(
         F.col("jaccard") >= threshold

@@ -668,3 +668,110 @@ def bottomk_sample_per_source(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sample (A-ES bottom-k by u^(1/w))
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_documents",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY pow(
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0,
+             1.0 / n_chars) DESC, doc_id) AS rn
+  FROM documents WHERE n_chars > 0)
+WHERE rn <= 15
+""",
+    doc="Weighted sampling without replacement, deterministic: "
+    "Efraimidis-Spirakis A-ES keys u^(1/w) with u derived from "
+    "md5(doc_id) instead of a PRNG (same trick as the md5 train/val "
+    "split), w = n_chars, top-15 keys per language.  Mergeable bounded "
+    "state like every sampler here (keep the k largest keys of a "
+    "union); WindowGroupLimit keeps the rank cut map-side.",
+)
+def weighted_sample_documents(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(F.desc("aes_key"), F.asc("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars", key.alias("aes_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 15)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass data-quality audit: null fractions, range violations, FK orphans
+# ---------------------------------------------------------------------------
+@register(
+    "dq_audit_orders_lineitem",
+    oracle="""
+SELECT 'orders' AS tbl,
+       count(*) AS n_rows,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null_measure,
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_range_violation,
+       (SELECT count(*) FROM orders o2
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o2.o_custkey)) AS n_fk_orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem', count(*),
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END),
+       (SELECT count(*) FROM lineitem l2
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l2.l_orderkey))
+FROM lineitem
+""",
+    doc="Data-quality gate a training pipeline runs before ingest: per "
+    "table one scan computes row count, null fraction of the measure, "
+    "domain-range violations, and referential orphans (LEFT ANTI join "
+    "counted, dimension side broadcast-able).  Everything is a "
+    "conditional aggregate — no second scan per check.",
+)
+def dq_audit_orders_lineitem(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    okeys = o.select("o_orderkey")
+
+    o_orph = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    l_orph = l.join(okeys, l.l_orderkey == okeys.o_orderkey, "left_anti").count()
+
+    o_stats = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "n_null_measure"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_range_violation"
+        ),
+        F.lit(o_orph).cast("long").alias("n_fk_orphans"),
+    )
+    l_stats = l.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0)).alias(
+            "n_null_measure"
+        ),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(
+                0
+            )
+        ).alias("n_range_violation"),
+        F.lit(l_orph).cast("long").alias("n_fk_orphans"),
+    )
+    return o_stats.unionByName(l_stats)

@@ -327,3 +327,34 @@ def test_quantized_ann_recall(spark):
     # top pool survives; the 4x rerank pool absorbs boundary swaps
     assert recall >= 0.8, f"quantized ANN recall {recall}"
     assert 0 in quant  # query vector is its own nearest neighbor
+
+
+def test_opm_signatures_match_classic_pairs(spark, docs):
+    """Densified one-permutation MinHash feeds the same LSH+verify pipeline
+    and must recover the same verified pair set as the classic 64-hash
+    signatures (precision is guaranteed by the exact verify; this pins
+    recall parity on the fixture corpus)."""
+    classic = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(
+            docs, "doc_id", "text", 0.7, one_perm=False
+        ).collect()
+    }
+    opm = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(docs, "doc_id", "text", 0.7, one_perm=True).collect()
+    }
+    assert opm == classic
+
+
+def test_opm_signature_fully_densified(spark, docs):
+    """No nulls survive densification, even for one-shingle documents."""
+    from crick_spark.pipeline.dedup import minhash_signatures_opm
+
+    tiny = spark.createDataFrame(
+        [(1, "ab"), (2, "one two three four five")], ["doc_id", "text"]
+    )
+    for frame in (minhash_signatures_opm(docs, "doc_id", "text"),
+                  minhash_signatures_opm(tiny, "doc_id", "text")):
+        bad = frame.where(F.exists("minhash", lambda x: x.isNull())).count()
+        assert bad == 0
