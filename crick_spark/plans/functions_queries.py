@@ -270,3 +270,96 @@ def sorted_layout_minmax_scan(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function) — the row-to-rows extension point
+# ---------------------------------------------------------------------------
+@register(
+    "udtf_sentence_split",
+    oracle="""
+SELECT doc_id, CAST(idx - 1 AS INT) AS sent_idx,
+       CAST(len(string_split_regex(trim(sent), '\\s+')) AS INT) AS n_tokens
+FROM (
+  SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS sent,
+         generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS idx
+  FROM documents)
+WHERE trim(sent) <> ''
+""",
+    doc="Python UDTF surface (SURVEY §2.5 'UDF/UDAF/UDTF'): a @udtf class "
+    "lateral-joined against documents, splitting text into sentences and "
+    "yielding (sent_idx, n_tokens) rows.  This is the row-at-a-time "
+    "extension point — fine for genuinely imperative row→rows logic; the "
+    "codegen path for the same family of jobs is chunk_documents "
+    "(sequence+explode).  Deterministic, full oracle.",
+)
+def udtf_sentence_split(spark, sf_dir):
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    @udtf(
+        returnType=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("sent_idx", IntegerType()),
+                StructField("n_tokens", IntegerType()),
+            ]
+        )
+    )
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            for i, sent in enumerate(_re.split(r"[.!?]+", text or "")):
+                if sent.strip():
+                    yield doc_id, i, len(sent.strip().split())
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d.createOrReplaceTempView("__docs_for_udtf__")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.n_tokens "
+        "FROM __docs_for_udtf__ d, "
+        "LATERAL sentence_split(d.doc_id, d.text) s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text interface: ONE SQL string runs verbatim on Spark and DuckDB
+# ---------------------------------------------------------------------------
+_PORTABLE_SQL = """
+SELECT r_name, o_year, n_orders, revenue, rk
+FROM (
+  SELECT r.r_name,
+         extract(year FROM o.o_orderdate) AS o_year,
+         count(*) AS n_orders,
+         round(sum(o.o_totalprice), 2) AS revenue,
+         rank() OVER (PARTITION BY extract(year FROM o.o_orderdate)
+                      ORDER BY round(sum(o.o_totalprice), 2) DESC) AS rk
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, extract(year FROM o.o_orderdate)
+)
+WHERE rk <= 2
+"""
+
+
+@register(
+    "sql_text_interface",
+    oracle=_PORTABLE_SQL,
+    doc="The spark.sql() text interface: the SAME SQL string (ANSI subset "
+    "— joins, grouped agg, window rank, extract) is executed by Spark "
+    "over registered temp views AND by DuckDB as the oracle, verbatim.  "
+    "API parity statement: a reference user's SQL moves unchanged.",
+)
+def sql_text_interface(spark, sf_dir):
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_SQL)

@@ -331,3 +331,70 @@ def streaming_distinct_users_hll(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "streaming_upsert_foreachbatch",
+    oracle="""
+SELECT user_id, event_type AS last_type, round(value, 6) AS last_value,
+       ts AS last_ts, n_updates
+FROM (
+  SELECT user_id, event_type, value, ts,
+         count(*) OVER (PARTITION BY user_id) AS n_updates,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+""",
+    doc="Streaming CDC upsert via foreachBatch: each micro-batch is "
+    "latest-wins-merged (max_by over (ts, event_id), n_updates summed) "
+    "into a parquet snapshot, alternating between two paths so a batch "
+    "never reads the file it is overwriting.  The final snapshot "
+    "hash-matches the BATCH changelog compaction oracle — stream ≡ "
+    "batch.  At scale the full-snapshot rewrite becomes a partitioned "
+    "merge (or a table format with row-level merge); the per-batch "
+    "merge logic is what this exercises.",
+)
+def streaming_upsert_foreachbatch(spark, sf_dir):
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="crick_upsert_")
+    paths = [f"{base}/snap_a", f"{base}/snap_b"]
+    state = {"cur": None, "flip": 0}
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        incoming = batch_df.select(
+            "user_id", "event_type", "value", "ts", "event_id"
+        ).withColumn("n_updates", F.lit(1).cast("long"))
+        if state["cur"] is not None:
+            prev = s.read.parquet(state["cur"])
+            incoming = prev.unionByName(incoming)
+        ordk = F.struct(F.col("ts"), F.col("event_id"))
+        snap = incoming.groupBy("user_id").agg(
+            F.max_by("event_type", ordk).alias("event_type"),
+            F.max_by("value", ordk).alias("value"),
+            F.max_by("ts", ordk).alias("ts"),
+            F.max_by("event_id", ordk).alias("event_id"),
+            F.sum("n_updates").alias("n_updates"),
+        )
+        target = paths[state["flip"]]
+        snap.write.mode("overwrite").parquet(target)
+        state["cur"] = target
+        state["flip"] = 1 - state["flip"]
+
+    ev = stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(upsert)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"]).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        "n_updates",
+    )
