@@ -775,3 +775,50 @@ def dq_audit_orders_lineitem(spark, sf_dir):
         F.lit(l_orph).cast("long").alias("n_fk_orphans"),
     )
     return o_stats.unionByName(l_stats)
+
+
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation of two independent aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+SELECT coalesce(o.k, e.k) AS entity_id,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events,
+       CASE WHEN o.k IS NULL THEN 'events_only'
+            WHEN e.k IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) o
+FULL JOIN (SELECT user_id AS k, count(*) AS n_events
+           FROM events GROUP BY 1) e
+  ON o.k = e.k
+""",
+    doc="Reconciliation between two systems (orders ledger vs event "
+    "stream): aggregate each side FIRST (the join input is the key set, "
+    "not the facts), then FULL OUTER join to classify every entity as "
+    "both / orders_only / events_only — the audit shape for pipeline "
+    "completeness checks.  Full-outer completes the join-type coverage "
+    "(inner/left/semi/anti elsewhere).",
+)
+def full_outer_reconciliation(spark, sf_dir):
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ok"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("ek"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    j = o.join(e, o.ok == e.ek, "full_outer")
+    return j.select(
+        F.coalesce("ok", "ek").alias("entity_id"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("ok").isNull(), "events_only")
+        .when(F.col("ek").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

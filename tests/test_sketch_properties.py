@@ -125,3 +125,26 @@ def test_spacesaving_merge_bounds(a, b):
         actual = true.get(item, 0)
         assert count - err <= actual <= count
     assert merged.size() <= cap
+
+
+@given(
+    keys=arrays(np.int64, st.integers(1, 400),
+                elements=st.integers(-(2**62), 2**62)),
+    splits=st.integers(2, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_cms_merge_exact_and_never_underestimates(keys, splits):
+    """CMS: (1) any-way merge is bit-identical to the whole-stream sketch
+    (table addition is exact); (2) estimates never underestimate."""
+    from crick_spark.sketches import CountMinSketch
+
+    whole = CountMinSketch.from_batch(keys, width=256, depth=3)
+    parts = [
+        CountMinSketch.from_batch(c, width=256, depth=3)
+        for c in np.array_split(keys, splits)
+        if c.size
+    ]
+    merged = parts[0].merge(*parts[1:])
+    assert (merged.table == whole.table).all()
+    uniq, true = np.unique(keys, return_counts=True)
+    assert (whole.query(uniq) >= true).all()
