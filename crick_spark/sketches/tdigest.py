@@ -143,13 +143,25 @@ class TDigest:
         pos, frac = self._bounds()
         lo = np.searchsorted(pos, xs, side="left")
         hi = np.searchsorted(pos, xs, side="right")
-        interp = np.interp(xs, pos, frac)
+        # Ratio-first interpolation, not np.interp: np.interp forms the
+        # segment slope (Δfrac/Δpos) first, which overflows to inf when two
+        # support points differ by a subnormal; (x−p0)/(p1−p0) is a ratio of
+        # same-scale quantities and stays in [0, 1] (matches the C kernel's
+        # formulation, crick/tdigest_stubs.c:441-466).
+        idx = np.clip(hi, 1, len(pos) - 1)
+        p0, p1 = pos[idx - 1], pos[idx]
+        f0, f1 = frac[idx - 1], frac[idx]
+        denom = p1 - p0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom > 0, (xs - p0) / denom, 0.0)
+        interp = f0 + np.clip(t, 0.0, 1.0) * (f1 - f0)
         # exact hit on a (possibly duplicated) support point → midpoint of span
         exact = lo < hi
         mid = (frac[np.minimum(lo, len(frac) - 1)] + frac[np.maximum(hi - 1, 0)]) / 2.0
         out = np.where(exact, mid, interp)
         out = np.where(xs < self.minv, 0.0, out)
         out = np.where(xs > self.maxv, 1.0, out)
+        out = np.clip(out, 0.0, 1.0)
         return float(out[0]) if np.ndim(x) == 0 else out
 
     def histogram(

@@ -353,3 +353,17 @@ class TestCountMinSketch:
         b = CountMinSketch(width=128, depth=2)
         with pytest.raises(ValueError):
             a.merge(b)
+
+
+def test_tdigest_cdf_subnormal_span_regression():
+    """cdf between support points separated by a subnormal must stay in
+    [0,1] (hypothesis-found: np.interp's slope-first lerp overflowed to
+    inf on pos diff 2.2e-313)."""
+    from crick_spark.sketches import TDigest
+
+    vals = np.array([2.22507386e-313, 0.0])
+    d = TDigest.from_values(vals[:1]).merge(TDigest.from_values(vals[1:]))
+    probes = np.linspace(0.0, 2.22507386e-313, 9)
+    c = d.cdf(probes)
+    assert np.all(c >= 0.0) and np.all(c <= 1.0)
+    assert np.all(np.diff(c) >= -1e-12)
