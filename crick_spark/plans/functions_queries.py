@@ -363,3 +363,122 @@ def sql_text_interface(spark, sf_dir):
     for t in ("orders", "customer", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PORTABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted percentile (exact twin of tdigest_weighted_quantiles)
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_percentile_exact",
+    oracle="""
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice, 
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT l_returnflag,
+       round(min(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END), 6)
+         AS w_median,
+       round(min(CASE WHEN cw >= 0.9 * tw THEN l_extendedprice END), 6)
+         AS w_p90
+FROM cum GROUP BY l_returnflag
+""",
+    doc="Exact weighted percentile per group (lower weighted-quantile "
+    "convention: smallest value whose cumulative weight reaches q·W) — "
+    "the exact twin the tdigest_weighted_quantiles sketch approximates.  "
+    "One window sort per group ordered by (value, unique keys) so the "
+    "cumulative weight is deterministic; identical formulation runs as "
+    "the oracle.",
+)
+def weighted_percentile_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("l_returnflag")
+    cum = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("l_extendedprice"))),
+            6,
+        ).alias("w_median"),
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("l_extendedprice"))),
+            6,
+        ).alias("w_p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic: try_divide / try_cast / null-on-error semantics
+# ---------------------------------------------------------------------------
+@register(
+    "try_arithmetic_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       sum(CASE WHEN value = 0 OR value IS NULL THEN 1 ELSE 0 END)
+         AS n_unsafe_div,
+       round(sum(CASE WHEN value IS NOT NULL AND value <> 0
+                      THEN 100.0 / value END), 4) AS sum_inv,
+       sum(CASE WHEN try_cast(json_extract_string(props, '$.n') AS BIGINT)
+                     IS NOT NULL THEN 1 ELSE 0 END) AS n_numeric_prop
+FROM events
+GROUP BY event_type
+""",
+    doc="ANSI-mode-safe arithmetic: try_divide yields NULL instead of "
+    "raising on divide-by-zero, try_cast NULL instead of failing on "
+    "non-numeric JSON payload fields — the error-tolerant path a "
+    "pipeline needs when ANSI mode (Spark 4 default) is on.  The oracle "
+    "states the same semantics with explicit CASE guards.",
+)
+def try_arithmetic_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    inv = F.try_divide(F.lit(100.0), F.col("value"))
+    nprop = F.get_json_object("props", "$.n").try_cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.when(F.col("value").isNull() | (F.col("value") == 0), 1).otherwise(0)
+        ).alias("n_unsafe_div"),
+        F.round(F.sum(inv), 4).alias("sum_inv"),
+        F.sum(F.when(nprop.isNotNull(), 1).otherwise(0)).alias("n_numeric_prop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode (most frequent value, smallest-value tie-break)
+# ---------------------------------------------------------------------------
+@register(
+    "mode_quantity_by_returnflag",
+    oracle="""
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+FROM (
+  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity ASC) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity)
+WHERE rn = 1
+""",
+    doc="Deterministic mode: built-in mode() breaks frequency ties "
+    "arbitrarily, so this uses count-per-value + max_by over a "
+    "(count, -value) struct — two hash aggregates, no window over the "
+    "fact table, ties resolve to the smallest value on both engines.",
+)
+def mode_quantity_by_returnflag(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    ordk = F.struct(F.col("cnt"), (-F.col("l_quantity")).alias("neg_q"))
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", ordk).alias("mode_qty"),
+        F.max("cnt").alias("mode_cnt"),
+    )
