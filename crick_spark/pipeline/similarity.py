@@ -278,6 +278,11 @@ def train_ivf_centroids(
                 if pdf.empty:
                     continue
                 mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                # Spherical k-means update (Dhillon & Modha 2001): average
+                # the L2-normalized vectors, not the raw ones — assignment
+                # is cosine, so a raw mean would bias centroids toward
+                # large-norm members and misplace list boundaries.
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
                 cl = pdf["cluster"].to_numpy()
                 rows = []
                 for c in np.unique(cl):

@@ -382,7 +382,7 @@ def knn_ivf_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     centroids = train_ivf_centroids(emb, k=16, n_iter=5)
-    out = ivf_ann_topk(emb, list(query), centroids, k=10, nprobe=4)
+    out = ivf_ann_topk(emb, list(query), centroids, k=10, nprobe=6)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
