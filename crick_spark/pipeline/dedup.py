@@ -550,3 +550,54 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at least
+    ``min_hits`` distinct word n-grams with an evaluation/benchmark set
+    (the GPT-3/PaLM-style train-test overlap check).
+
+    Shape for 100 TB: the eval side is benchmarks — tiny by construction —
+    so its distinct gram set is computed once and **broadcast**; the corpus
+    side is the same hashed-posting scan the dedup family shares
+    (``shingle_hash_postings``: words hashed once, n-gram identity from
+    adjacent word hashes, strings never leave the word stage).  The join is
+    a broadcast hash semi-probe inside the corpus scan — no shuffle of the
+    corpus by gram — and the per-doc rollup aggregates map-side.  Gram
+    identity is xxhash64-based, so a hash collision could over-count by one
+    gram; at 64 bits that is negligible at any corpus size.
+    """
+    ev = (
+        shingle_hash_postings(eval_docs, id_col, text_col, n)
+        .select("th")
+        .distinct()
+    )
+    post = shingle_hash_postings(corpus, id_col, text_col, n)
+    totals = post.groupBy(id_col).agg(F.count("*").alias("total_grams"))
+    hits = (
+        post.join(F.broadcast(ev), "th")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hit_grams"))
+    )
+    return (
+        hits.join(totals, id_col)
+        .where(F.col("hit_grams") >= min_hits)
+        .select(
+            F.col(id_col),
+            F.col("hit_grams"),
+            F.col("total_grams"),
+            F.round(F.col("hit_grams") / F.col("total_grams"), 6).alias(
+                "contam_frac"
+            ),
+        )
+    )

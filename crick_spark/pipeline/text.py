@@ -133,3 +133,42 @@ def chunk_exprs(
             F.least(n - (i - 1) * stride, F.lit(c)).alias("n_chunk_tokens"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+def repetition_exprs(text: Column) -> list[Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, *Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher*, §A1.1):
+    duplicate-2-gram fraction (1 − distinct/total bigrams) and top-token
+    fraction (most frequent token's share of the document).
+
+    Pure per-row expressions — no shuffle, no UDF; the filter runs at scan
+    speed and is embarrassingly parallel at any corpus size.  The top-token
+    scan is O(|doc| · |doc vocab|) inside an interpreted higher-order
+    function, fine for web-page-sized documents; for very long documents
+    move it to the explode → groupBy(doc, token) → max form (two exchanges
+    but linear per-doc work).
+    """
+    w = words_expr(text)
+    n = F.size(w)
+    t2 = n - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(t2, F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, 2), " "),
+    )
+    dup2 = F.when(
+        t2 >= 1, F.lit(1.0) - F.size(F.array_distinct(grams)) / t2
+    ).otherwise(F.lit(0.0))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    return [
+        n.cast("long").alias("n_tokens"),
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        F.round(top / n, 6).alias("top_token_frac"),
+    ]

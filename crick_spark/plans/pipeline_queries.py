@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crick_spark.pipeline.dedup import (
+    decontaminate,
     exact_dedup,
     jaccard_ngram_pairs,
     near_dup_pairs,
@@ -27,6 +28,7 @@ from crick_spark.pipeline.text import (
     doc_fingerprint_expr,
     lang_id_expr,
     quality_exprs,
+    repetition_exprs,
     token_count_exprs,
 )
 from crick_spark.pipeline.multimodal import attach_fake_media, extract_image_features
@@ -102,9 +104,77 @@ def simhash_near_dup_pairs_q(spark, sf_dir):
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+@register(
+    "decontaminate_documents",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 3 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 3),
+             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+    END AS sh
+  FROM documents
+),
+e AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 97 = 0),
+c AS (SELECT doc_id, len(sh) AS total_grams, unnest(sh) AS gram
+      FROM s WHERE doc_id % 97 != 0)
+SELECT c.doc_id, count(*) AS hit_grams,
+       any_value(c.total_grams) AS total_grams,
+       round(count(*)::DOUBLE / any_value(c.total_grams), 6) AS contam_frac
+FROM c JOIN e USING (gram)
+GROUP BY c.doc_id
+""",
+    doc="Benchmark decontamination: corpus docs sharing >=1 distinct word "
+    "4-gram with the eval split (doc_id % 97 = 0 stands in for the "
+    "benchmark set).  Eval gram set is broadcast; corpus side is the "
+    "shared hashed-posting scan — no corpus shuffle by gram.",
+)
+def decontaminate_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, ev, "doc_id", "text", n=4, min_hits=1)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
+@register(
+    "repetition_filter_documents",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+    round(CASE WHEN len(toks) - 1 >= 1
+      THEN 1.0 - len(list_distinct(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+      ELSE 0.0 END, 6) AS dup_2gram_frac,
+    round((SELECT max(cnt)::DOUBLE FROM (
+             SELECT count(*) AS cnt FROM unnest(toks) AS u(tok) GROUP BY tok))
+          / len(toks), 6) AS top_token_frac
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, dup_2gram_frac, top_token_frac
+FROM m WHERE dup_2gram_frac > 0.08 OR top_token_frac > 0.18
+""",
+    doc="Gopher-style repetition filter: flag docs with duplicate-2-gram "
+    "fraction > 0.08 or top-token fraction > 0.18 — pure per-row "
+    "expressions, runs at scan speed.",
+)
+def repetition_filter_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select("doc_id", "lang", *repetition_exprs(F.col("text")))
+    return m.where(
+        (F.col("dup_2gram_frac") > 0.08) | (F.col("top_token_frac") > 0.18)
+    )
+
+
 @register(
     "token_stats_by_lang",
     oracle=r"""

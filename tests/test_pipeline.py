@@ -358,3 +358,65 @@ def test_opm_signature_fully_densified(spark, docs):
                   minhash_signatures_opm(tiny, "doc_id", "text")):
         bad = frame.where(F.exists("minhash", lambda x: x.isNull())).count()
         assert bad == 0
+
+
+def test_decontaminate_matches_python(spark, docs):
+    from crick_spark.pipeline.dedup import decontaminate
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    eval_grams = set()
+    corpus = {}
+    for r in pdf.itertuples():
+        sh = _shingle_set(r.text, n=4)
+        if r.doc_id % 97 == 0:
+            eval_grams |= sh
+        else:
+            corpus[r.doc_id] = sh
+    truth = {
+        d: (len(sh & eval_grams), len(sh))
+        for d, sh in corpus.items()
+        if sh & eval_grams
+    }
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    cor = docs.where(F.col("doc_id") % 97 != 0)
+    out = {
+        r.doc_id: (r.hit_grams, r.total_grams)
+        for r in decontaminate(cor, ev, "doc_id", "text", n=4).collect()
+    }
+    assert out == truth
+    assert truth, "fixture should contain contaminated docs"
+
+
+def test_repetition_exprs_match_python(spark, docs):
+    from crick_spark.pipeline.text import repetition_exprs
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    out = {
+        r.doc_id: r
+        for r in docs.select("doc_id", *repetition_exprs(F.col("text"))).collect()
+    }
+    for r in pdf.itertuples():
+        w = r.text.strip().split()
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        dup2 = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        topf = max(w.count(t) for t in set(w)) / len(w)
+        got = out[r.doc_id]
+        assert got.n_tokens == len(w)
+        assert abs(got.dup_2gram_frac - dup2) < 1e-6, r.doc_id
+        assert abs(got.top_token_frac - topf) < 1e-6, r.doc_id
+
+
+def test_repetition_filter_flags_degenerate_docs(spark):
+    from crick_spark.pipeline.text import repetition_exprs
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam"), (1, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *repetition_exprs(F.col("text"))).collect()
+    }
+    assert out[0].dup_2gram_frac > 0.5 and out[0].top_token_frac == 1.0
+    assert out[1].dup_2gram_frac == 0.0
+    assert abs(out[1].top_token_frac - 1 / 6) < 1e-6
