@@ -10,6 +10,12 @@ from crick_spark.pipeline.dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     simhash_signatures,
 )
+from crick_spark.pipeline.sampling import (  # noqa: F401
+    domain_mix_rates,
+    domain_mix_resample,
+    domain_mix_summary,
+    md5_uniform,
+)
 from crick_spark.pipeline.similarity import cosine_topk, lsh_ann_topk  # noqa: F401
 from crick_spark.pipeline.text import (  # noqa: F401
     doc_fingerprint_expr,

@@ -1,0 +1,86 @@
+"""Corpus sampling operators for training-data preparation.
+
+Domain mixing — resampling a corpus so the per-stratum (source/domain/
+language) proportions match a target mix — is the data-weighting step of
+every large-model training pipeline (cf. the mixture weights of GPT-3,
+The Pile, DoReMi).  The implementation is two declarative passes:
+
+1. a tiny ``groupBy(stratum).count()`` aggregate (one row per domain —
+   KBs even at 100 TB), cross-joined with its own min to find the largest
+   feasible downsample-only total;
+2. a broadcast join of the resulting per-stratum keep-rates back onto the
+   corpus, with a deterministic per-row md5 coin — no RNG state, stable
+   across engines, runs, and partitionings; the corpus itself is never
+   shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_uniform(col: Column) -> Column:
+    """Deterministic uniform in [0, 1): the first 24 md5 bits of the key.
+    Content-stable (same key → same coin on any engine) — the property
+    that makes samples reproducible and join-consistent across runs."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 24))
+
+
+def domain_mix_rates(
+    df: DataFrame, stratum_col: str, target_share: Column
+) -> DataFrame:
+    """Per-stratum keep rates that realize ``target_share`` (a Column
+    expression over the stratum, summing to 1 across strata) by *pure
+    downsampling*: the feasible total is ``T = min_s(n_s / share_s)`` and
+    each stratum keeps ``T · share_s / n_s`` of its rows (= 1 for the
+    binding stratum).  Returns (stratum, n_total, keep_rate)."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_total"))
+    counts = counts.withColumn("__share__", target_share)
+    feasible = counts.select(
+        F.min(F.col("n_total") / F.col("__share__")).alias("__T__")
+    )
+    return counts.crossJoin(F.broadcast(feasible)).select(
+        stratum_col,
+        "n_total",
+        F.least(
+            F.lit(1.0), F.col("__T__") * F.col("__share__") / F.col("n_total")
+        ).alias("keep_rate"),
+    )
+
+
+def domain_mix_resample(
+    df: DataFrame, stratum_col: str, target_share: Column, key_col: str
+) -> DataFrame:
+    """Deterministically resample ``df`` so stratum proportions match
+    ``target_share``: broadcast the per-stratum rates and keep rows whose
+    md5 coin (on ``key_col``) falls below the stratum's rate.  Per-row
+    expression work on the corpus side — no shuffle, no RNG."""
+    rates = domain_mix_rates(df, stratum_col, target_share)
+    return df.join(F.broadcast(rates), stratum_col).where(
+        md5_uniform(F.col(key_col)) < F.col("keep_rate")
+    )
+
+
+def domain_mix_summary(
+    df: DataFrame, stratum_col: str, target_share: Column, key_col: str
+) -> DataFrame:
+    """Resample and roll up: per stratum, the input size, kept size, keep
+    rate, and the realized share of the output corpus."""
+    kept = (
+        domain_mix_resample(df, stratum_col, target_share, key_col)
+        .groupBy(stratum_col, "n_total", "keep_rate")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    total = kept.select(F.sum("n_kept").alias("__total_kept__"))
+    return kept.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        "n_total",
+        "n_kept",
+        F.round("keep_rate", 6).alias("keep_rate"),
+        F.round(F.col("n_kept") / F.col("__total_kept__"), 6).alias(
+            "realized_share"
+        ),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from crick_spark.operators.relational import asof_join, range_join
+from crick_spark.pipeline.sampling import domain_mix_summary
 from crick_spark.plans.registry import register
 from crick_spark.sources.tables import load_table
 
@@ -382,6 +383,47 @@ def stratified_sample_documents(spark, sf_dir):
         F.count_if(F.col("keep")).alias("n_kept"),
         F.round(F.count_if(F.col("keep")) / F.count("*"), 4).alias("kept_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing: resample the corpus to a target per-source distribution
+# ---------------------------------------------------------------------------
+@register(
+    "domain_mix_resample",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_total,
+         (20 - CAST(substr(source, 4) AS INT)) / 210.0 AS share
+  FROM documents GROUP BY source
+),
+t AS (SELECT min(n_total / share) AS T FROM counts),
+rates AS (
+  SELECT source, n_total, least(1.0, t.T * share / n_total) AS keep_rate
+  FROM counts, t
+),
+kept AS (
+  SELECT d.source, r.n_total, r.keep_rate, count(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+          / 16777216.0 < r.keep_rate
+  GROUP BY d.source, r.n_total, r.keep_rate
+)
+SELECT source, n_total, n_kept, round(keep_rate, 6) AS keep_rate,
+       round(n_kept * 1.0 / sum(n_kept) OVER (), 6) AS realized_share
+FROM kept
+""",
+    doc="Domain mixing: deterministically resample so per-source shares "
+    "match a target mix (share of srcK proportional to 20-K).  Keep "
+    "rates come from a tiny counts aggregate (downsample-only feasible "
+    "total = min n_s/share_s) broadcast back onto the corpus; the md5 "
+    "coin makes the sample reproducible with zero corpus shuffle.",
+)
+def domain_mix_resample_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    share = (
+        F.lit(20) - F.substring(F.col("source"), 4, 10).cast("int")
+    ) / F.lit(210.0)
+    return domain_mix_summary(docs, "source", share, "doc_id")
 
 
 # ---------------------------------------------------------------------------

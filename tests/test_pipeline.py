@@ -420,3 +420,31 @@ def test_repetition_filter_flags_degenerate_docs(spark):
     assert out[0].dup_2gram_frac > 0.5 and out[0].top_token_frac == 1.0
     assert out[1].dup_2gram_frac == 0.0
     assert abs(out[1].top_token_frac - 1 / 6) < 1e-6
+
+
+def test_domain_mix_resample(spark, docs):
+    from crick_spark.pipeline.sampling import domain_mix_resample, domain_mix_summary
+
+    share = (
+        F.lit(20) - F.substring(F.col("source"), 4, 10).cast("int")
+    ) / F.lit(210.0)
+    summ = {r.source: r for r in domain_mix_summary(docs, "source", share, "doc_id").collect()}
+    assert set(summ) == {f"src{k}" for k in range(20)}
+    # binding stratum (largest target share on a uniform corpus) keeps everything
+    assert summ["src0"].keep_rate == 1.0 and summ["src0"].n_kept == summ["src0"].n_total
+    # keep rates decline with the target share: rate_k = (20-k)/20 on uniform counts
+    for k in range(20):
+        assert abs(summ[f"src{k}"].keep_rate - (20 - k) / 20) < 1e-6, k
+    # realized share tracks the target within binomial noise (25-doc strata)
+    for k in range(20):
+        target = (20 - k) / 210.0
+        assert abs(summ[f"src{k}"].realized_share - target) < 0.05, k
+    # deterministic: identical kept set under a different partitioning
+    a = {r.doc_id for r in domain_mix_resample(docs, "source", share, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in domain_mix_resample(
+            docs.repartition(7, "lang"), "source", share, "doc_id"
+        ).collect()
+    }
+    assert a == b and a
