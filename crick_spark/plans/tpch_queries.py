@@ -625,3 +625,448 @@ def tpch_q22_dormant_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: correlated min subquery via lineitem bridge
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 2) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE')
+SELECT p.p_partkey, p.p_name, e.s_name, e.n_name,
+       round(e.s_acctbal, 2) AS s_acctbal, c.unit_cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN eu e ON e.s_suppkey = c.l_suppkey
+WHERE p.p_size = 5 AND p.p_type = 'SMALL'
+  AND c.unit_cost = (
+    SELECT min(c2.unit_cost) FROM cost c2
+    JOIN eu e2 ON e2.s_suppkey = c2.l_suppkey
+    WHERE c2.l_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape (adapted: no partsupp, so supply cost = the minimum "
+    "observed unit price per (part, supplier) in lineitem).  The correlated "
+    "min subquery is decorrelated into a per-part window min over the "
+    "region-filtered cost set — one aggregate, one window, no per-row "
+    "subquery; supplier/nation/region are broadcast (bounded at every SF).",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+            "unit_cost"
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") == 5) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    # Region-filtered costs once; per-part min via window (no self-join).
+    eu_cost = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu_cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000
+                      - 6000 * p.p_retailprice * l.l_quantity)) AS BIGINT)
+         AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 shape (adapted: no partsupp supply cost, so cost = 60% of "
+    "p_retailprice per unit).  The p_name LIKE filter prunes part before "
+    "the fact join; nation broadcasts; the 5-way join is left to AQE.",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    # The inputs live on a 1e-4 currency grid, so the scaled amount is an
+    # exact integer: per-row round() recovers it from float noise, the sum
+    # is then exact in both engines, and no half-boundary rounding of the
+    # aggregate exists to diverge on (profit reported in 1e-4 units).
+    amount = F.round(
+        _revenue() * 10000 - 6000 * F.col("p_retailprice") * F.col("l_quantity"), 0
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("long").alias("profit_e4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important part values for one nation's suppliers (HAVING vs scalar)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+WITH nat_val AS (
+  SELECT l.l_partkey, sum(l.l_extendedprice) AS raw_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey)
+SELECT l_partkey, round(raw_value, 2) AS part_value
+FROM nat_val
+WHERE raw_value > (SELECT 0.001 * sum(raw_value) FROM nat_val)
+ORDER BY part_value DESC, l_partkey
+""",
+    doc="TPC-H Q11 shape (adapted: part value = lineitem extendedprice "
+    "shipped by the nation's suppliers, no partsupp).  The global-fraction "
+    "threshold is an uncorrelated scalar aggregate broadcast against the "
+    "grouped rollup — the rollup is computed once and reused for both "
+    "sides via cache-free re-derivation at bounded key cardinality.",
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        l.join(F.broadcast(nat), l.l_suppkey == nat.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    thresh = val.agg((F.sum("raw_value") * 0.001).alias("thresh"))
+    return (
+        val.join(F.broadcast(thresh))
+        .where(F.col("raw_value") > F.col("thresh"))
+        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — late shipments by returnflag: conditional priority counts
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q12_late_shipments",
+    oracle="""
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape (adapted: no ship modes, grouped by returnflag; "
+    "'late' = shipped >30 days after order date).  The year filter pushes "
+    "to the lineitem scan; the lateness inequality is a residual on the "
+    "equi-join; conditional counts are one pass post-join.",
+)
+def tpch_q12_late_shipments(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: outer join + double aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13: LEFT OUTER join with the priority exclusion inside the "
+    "join condition (so customers with only urgent orders still count as "
+    "zero), then a second aggregation over the first's key-count — the "
+    "second shuffle is on the tiny distinct-count domain.",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part descriptor: distinct count + NOT IN
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q16_supplier_diversity",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape (adapted: supplier 'complaints' = negative account "
+    "balance; lineitem is the part-supplier bridge).  NOT IN over a "
+    "non-null key set compiles to a LEFT ANTI broadcast join; "
+    "count(DISTINCT) shuffles on the grouped descriptor keys.",
+)
+def tpch_q16_supplier_diversity(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — heavy shippers of one part family: nested semi-join reduction
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q20_heavy_shippers",
+    oracle="""
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 50)
+ORDER BY s.s_name
+""",
+    doc="TPC-H Q20 shape (adapted: no partsupp availability, so the inner "
+    "predicate is 'shipped >50 units of some red part in 1997').  The "
+    "inner aggregate reduces lineitem to qualifying supplier keys before "
+    "any supplier-side work; IN = LEFT SEMI join on the reduced set.",
+)
+def tpch_q20_heavy_shippers(spark, sf_dir):
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: sole-late-supplier detection
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q21_waiting_orders",
+    oracle="""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey),
+ord AS (
+  SELECT l_orderkey, count(*) AS nsupp, sum(is_late) AS nlate
+  FROM lo GROUP BY l_orderkey)
+SELECT s.s_name, count(*) AS numwait
+FROM lo
+JOIN ord ON ord.l_orderkey = lo.l_orderkey
+JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE lo.is_late = 1 AND ord.nsupp >= 2 AND ord.nlate = 1
+  AND n.n_name = 'NATION_1'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+""",
+    doc="TPC-H Q21 shape, fully decorrelated: the EXISTS/NOT EXISTS pair "
+    "('another supplier on the order; no OTHER supplier was late') becomes "
+    "one (order, supplier)-grain aggregate with a lateness flag plus one "
+    "order-grain rollup — supplier qualifies on an order iff it is late, "
+    "the order has >=2 suppliers, and exactly 1 late one.  Two shuffles "
+    "on bounded grains replace the reference pattern's double correlated "
+    "scan; 'late' = shipped >60 days after order date (no receipt dates).",
+)
+def tpch_q21_waiting_orders(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    ord_ = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("nsupp"), F.sum("is_late").alias("nlate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (
+        lo.where(F.col("is_late") == 1)
+        .join(ord_, (lo.l_orderkey == ord_.ok))
+        .where((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(s, lo.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
