@@ -172,3 +172,85 @@ def repetition_exprs(text: Column) -> list[Column]:
         F.round(dup2, 6).alias("dup_2gram_frac"),
         F.round(top / n, 6).alias("top_token_frac"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrubbing pass of a curation pipeline)
+# ---------------------------------------------------------------------------
+# Patterns kept to the regex subset with identical semantics in Java regex
+# (Spark, codegen-side) and RE2 (DuckDB oracle): char classes, \d, \b,
+# bounded repetition.  Order matters only for readability — the patterns
+# are mutually non-overlapping by construction.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_exprs(text: Column) -> list[Column]:
+    """Per-kind PII match counts plus the fully redacted text.
+
+    Pure regexp expressions (count via ``regexp_count``, scrub via chained
+    ``regexp_replace``) — runs at scan speed, no UDF, no shuffle; at 100 TB
+    this is a map-only pass that pipelines into the write."""
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, rep in _PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return counts + [redacted.alias("redacted_text")]
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (corpus-level n-gram coverage)
+# ---------------------------------------------------------------------------
+def boilerplate_ngram_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    doc_frac: float = 0.2,
+    max_boiler_frac: float = 0.5,
+):
+    """Per-document boilerplate coverage: a shingle is *boilerplate* when it
+    occurs in ≥ ``doc_frac`` of all documents; each document reports how
+    much of its distinct-shingle set is boilerplate and a keep/drop flag
+    (the C4/RefinedWeb-style cross-document template-text filter).
+
+    Shape at 100 TB: one explode → groupBy(gram) with map-side partial
+    aggregation (distinct shingles per doc keep the explode bounded by
+    document length), a single-row count broadcast for the threshold, and
+    the boilerplate set itself — small by construction, since only grams
+    repeated across ≥ doc_frac of the corpus qualify — broadcasts back onto
+    the exploded grams, so the only full shuffle is the gram rollup."""
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("g")
+    )
+    ndocs_per_gram = grams.groupBy("g").agg(
+        F.countDistinct(id_col).alias("ndocs")
+    )
+    total = docs.agg(F.count("*").alias("ntot"))
+    boiler = (
+        ndocs_per_gram.join(F.broadcast(total))
+        .where(F.col("ndocs") >= F.lit(doc_frac) * F.col("ntot"))
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    cov = (
+        grams.join(F.broadcast(boiler), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler") / F.col("n_grams")
+    return cov.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long"),
+        F.col("n_boiler").cast("long"),
+        F.round(frac, 6).alias("boiler_frac"),
+        (frac <= F.lit(max_boiler_frac)).alias("keep"),
+    )

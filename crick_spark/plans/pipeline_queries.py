@@ -592,3 +592,106 @@ def knn_quantized_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return quantized_cosine_topk(emb, list(query), k=10)
+
+
+@register(
+    "pii_redact_documents",
+    oracle=r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' id 123-45-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM enriched
+""",
+    doc="PII redaction pass: documents deterministically enriched with "
+    "synthetic email/phone/SSN tokens (the corpus has none), then scrubbed "
+    "with chained regexp_replace and per-kind regexp_count — map-only scan "
+    "work, hash-matched on the md5 of the redacted text.  Patterns stay in "
+    "the Java-regex ∩ RE2 subset so both engines agree.",
+)
+def pii_redact_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import pii_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" id 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    cols = pii_exprs(F.col("t"))
+    return enriched.select(
+        "doc_id",
+        cols[0].alias("n_email"),
+        cols[1].alias("n_ssn"),
+        cols[2].alias("n_phone"),
+        F.md5(cols[3]).alias("redacted_md5"),
+    )
+
+
+@register(
+    "boilerplate_ngram_filter",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) - 2 >= 1
+           THEN list_distinct(list_transform(
+                  generate_series(1, len(ws) - 2),
+                  i -> array_to_string(ws[i:i+2], ' ')))
+           ELSE [array_to_string(ws, ' ')] END AS gs
+  FROM w),
+grams AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+cnt AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram),
+tot AS (SELECT count(*) AS ntot FROM documents),
+boiler AS (SELECT gram FROM cnt, tot WHERE ndocs >= 0.2 * ntot),
+cov AS (
+  SELECT grams.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM grams LEFT JOIN boiler ON grams.gram = boiler.gram
+  GROUP BY grams.doc_id)
+SELECT doc_id, n_grams, n_boiler,
+       round(n_boiler * 1.0 / n_grams, 6) AS boiler_frac,
+       n_boiler * 1.0 / n_grams <= 0.5 AS keep
+FROM cov
+""",
+    doc="Cross-document boilerplate filter: 3-gram shingles occurring in "
+    ">=20% of documents are template text; each doc reports its distinct-"
+    "shingle boilerplate coverage and a keep flag (<=50%).  One gram-rollup "
+    "shuffle; the threshold and the (small by construction) boilerplate set "
+    "broadcast.",
+)
+def boilerplate_ngram_filter(spark, sf_dir):
+    from crick_spark.pipeline.text import boilerplate_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(
+        docs, "doc_id", "text", n=3, doc_frac=0.2, max_boiler_frac=0.5
+    )

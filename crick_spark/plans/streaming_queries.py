@@ -398,3 +398,61 @@ def streaming_upsert_foreachbatch(spark, sf_dir):
         F.col("ts").alias("last_ts"),
         "n_updates",
     )
+
+
+@register(
+    "streaming_session_rollup",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sess_id
+""",
+    doc="Gap-based session windows (10 min) computed through Structured "
+    "Streaming (session_window + watermark, complete mode, availableNow): "
+    "state is one merging session per (user, open window), reaped by the "
+    "watermark on unbounded feeds.  Hash-matches the same gaps-and-islands "
+    "batch oracle as the batch path — stream ≡ batch ≡ SQL.",
+)
+def streaming_session_rollup(spark, sf_dir):
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
