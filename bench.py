@@ -59,6 +59,12 @@ HEADLINE = [
     "winsorize_extendedprice",
     "train_val_test_split",
     "top_terms_per_lang",
+    # round-2 additions: decorrelated TPC-H shapes + corpus-curation passes
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_orders",
+    "pii_redact_documents",
+    "boilerplate_ngram_filter",
 ]
 
 

@@ -994,3 +994,53 @@ def sink_roundtrip_orc(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="crick_sink_") + "/revenue.orc"
     out.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "equidepth_histogram_value",
+    oracle="""
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(x, 6)) AS bs
+  FROM events)
+SELECT CAST(1 + list_sum(list_transform(
+         b.bs, x -> CASE WHEN e.value > x THEN 1 ELSE 0 END)) AS BIGINT) AS bin,
+       count(*) AS cnt
+FROM events e, b
+GROUP BY bin
+""",
+    doc="Equi-depth (equal-frequency) histogram: exact deciles of the value "
+    "column become bin boundaries, every row is bucketed by comparison "
+    "against the broadcast 9-element boundary array, then counted per bin.  "
+    "Two aggregate passes, boundary array broadcast — no per-row shuffle "
+    "beyond the bin rollup; boundaries rounded to a 1e-6 grid in-query so "
+    "both engines compare against bit-identical cutpoints.",
+)
+def equidepth_histogram_value(spark, sf_dir):
+    from crick_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = ev.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(q) for q in qs])),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    )
+    binned = ev.join(F.broadcast(bounds)).select(
+        (
+            1
+            + F.aggregate(
+                F.transform(
+                    F.col("bs"),
+                    lambda x: F.when(F.col("value") > x, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("cnt"))

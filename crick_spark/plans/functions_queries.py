@@ -482,3 +482,39 @@ def mode_quantity_by_returnflag(spark, sf_dir):
         F.max_by("l_quantity", ordk).alias("mode_qty"),
         F.max("cnt").alias("mode_cnt"),
     )
+
+
+@register(
+    "hll_setops_users",
+    doc="Distinct-set algebra on HLL sketches: one conditional-aggregate "
+    "scan builds per-cohort user sketches (click vs purchase), union via "
+    "hll_union, intersection by inclusion-exclusion |A|+|B|-|A∪B| — the "
+    "sketch-typed analog of set ops, O(sketch size) state, single-row "
+    "exchange only.  Approximate -> rows-only; the test bounds every "
+    "estimate against the exact batch distinct counts.",
+)
+def hll_setops_users(spark, sf_dir):
+    from crick_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")), F.lit(14)
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), F.lit(14)
+        ).alias("sk_b"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").alias("est_click"),
+        F.hll_sketch_estimate("sk_b").alias("est_purchase"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+    )
+    return est.select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        (
+            F.col("est_click") + F.col("est_purchase") - F.col("est_union")
+        ).alias("est_intersection"),
+    )

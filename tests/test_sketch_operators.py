@@ -375,3 +375,39 @@ def test_cms_operator_partition_invariant_and_bounded(spark):
     for _, r in outs[0].iterrows():
         t = exact[r["item"]]
         assert t <= r["est_cnt"] <= t + r["err_bound"], (r["item"], t, dict(r))
+
+
+def test_hll_setops_within_tolerance(spark):
+    """Inclusion-exclusion over HLL sketches: every estimate (|A|, |B|,
+    |A∪B|, |A∩B|) within 2% (+small absolute slack for the subtraction,
+    which compounds the union and cohort errors) of the exact batch sets."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.plans import QUERIES
+    from crick_spark.sources.tables import load_table
+
+    out = QUERIES["hll_setops_users"].fn(spark, SF_SMALL).toPandas().iloc[0]
+    ev = load_table(spark, SF_SMALL, "events")
+    a = {
+        r[0]
+        for r in ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    b = {
+        r[0]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    exact = {
+        "est_click": len(a),
+        "est_purchase": len(b),
+        "est_union": len(a | b),
+        "est_intersection": len(a & b),
+    }
+    for k, v in exact.items():
+        slack = max(4, 0.02 * v) if k != "est_intersection" else max(8, 0.06 * v)
+        assert abs(out[k] - v) <= slack, (k, out[k], v)
