@@ -229,9 +229,14 @@ def boilerplate_ngram_stats(
     grams = docs.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("g")
     )
-    ndocs_per_gram = grams.groupBy("g").agg(
-        F.countDistinct(id_col).alias("ndocs")
-    )
+    # shingles_expr is distinct-per-doc, so count(*) == count(DISTINCT doc):
+    # plain count keeps full map-side partial aggregation (measured ~15%
+    # faster at sf0.1).  A single-pass window-count-over-gram variant
+    # measured 2x faster locally but puts every occurrence of a hot gram in
+    # one partition — and boilerplate grams are hot by definition (>=20% of
+    # the corpus), so it cannot survive scale; the two-pass groupBy keeps
+    # hot keys collapsed map-side.
+    ndocs_per_gram = grams.groupBy("g").agg(F.count("*").alias("ndocs"))
     total = docs.agg(F.count("*").alias("ntot"))
     boiler = (
         ndocs_per_gram.join(F.broadcast(total))

@@ -1044,3 +1044,34 @@ def equidepth_histogram_value(spark, sf_dir):
         .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+""",
+    doc="Text-source roundtrip: documents serialized as tab-delimited lines "
+    "through the text sink (one string column per line), read back with "
+    "spark.read.text, re-parsed with split-on-first-tab — the "
+    "line-oriented ingestion path (logs, WET/WARC-style dumps) of a "
+    "corpus pipeline.  Hash-matched on (doc_id, md5(text)).",
+)
+def source_text_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="crick_textsrc_") + "/docs_txt"
+    docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    tab = F.instr(F.col("value"), "\t")
+    return lines.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("long").alias("doc_id"),
+        F.md5(F.expr("substring(value, instr(value, '\t') + 1)")).alias("text_md5"),
+    )

@@ -695,3 +695,35 @@ def boilerplate_ngram_filter(spark, sf_dir):
     return boilerplate_ngram_stats(
         docs, "doc_id", "text", n=3, doc_frac=0.2, max_boiler_frac=0.5
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+SELECT i AS dim,
+       round(avg(embedding[i]), 6) AS mean_v,
+       round(stddev_pop(embedding[i]), 6) AS std_v,
+       round(CAST(min(embedding[i]) AS DOUBLE), 6) AS min_v,
+       round(CAST(max(embedding[i]) AS DOUBLE), 6) AS max_v
+FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY i
+""",
+    doc="Per-dimension feature statistics over the embedding corpus (the "
+    "fit step of feature standardization): posexplode to (dim, value) "
+    "grain, one hash aggregate.  Map-side partial aggregation collapses "
+    "the 64x row amplification to 64 rows per task before the shuffle, so "
+    "the exchange is O(dims x partitions) regardless of corpus size.",
+)
+def embedding_dim_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_pop("v"), 6).alias("std_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+    )
