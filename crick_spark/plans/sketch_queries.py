@@ -341,3 +341,92 @@ def cms_freq_event_types(spark, sf_dir):
         depth=4,
     )
     return out.select("item", "est_cnt")
+
+
+@register(
+    "spacesaving_persist_roundtrip",
+    doc="Space-Saving persistence (crick pickle surface "
+    "space_saving.pyx:229-245): per-event-type summaries → parquet of "
+    "binary buffers → read back → Cafaro merge → top-5 with error bounds.  "
+    "The incremental heavy-hitters pattern: yesterday's persisted "
+    "summaries absorb today's partials without rescanning history; "
+    "equality with the direct path asserted in tests.",
+)
+def spacesaving_persist_roundtrip(spark, sf_dir):
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from crick_spark.operators.sketch_agg import (
+        SketchOps,
+        merge_sketches,
+        partial_sketches,
+    )
+    from crick_spark.sketches import SpaceSaving
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def build(pdf: pd.DataFrame) -> SpaceSaving:
+        return SpaceSaving.from_batch(
+            pdf["user_id"].to_numpy(np.int64), None, capacity=1000
+        )
+
+    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+    partials = partial_sketches(ev, ops, ["user_id"], ["event_type"])
+    path = tempfile.mkdtemp(prefix="crick_spsv_") + "/summaries.parquet"
+    partials.write.mode("overwrite").parquet(path)
+    restored = spark.read.parquet(path)
+    schema = StructType(
+        [
+            StructField("item", LongType()),
+            StructField("cnt", LongType()),
+            StructField("error", LongType()),
+        ]
+    )
+
+    def finalize(sk: SpaceSaving) -> pd.DataFrame:
+        return pd.DataFrame(sk.topk(5), columns=["item", "cnt", "error"])
+
+    return merge_sketches(restored, ops, ["event_type"], finalize, schema)
+
+
+@register(
+    "moments_persist_roundtrip",
+    doc="SummaryStats persistence (crick pickle surface stats.pyx:74-91): "
+    "per-returnflag 9-field moment states → parquet → read back → Pébay "
+    "merge → full stats struct.  Blob-sorted merge order keeps float "
+    "results run-stable; equality with the direct path asserted in tests.",
+)
+def moments_persist_roundtrip(spark, sf_dir):
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    from crick_spark.operators.crick_ops import _MOMENTS_FIELDS
+    from crick_spark.operators.sketch_agg import (
+        SketchOps,
+        merge_sketches,
+        partial_sketches,
+    )
+    from crick_spark.sketches import Moments
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def build(pdf: pd.DataFrame) -> Moments:
+        return Moments.from_values(pdf["l_extendedprice"].to_numpy(np.float64))
+
+    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+    partials = partial_sketches(li, ops, ["l_extendedprice"], ["l_returnflag"])
+    path = tempfile.mkdtemp(prefix="crick_moments_") + "/moments.parquet"
+    partials.write.mode("overwrite").parquet(path)
+    restored = spark.read.parquet(path)
+    schema = StructType([StructField(n, t) for n, t in _MOMENTS_FIELDS])
+
+    def finalize(sk: Moments) -> pd.DataFrame:
+        return pd.DataFrame([sk.finalize()])
+
+    return merge_sketches(restored, ops, ["l_returnflag"], finalize, schema)

@@ -147,9 +147,10 @@ def sliding_window_rollup(spark, sf_dir):
 @register(
     "spacesaving_stream_topk",
     doc="Per-event-type streaming heavy hitters (Space-Saving summaries as "
-    "transformWithStateInPandas ValueState, Spark 4.x API; bounded "
-    "O(capacity) state per key); one availableNow pass over events — "
-    "top-5 users per event_type with error bounds.",
+    "applyInPandasWithState GroupState; bounded O(capacity) state per "
+    "key); one availableNow pass over events — top-5 users per event_type "
+    "with error bounds.  (The Spark 4.x transformWithStateInPandas port "
+    "is mechanical but needs protobuf at runtime, absent here.)",
 )
 def spacesaving_stream_topk_q(spark, sf_dir):
     import uuid as _uuid

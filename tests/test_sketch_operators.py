@@ -411,3 +411,51 @@ def test_hll_setops_within_tolerance(spark):
     for k, v in exact.items():
         slack = max(4, 0.02 * v) if k != "est_intersection" else max(8, 0.06 * v)
         assert abs(out[k] - v) <= slack, (k, out[k], v)
+
+
+def test_spacesaving_persist_roundtrip_equals_direct(spark):
+    """Persist → restore → merge must finalize to the same top-5 as the
+    direct spacesaving_topk path (capacity 1000 >> cardinality: exact
+    regime, so counts are exact and the comparison is deterministic)."""
+    from crick_spark.operators.crick_ops import spacesaving_topk
+    from crick_spark.plans import QUERIES
+    from crick_spark.sources.tables import load_table
+
+    got = (
+        QUERIES["spacesaving_persist_roundtrip"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["event_type", "cnt", "item"], ignore_index=True)
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    want = (
+        spacesaving_topk(ev, "user_id", 5, by=["event_type"], capacity=1000)
+        .toPandas()
+        .sort_values(["event_type", "cnt", "item"], ignore_index=True)
+    )
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+    assert got["error"].tolist() == want["error"].tolist()
+    assert (got["error"] == 0).all()  # exact regime
+
+
+def test_moments_persist_roundtrip_equals_direct(spark):
+    """Persist → restore → Pébay merge ≡ direct moments_agg (bit-equal:
+    both paths fold blobs in sorted byte order)."""
+    from crick_spark.operators.crick_ops import moments_agg
+    from crick_spark.plans import QUERIES
+    from crick_spark.sources.tables import load_table
+
+    got = (
+        QUERIES["moments_persist_roundtrip"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("l_returnflag", ignore_index=True)
+    )
+    li = load_table(spark, SF_SMALL, "lineitem")
+    want = (
+        moments_agg(li, "l_extendedprice", by=["l_returnflag"])
+        .toPandas()
+        .sort_values("l_returnflag", ignore_index=True)
+    )
+    for c in want.columns:
+        assert got[c].tolist() == want[c].tolist(), c
