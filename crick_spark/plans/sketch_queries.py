@@ -430,3 +430,33 @@ def moments_persist_roundtrip(spark, sf_dir):
         return pd.DataFrame([sk.finalize()])
 
     return merge_sketches(restored, ops, ["l_returnflag"], finalize, schema)
+
+
+@register(
+    "spacesaving_weighted_topk_parts",
+    oracle="""
+SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT l_partkey AS item,
+         sum(CAST(floor(l_quantity) AS BIGINT)) AS cnt,
+         row_number() OVER (
+           ORDER BY sum(CAST(floor(l_quantity) AS BIGINT)) DESC,
+                    l_partkey ASC) AS rk
+  FROM lineitem GROUP BY l_partkey
+) WHERE rk <= 10
+""",
+    doc="Weighted heavy hitters — crick's add(item, count) surface "
+    "(space_saving.pyx:247-268, count-weighted increments): top-10 parts "
+    "by total shipped quantity.  Quantities floor()ed to integer weights "
+    "identically on both engines (Spark cast truncates, DuckDB rounds — "
+    "floor removes the divergence).  Capacity 4096 ≥ |parts| at the gate "
+    "SF → exact regime, error = 0, deterministic (count DESC, item ASC) "
+    "— full oracle; beyond capacity it degrades to the bounded-error "
+    "regime tested separately.",
+)
+def spacesaving_weighted_topk_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.floor("l_quantity").cast("long").alias("qty_w")
+    )
+    return spacesaving_topk(
+        li, "l_partkey", 10, capacity=4096, count_col="qty_w"
+    )
