@@ -2,7 +2,8 @@
 analysis, multimodal — over the driver's documents/embeddings tables.
 
 Oracle-able entries (exact, deterministic in both engines): exact dedup,
-token/quality stats, embedding norms, brute-force cosine top-k.  Hash-based
+token/quality stats, marker-vote language ID, embedding norms, brute-force
+cosine top-k.  Hash-based
 operators (MinHash/SimHash/fingerprints use Spark's xxhash64, which DuckDB
 can't reproduce) and the ANN path are rows-only with accuracy asserted in
 ``tests/test_pipeline.py``.
@@ -237,12 +238,56 @@ def text_quality_by_lang(spark, sf_dir):
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of ``lang_id_expr``, generated from the same
+    ``_LANG_MARKERS`` table so the two can never drift: distinct-marker
+    votes (``list_intersect`` dedups exactly like Spark's
+    ``array_intersect``), argmax with earliest-language tie-break, 'und'
+    on zero votes."""
+    from crick_spark.pipeline.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    scores = ",\n         ".join(
+        "len(list_intersect(ws, [{}])) AS s_{}".format(
+            ", ".join("'%s'" % m for m in _LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"s_{l}" for l in langs))
+    whens = "\n              ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    )
+    return rf"""
+WITH w AS (
+  SELECT lang,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        x -> lower(x)) AS ws
+  FROM documents
+), s AS (
+  SELECT lang,
+         {scores}
+  FROM w
+), b AS (
+  SELECT *, {best} AS best FROM s
+), p AS (
+  SELECT lang,
+         CASE WHEN best = 0 THEN 'und'
+              {whens}
+              ELSE 'und' END AS predicted
+  FROM b
+)
+SELECT lang, predicted, count(*) AS cnt FROM p GROUP BY lang, predicted
+"""
+
+
 @register(
     "lang_id_documents",
+    oracle=_lang_id_oracle(),
     doc="Marker-lexicon language ID votes per document, rolled up into a "
-    "predicted×labeled confusion table (rows-only; the synthetic corpus "
-    "shares one vocabulary across langs, so accuracy is exercised on "
-    "constructed fixtures in tests).",
+    "predicted×labeled confusion table.  Fully deterministic (distinct-"
+    "marker votes, earliest-language tie-break) so the oracle is generated "
+    "from the same marker table; classification accuracy on separable "
+    "fixtures is additionally exercised in tests.",
 )
 def lang_id_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
