@@ -601,6 +601,61 @@ def dup_cluster_rollup(spark, sf_dir):
 
 
 @register(
+    "dup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  )
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.n
+),
+comp AS (SELECT n AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY n)
+SELECT cluster_id, doc_id AS canonical_doc, n_docs, canon_chars FROM (
+  SELECT c.cluster_id, d.doc_id,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+         max(d.n_chars) OVER (PARTITION BY c.cluster_id) AS canon_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+) WHERE rk = 1
+""",
+    doc="Quality-aware canonical selection: after clustering, the copy a "
+    "pipeline KEEPS is the best document per duplicate cluster — here "
+    "longest text, ties to the lowest id (a deterministic total order).  "
+    "One max_by over an orderable struct per cluster on the Spark side "
+    "(labels are tiny next to the corpus, so the doc-attribute join "
+    "broadcasts); the oracle re-walks the same graph recursively and "
+    "picks with a rank-1 window.",
+)
+def dup_cluster_canonical(spark, sf_dir):
+    from crick_spark.pipeline.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    )
+    labels = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    joined = docs.select("doc_id", "n_chars").join(
+        F.broadcast(labels), "doc_id"
+    )
+    pref = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max_by("doc_id", pref).alias("canonical_doc"),
+        F.max("n_chars").alias("canon_chars"),
+    )
+
+
+@register(
     "audio_window_features",
     doc="Windowed audio features (RMS energy, zero crossings, peak) per "
     "1s window over the audio rows of the media column — Arrow-batched "

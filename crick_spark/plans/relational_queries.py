@@ -264,6 +264,48 @@ def train_val_test_split(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic shuffle-shard layout (training-data write ordering)
+# ---------------------------------------------------------------------------
+@register(
+    "shuffle_shard_documents",
+    oracle="""
+WITH t AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5('order:' || CAST(doc_id AS VARCHAR)) AS h_ord,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min_by(doc_id, h_ord) AS first_doc,
+       max_by(doc_id, h_ord) AS last_doc
+FROM t GROUP BY shard
+""",
+    doc="Deterministic shuffle-shard layout: the reproducible global "
+    "shuffle a training pipeline runs before writing shards — shard = "
+    "first md5 nibble (16-way), intra-shard order = md5 of a salted key, "
+    "so the permutation is content-stable across engines/runs with no RNG "
+    "state.  At 100 TB the write form is repartition(n_shards, shard) + "
+    "sortWithinPartitions(order_hash) + write (one shuffle, no global "
+    "sort); this query form pins the permutation for the oracle via each "
+    "shard's first/last document in shuffle order (min_by/max_by on the "
+    "order hash — md5 is collision-free on distinct ids, so the order is "
+    "total and the check deterministic).",
+)
+def shuffle_shard_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    shard = F.substring(F.md5(sid), 1, 1)
+    h_ord = F.md5(F.concat(F.lit("order:"), sid))
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min_by("doc_id", h_ord).alias("first_doc"),
+        F.max_by("doc_id", h_ord).alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top terms per language (explode -> count -> window rank)
 # ---------------------------------------------------------------------------
 @register(
