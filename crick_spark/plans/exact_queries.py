@@ -912,7 +912,7 @@ def histogram_value_by_event_type(spark, sf_dir):
     oracle="""
 WITH m AS (
   SELECT l_returnflag,
-         sum(CAST(l_quantity AS BIGINT)) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n,
          sum(l_quantity * l_extendedprice) / sum(l_quantity) AS mu
   FROM lineitem GROUP BY l_returnflag
 ),
@@ -1055,7 +1055,10 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
     "through the text sink (one string column per line), read back with "
     "spark.read.text, re-parsed with split-on-first-tab — the "
     "line-oriented ingestion path (logs, WET/WARC-style dumps) of a "
-    "corpus pipeline.  Hash-matched on (doc_id, md5(text)).",
+    "corpus pipeline.  Text is percent-encoded (%, \\t, \\n, \\r) before "
+    "serialization and decoded after, so arbitrary document content "
+    "round-trips losslessly instead of silently corrupting on embedded "
+    "tabs/newlines.  Hash-matched on (doc_id, md5(text)).",
 )
 def source_text_roundtrip(spark, sf_dir):
     import tempfile
@@ -1064,14 +1067,21 @@ def source_text_roundtrip(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="crick_textsrc_") + "/docs_txt"
+    # lossless line encoding: '%' first so decode order ('%' last) is
+    # unambiguous — any '%09'/'%0A'/'%0D' in the encoded stream denotes a
+    # real tab/LF/CR, never original text
+    enc = F.col("text")
+    for lit, code in [("%", "%25"), ("\t", "%09"), ("\n", "%0A"), ("\r", "%0D")]:
+        enc = F.replace(enc, F.lit(lit), F.lit(code))
     docs.select(
-        F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")).alias(
-            "value"
-        )
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"), enc).alias("value")
     ).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     tab = F.instr(F.col("value"), "\t")
+    dec = F.expr("substring(value, instr(value, '\t') + 1)")
+    for code, lit in [("%0D", "\r"), ("%0A", "\n"), ("%09", "\t"), ("%25", "%")]:
+        dec = F.replace(dec, F.lit(code), F.lit(lit))
     return lines.select(
         F.substring(F.col("value"), 1, tab - 1).cast("long").alias("doc_id"),
-        F.md5(F.expr("substring(value, instr(value, '\t') + 1)")).alias("text_md5"),
+        F.md5(dec).alias("text_md5"),
     )

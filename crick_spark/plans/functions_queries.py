@@ -136,7 +136,7 @@ SELECT event_type,
        count(*) AS cnt,
        round(sum(value), 4) AS sum_v,
        round(sum(value * value), 4) AS sum_v2,
-       sum(CASE WHEN value > 0.5 THEN 2 ELSE 1 END) AS n_entries_kept
+       CAST(sum(CASE WHEN value > 0.5 THEN 2 ELSE 1 END) AS BIGINT) AS n_entries_kept
 FROM events
 WHERE value IS NOT NULL
 GROUP BY event_type
@@ -426,12 +426,12 @@ def weighted_percentile_exact(spark, sf_dir):
     oracle="""
 SELECT event_type,
        count(*) AS cnt,
-       sum(CASE WHEN value = 0 OR value IS NULL THEN 1 ELSE 0 END)
-         AS n_unsafe_div,
+       CAST(sum(CASE WHEN value = 0 OR value IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unsafe_div,
        round(sum(CASE WHEN value IS NOT NULL AND value <> 0
                       THEN 100.0 / value END), 4) AS sum_inv,
-       sum(CASE WHEN try_cast(json_extract_string(props, '$.n') AS BIGINT)
-                     IS NOT NULL THEN 1 ELSE 0 END) AS n_numeric_prop
+       CAST(sum(CASE WHEN try_cast(json_extract_string(props, '$.n') AS BIGINT)
+                     IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_prop
 FROM events
 GROUP BY event_type
 """,

@@ -186,7 +186,7 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(ws_tokens) AS total_tokens,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
        round(avg(ws_tokens), 6) AS avg_tokens,
        round(avg(non_ws_chars), 6) AS avg_non_ws_chars
 FROM t GROUP BY lang

@@ -804,16 +804,16 @@ def weighted_sample_documents(spark, sf_dir):
     oracle="""
 SELECT 'orders' AS tbl,
        count(*) AS n_rows,
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null_measure,
-       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_range_violation,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_measure,
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_range_violation,
        (SELECT count(*) FROM orders o2
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o2.o_custkey)) AS n_fk_orphans
 FROM orders
 UNION ALL
 SELECT 'lineitem', count(*),
-       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
-       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
        (SELECT count(*) FROM lineitem l2
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_orderkey = l2.l_orderkey))

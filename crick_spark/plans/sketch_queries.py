@@ -435,7 +435,7 @@ def moments_persist_roundtrip(spark, sf_dir):
 @register(
     "spacesaving_weighted_topk_parts",
     oracle="""
-SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
+SELECT item, CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS error FROM (
   SELECT l_partkey AS item,
          sum(CAST(floor(l_quantity) AS BIGINT)) AS cnt,
          row_number() OVER (
@@ -448,15 +448,20 @@ SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
     "(space_saving.pyx:247-268, count-weighted increments): top-10 parts "
     "by total shipped quantity.  Quantities floor()ed to integer weights "
     "identically on both engines (Spark cast truncates, DuckDB rounds — "
-    "floor removes the divergence).  Capacity 4096 ≥ |parts| at the gate "
-    "SF → exact regime, error = 0, deterministic (count DESC, item ASC) "
-    "— full oracle; beyond capacity it degrades to the bounded-error "
-    "regime tested separately.",
+    "floor removes the divergence).  Capacity is sized from the data "
+    "(max(4096, distinct parts) — one cheap key-only count-distinct) so "
+    "the exact regime (error = 0, deterministic count DESC / item ASC "
+    "order) holds at ANY scale factor, not just the gate SF; the "
+    "bounded-error regime is tested separately.",
 )
 def spacesaving_weighted_topk_parts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", F.floor("l_quantity").cast("long").alias("qty_w")
     )
+    # exact-regime guarantee requires capacity >= |distinct items|; size it
+    # from the data instead of assuming the SF (column-pruned scan of the
+    # key column only — trivially cheap next to the aggregate itself)
+    n_parts = li.select("l_partkey").distinct().count()
     return spacesaving_topk(
-        li, "l_partkey", 10, capacity=4096, count_col="qty_w"
+        li, "l_partkey", 10, capacity=max(4096, n_parts), count_col="qty_w"
     )

@@ -50,6 +50,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return [f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"]
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
+        # int-vs-float dtype skew (e.g. duckdb HUGEINT → pandas float64)
+        # passes Python ==, but the driver's value hash sees 506627 vs
+        # 506627.0 — flag it even when every value compares equal
+        si = pd.api.types.is_integer_dtype(s[c])
+        oi = pd.api.types.is_integer_dtype(o[c])
+        sf_ = pd.api.types.is_float_dtype(s[c])
+        of = pd.api.types.is_float_dtype(o[c])
+        if (si and of) or (sf_ and oi):
+            problems.append(
+                f"col {c}: dtype skew {s[c].dtype} vs {o[c].dtype} (hash would fail!)"
+            )
+    for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
             if a is None and b is None:
