@@ -76,43 +76,41 @@ def shingle_hash_postings(
     """Distinct hashed word n-gram postings (id…, th) — the shared scan for
     MinHash signatures and the sparse Jaccard join.
 
-    Shape: hash each *word* once (``posexplode`` + ``xxhash64``, codegen),
-    form the n-gram hash from the n adjacent word hashes with window
-    ``lead`` (one exchange on the id), and de-dup.  Strings never leave the
-    word stage.  This replaces building shingle *strings* inside a
-    ``transform`` lambda — higher-order functions run interpreted, and that
-    string-building scan measured 7s of the 17s sf0.1 Jaccard run (~2×
-    faster here, and downstream consumers reuse the exchange instead of
-    re-evaluating the scan).  Docs shorter than n words contribute one
-    whole-text shingle (reference semantics of ``shingles_expr``)."""
-    extra_cols = extra_cols or []
-    from pyspark.sql import Window
+    Shape: two narrow projections, zero shuffles.  The first hashes every
+    word into a per-row long array (one interpreted ``transform`` pass —
+    cheap: the lambda body is a single ``xxhash64``); the second forms each
+    n-gram hash from the n adjacent word hashes via ``element_at``,
+    de-dups *per row* with ``array_distinct`` (postings are per-doc, so
+    row-local distinct ≡ global distinct), and explodes.  Strings never
+    leave the word stage.
 
+    The projection split is load-bearing: naming the word-hash array in its
+    own projection stops Catalyst's CollapseProject from inlining the
+    ``transform`` into every ``element_at`` reference (n copies → words
+    re-hashed n times).  Measured at sf0.1 (5k docs, 260k postings): 0.44 s
+    vs 3.2 s for the previous posexplode + window-``lead`` + global
+    ``distinct`` shape (two shuffles saved), vs 8.9 s for the naive inlined
+    variant.  Docs shorter than n words contribute one whole-text shingle
+    (reference semantics of ``shingles_expr``)."""
+    extra_cols = extra_cols or []
     words = words_expr(F.col(text_col))
-    wh = docs.select(
+    base = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.size(words).alias("__nw__"),
-        F.posexplode(words).alias("__pos__", "__w__"),
-    ).select(
-        id_col, *extra_cols, "__nw__", "__pos__", F.xxhash64("__w__").alias("h0")
+        F.transform(words, lambda s: F.xxhash64(s)).alias("__wh__"),
+        F.array_join(words, " ").alias("__full__"),
     )
-    win = Window.partitionBy(id_col).orderBy("__pos__")
-    for i in range(1, n):
-        wh = wh.withColumn(f"h{i}", F.lead("h0", i).over(win))
-    grams = wh.where(
-        F.col(f"h{n - 1}").isNotNull() & (F.col("__nw__") >= n)
-    ).select(
-        id_col,
-        *extra_cols,
-        F.xxhash64(*[F.col(f"h{i}") for i in range(n)]).alias("th"),
+    nsh = F.size(F.col("__wh__")) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), nsh),
+        lambda i: F.xxhash64(*[F.element_at(F.col("__wh__"), i + j) for j in range(n)]),
     )
-    short = docs.where(F.size(words) < n).select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        F.xxhash64(F.array_join(words, " ")).alias("th"),
+    th_arr = F.when(nsh >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.xxhash64(F.col("__full__")))
     )
-    return grams.union(short).distinct()
+    return base.select(
+        F.col(id_col), *extra_cols, F.explode(th_arr).alias("th")
+    )
 
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:

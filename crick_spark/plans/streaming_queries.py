@@ -125,7 +125,7 @@ def sliding_window_rollup(spark, sf_dir):
     sdf = stream_events(spark, sf_dir)
     agg = windowed_rollup(sdf, window="1 hour", slide="30 minutes")
     out = agg.select(
-        F.col("w.start").alias("window_start"),
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "cnt",
         "sum_value",
@@ -320,7 +320,10 @@ def streaming_distinct_users_hll(spark, sf_dir):
         ev.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .select(F.col("w.start").alias("day_start"), "approx_users")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+            "approx_users",
+        )
     )
     sink = f"hlldistinct_{uuid.uuid4().hex[:8]}"
     q = (
@@ -396,7 +399,7 @@ def streaming_upsert_foreachbatch(spark, sf_dir):
         "user_id",
         F.col("event_type").alias("last_type"),
         F.round("value", 6).alias("last_value"),
-        F.col("ts").alias("last_ts"),
+        F.col("ts").cast("timestamp_ntz").alias("last_ts"),
         "n_updates",
     )
 
@@ -442,7 +445,7 @@ def streaming_session_rollup(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
             "n_events",
             "sum_value",
         )

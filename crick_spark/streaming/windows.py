@@ -37,6 +37,12 @@ def stream_events(
     df = reader.parquet(sf_dir)
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Event-time watermarks require TIMESTAMP_LTZ; the session timezone
+        # is pinned to UTC (session.py) so the wall-clock value is unchanged.
+        # Queries cast window bounds back to timestamp_ntz on output so the
+        # naive-timestamp oracles still hash-match.
+        df = df.withColumn("ts", F.to_timestamp_ltz("ts"))
     return df
 
 
@@ -67,7 +73,7 @@ def streamed_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_events(spark, sf_dir)
     agg = windowed_rollup(sdf)
     out = agg.select(
-        F.col("w.start").alias("hour_start"),
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
         "cnt",
         "sum_value",
