@@ -26,6 +26,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ltz(df: DataFrame, col: str) -> DataFrame:
+    """Coerce a TIMESTAMP_NTZ time column to TIMESTAMP_LTZ.
+
+    ``unix_micros`` / window functions over mixed-source unions require LTZ;
+    parquet written with isAdjustedToUTC=false reads as NTZ in Spark 4.  The
+    engine pins the session timezone to UTC (session.py), so the cast is a
+    pure reinterpretation — no wall-clock shift.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.to_timestamp_ltz(col))
+    return df
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -50,6 +63,8 @@ def asof_join(
     struct, never a buffered row set; skewed keys are bounded by the
     window sort, not a join fanout.
     """
+    left = _ltz(left, left_time)
+    right = _ltz(right, right_time)
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__asof_p__")
     r = right.select(
         F.col(right_on).alias(left_on),
@@ -97,6 +112,8 @@ def range_join(
     one bucket; the range predicate is a residual filter on the equi-join.
     """
     width = upper_us - lower_us
+    left = _ltz(left, left_time)
+    right = _ltz(right, right_time)
     lt = F.unix_micros(F.col(left_time))
     rt = F.unix_micros(F.col(right_time))
     lft = left.select(

@@ -87,12 +87,25 @@ def spacesaving_topk_event_types(spark, sf_dir):
 
 @register(
     "spacesaving_topk_users",
-    doc="Space-Saving heavy-hitter users with error bounds (capacity 50 < "
-    "|users|); bounds count≤actual≤count+error asserted in tests.",
+    oracle="""
+SELECT item, cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT user_id AS item, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 10
+""",
+    doc="Space-Saving heavy-hitter users, exact-regime oracle (r2 VERDICT "
+    "promotion): capacity sized from the data (max(4096, |distinct users|) "
+    "— one key-only count-distinct) so the summary never evicts at ANY "
+    "scale factor → counts exact, error = 0, deterministic count DESC / "
+    "item ASC order.  The bounded-error regime (capacity < |items|, "
+    "count ≤ actual ≤ count+error) is asserted separately in "
+    "tests/test_sketch_operators.py.",
 )
 def spacesaving_topk_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return spacesaving_topk(ev, "user_id", 10, capacity=50)
+    n_users = ev.select("user_id").distinct().count()
+    return spacesaving_topk(ev, "user_id", 10, capacity=max(4096, n_users))
 
 
 @register(
@@ -156,14 +169,40 @@ def approx_quantiles_builtin(spark, sf_dir):
 
 @register(
     "approx_distinct_users",
-    doc="approx_count_distinct (HLL++) — API completeness (SURVEY §2.5 "
-    "'Distinct' row); exact twin inside distinct_mktsegments_per_region.",
+    oracle="""
+SELECT count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT event_type) AS exact_event_types,
+       TRUE AS users_within_bound,
+       TRUE AS types_within_bound
+FROM events
+""",
+    doc="approx_count_distinct (HLL++) with a driver-checkable error-bound "
+    "oracle (r2 VERDICT promotion): the Spark side emits the exact distinct "
+    "counts plus booleans asserting the HLL++ estimate (rsd=0.01) lands "
+    "within 4·rsd of exact — the reference's tolerance-as-correctness "
+    "pattern (crick/tests/test_tdigest.py:99-107) made hash-matchable.  "
+    "A false boolean or drifted exact count breaks the hash.",
 )
 def approx_distinct_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_event_types"),
+    a = ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct("event_type").alias("exact_event_types"),
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+        F.approx_count_distinct("event_type", 0.01).alias("ae"),
+    )
+    bound = 0.04  # 4·rsd
+    return a.select(
+        "exact_users",
+        "exact_event_types",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(bound)
+        ).alias("users_within_bound"),
+        (
+            F.abs(F.col("ae") - F.col("exact_event_types"))
+            <= F.greatest(F.col("exact_event_types") * F.lit(bound), F.lit(1.0))
+        ).alias("types_within_bound"),
     )
 
 
@@ -212,6 +251,94 @@ def tdigest_centroids_events(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return tdigest_centroids(ev, "value", by=["event_type"])
+
+
+@register(
+    "tdigest_centroid_invariants",
+    oracle="""
+SELECT event_type,
+       count(value) AS n_values,
+       TRUE AS weight_matches,
+       TRUE AS means_in_range,
+       TRUE AS means_monotone
+FROM events GROUP BY event_type
+""",
+    doc="Digest structural invariants as a hash-matchable oracle (r2 VERDICT "
+    "promotion of the rows-only centroids surface): per event_type the "
+    "centroid set must satisfy Σweight = row count exactly (weights are "
+    "integer sample counts), all centroid means within [min(value), "
+    "max(value)], and means strictly ascending (crick's merge invariant, "
+    "tdigest_stubs.c:186-187 asserts exactly this).  Emitted as booleans "
+    "beside the exact count so any violation breaks the driver hash.",
+)
+def tdigest_centroid_invariants(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crick_spark.operators import tdigest_centroids
+
+    ev = load_table(spark, sf_dir, "events")
+    cent = tdigest_centroids(ev, "value", by=["event_type"])
+    lag_mean = F.lag("mean").over(
+        W.partitionBy("event_type").orderBy("centroid")
+    )
+    per_type = (
+        cent.withColumn("step_ok", (lag_mean.isNull()) | (F.col("mean") > lag_mean))
+        .groupBy("event_type")
+        .agg(
+            F.sum("weight").alias("w_total"),
+            F.min("mean").alias("mean_lo"),
+            F.max("mean").alias("mean_hi"),
+            F.bool_and("step_ok").alias("means_monotone"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.min("value").alias("v_lo"),
+        F.max("value").alias("v_hi"),
+    )
+    return exact.join(F.broadcast(per_type), "event_type").select(
+        "event_type",
+        "n_values",
+        (F.abs(F.col("w_total") - F.col("n_values")) < F.lit(1e-6)).alias(
+            "weight_matches"
+        ),
+        (
+            (F.col("mean_lo") >= F.col("v_lo")) & (F.col("mean_hi") <= F.col("v_hi"))
+        ).alias("means_in_range"),
+        "means_monotone",
+    )
+
+
+@register(
+    "tdigest_quantile_accuracy",
+    oracle="SELECT "
+    + ", ".join(
+        f"TRUE AS ok_{str(q).replace('.', '_')}" for q in [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ),
+    doc="t-digest quantile accuracy at the reference's own tolerance "
+    "(|cdf(estimate) − q| ≤ 0.012, crick/tests/test_tdigest.py:99-102) as "
+    "a hash-matchable oracle: the digest estimates quantiles of "
+    "events.value, the exact empirical CDF (midpoint-at-ties convention, "
+    "test_tdigest.py:52-56) is evaluated at each estimate JVM-side, and "
+    "the per-q pass/fail booleans are what the driver hashes.",
+)
+def tdigest_quantile_accuracy(spark, sf_dir):
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ev = load_table(spark, sf_dir, "events").select("value")
+    est = tdigest_quantiles(ev, "value", qs)  # 1 row of p* estimates
+    joined = ev.crossJoin(F.broadcast(est))
+    checks = []
+    for q in qs:
+        p = f"p{str(q).replace('.', '_')}"
+        cdf = F.avg(
+            F.when(F.col("value") < F.col(p), 1.0)
+            .when(F.col("value") == F.col(p), 0.5)
+            .otherwise(0.0)
+        )
+        checks.append(
+            (F.abs(cdf - F.lit(q)) <= F.lit(0.012)).alias(f"ok_{str(q).replace('.', '_')}")
+        )
+    return joined.agg(*checks)
 
 
 @register(
@@ -345,12 +472,23 @@ def cms_freq_event_types(spark, sf_dir):
 
 @register(
     "spacesaving_persist_roundtrip",
+    oracle="""
+SELECT event_type, item, cnt, CAST(0 AS BIGINT) AS error FROM (
+  SELECT event_type, user_id AS item, count(*) AS cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id ASC) AS rk
+  FROM events GROUP BY event_type, user_id
+) WHERE rk <= 5
+""",
     doc="Space-Saving persistence (crick pickle surface "
     "space_saving.pyx:229-245): per-event-type summaries → parquet of "
     "binary buffers → read back → Cafaro merge → top-5 with error bounds.  "
     "The incremental heavy-hitters pattern: yesterday's persisted "
-    "summaries absorb today's partials without rescanning history; "
-    "equality with the direct path asserted in tests.",
+    "summaries absorb today's partials without rescanning history.  "
+    "Capacity is data-sized (max(1024, |distinct users|)) so the exact "
+    "regime holds at any SF → counts exact, error = 0, hash-matches the "
+    "window-rank oracle (r2 VERDICT promotion); roundtrip ≡ direct-path "
+    "equality additionally asserted in tests.",
 )
 def spacesaving_persist_roundtrip(spark, sf_dir):
     import tempfile
@@ -367,10 +505,12 @@ def spacesaving_persist_roundtrip(spark, sf_dir):
     from crick_spark.sketches import SpaceSaving
 
     ev = load_table(spark, sf_dir, "events")
+    # exact regime at any SF: capacity >= |distinct users| (key-only scan)
+    cap = max(1024, ev.select("user_id").distinct().count())
 
     def build(pdf: pd.DataFrame) -> SpaceSaving:
         return SpaceSaving.from_batch(
-            pdf["user_id"].to_numpy(np.int64), None, capacity=1000
+            pdf["user_id"].to_numpy(np.int64), None, capacity=cap
         )
 
     ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
@@ -394,10 +534,32 @@ def spacesaving_persist_roundtrip(spark, sf_dir):
 
 @register(
     "moments_persist_roundtrip",
+    oracle="""
+WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+     m AS (SELECT g, avg(x) AS mu FROM s GROUP BY g)
+SELECT s.g AS l_returnflag,
+       count(*) AS cnt,
+       round(sum(x), 1) AS sum_x,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x,
+       round(avg(x), 5) AS mean_x,
+       round(var_pop(x), 1) AS var_pop_x,
+       round(var_samp(x), 1) AS var_samp_x,
+       round(stddev_pop(x), 4) AS std_pop_x,
+       round(stddev_samp(x), 4) AS std_samp_x,
+       round(avg(pow(x - mu, 3)) / pow(avg(pow(x - mu, 2)), 1.5), 5) AS skew_x,
+       round(avg(pow(x - mu, 4)) / pow(avg(pow(x - mu, 2)), 2) - 3, 5) AS kurt_x
+FROM s JOIN m ON s.g = m.g
+GROUP BY s.g, m.mu
+""",
     doc="SummaryStats persistence (crick pickle surface stats.pyx:74-91): "
     "per-returnflag 9-field moment states → parquet → read back → Pébay "
-    "merge → full stats struct.  Blob-sorted merge order keeps float "
-    "results run-stable; equality with the direct path asserted in tests.",
+    "merge → full stats struct.  SummaryStats is an exact algorithm, so "
+    "the persisted-and-merged result hash-matches the two-pass SQL oracle "
+    "after rounding (r2 VERDICT promotion); blob-sorted merge order keeps "
+    "float results run-stable, and roundtrip ≡ direct-path equality is "
+    "additionally asserted in tests.",
 )
 def moments_persist_roundtrip(spark, sf_dir):
     import tempfile
@@ -429,7 +591,21 @@ def moments_persist_roundtrip(spark, sf_dir):
     def finalize(sk: Moments) -> pd.DataFrame:
         return pd.DataFrame([sk.finalize()])
 
-    return merge_sketches(restored, ops, ["l_returnflag"], finalize, schema)
+    out = merge_sketches(restored, ops, ["l_returnflag"], finalize, schema)
+    return out.select(
+        "l_returnflag",
+        "cnt",
+        F.round("sum_x", 1).alias("sum_x"),
+        F.round("min_x", 6).alias("min_x"),
+        F.round("max_x", 6).alias("max_x"),
+        F.round("mean_x", 5).alias("mean_x"),
+        F.round("var_pop_x", 1).alias("var_pop_x"),
+        F.round("var_samp_x", 1).alias("var_samp_x"),
+        F.round("std_pop_x", 4).alias("std_pop_x"),
+        F.round("std_samp_x", 4).alias("std_samp_x"),
+        F.round("skew_x", 5).alias("skew_x"),
+        F.round("kurt_x", 5).alias("kurt_x"),
+    )
 
 
 @register(

@@ -28,24 +28,36 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table; normalizes the ``events.ts`` nanosecond timestamp.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP_LTZ whatever the parquet encoding.
 
-    The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long nanos (legacy conf) and truncate to
-    microseconds — the same truncation DuckDB applies, so oracle
-    comparisons agree.
+    The driver has regenerated events.parquet with different physical types
+    between rounds — TIMESTAMP(NANOS) (reads as long under the legacy nanos
+    conf), then timestamp[us] with isAdjustedToUTC=false (reads as
+    TIMESTAMP_NTZ in Spark 4).  Every engine consumer (``unix_micros`` range
+    joins, watermarks, window()) requires TIMESTAMP_LTZ, so this is the single
+    choke point for the contract: long-nanos → truncate to micros;
+    TIMESTAMP_NTZ → reinterpret as LTZ.  The session timezone is pinned to
+    UTC (session.py), so the NTZ→LTZ conversion is value-preserving and
+    DuckDB's naive-timestamp oracles still hash-match.
     """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
+        # integer division: double division loses precision on ~1.7e18
+        # nanosecond values (> 2^53) and rounds the microsecond up
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_timestamp_ltz("ts"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; ``events.ts`` is normalized via ``normalize_events_ts``."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") in ("bigint", "long"):
-            # integer division: double division loses precision on ~1.7e18
-            # nanosecond values (> 2^53) and rounds the microsecond up
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

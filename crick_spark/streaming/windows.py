@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crick_spark.sources.tables import load_table
+from crick_spark.sources.tables import load_table, normalize_events_ts
 
 
 def stream_events(
@@ -34,16 +34,10 @@ def stream_events(
     ).option("pathGlobFilter", "events.parquet")  # file source needs a dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if dict(df.dtypes).get("ts") == "timestamp_ntz":
-        # Event-time watermarks require TIMESTAMP_LTZ; the session timezone
-        # is pinned to UTC (session.py) so the wall-clock value is unchanged.
-        # Queries cast window bounds back to timestamp_ntz on output so the
-        # naive-timestamp oracles still hash-match.
-        df = df.withColumn("ts", F.to_timestamp_ltz("ts"))
-    return df
+    # Centralized ts contract (sources/tables.py): long-nanos → micros,
+    # NTZ → LTZ (UTC session tz, value-preserving).  Queries cast window
+    # bounds back to timestamp_ntz on output so naive oracles hash-match.
+    return normalize_events_ts(reader.parquet(sf_dir))
 
 
 def windowed_rollup(

@@ -1,0 +1,68 @@
+"""Testdata-contract tests for the source layer.
+
+The driver regenerates /root/testdata between rounds and has already changed
+the events.ts parquet encoding twice (TIMESTAMP(NANOS) → timestamp[us]/NTZ).
+``normalize_events_ts`` is the single choke point for that contract; these
+tests pin it at every scale factor so an encoding change breaks HERE, loudly,
+instead of deep inside a range-join analysis error mid-bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType, TimestampType
+
+SF_DIRS = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in SF_DIRS if os.path.isdir(d)])
+def test_events_ts_is_ltz_at_every_sf(spark, sf_dir):
+    from crick_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType == TimestampType(), (
+        f"{sf_dir}/events.parquet: ts must normalize to TIMESTAMP_LTZ, "
+        f"got {df.schema['ts'].dataType}"
+    )
+    # LTZ-only expressions must analyze (this is what broke in round 2)
+    df.select(F.unix_micros("ts")).limit(1).collect()
+
+
+def test_normalize_handles_all_encodings(spark):
+    """The normalizer must cover every encoding the driver has shipped:
+    long nanos, TIMESTAMP_NTZ, and already-LTZ (idempotence)."""
+    from crick_spark.sources.tables import normalize_events_ts
+
+    nanos = 1_700_000_000_123_456_789  # > 2^53: catches float-division drift
+    long_df = spark.createDataFrame(
+        [(nanos,)], StructType([StructField("ts", LongType())])
+    )
+    out = normalize_events_ts(long_df)
+    assert out.schema["ts"].dataType == TimestampType()
+    assert out.select(F.unix_micros("ts")).first()[0] == nanos // 1000
+
+    ntz_df = spark.createDataFrame(
+        [("2024-05-01 12:34:56.789",)], ["s"]
+    ).select(F.to_timestamp_ntz("s").alias("ts"))
+    assert ntz_df.schema["ts"].dataType == TimestampNTZType()
+    out = normalize_events_ts(ntz_df)
+    assert out.schema["ts"].dataType == TimestampType()
+    # UTC session tz ⇒ wall-clock value preserved exactly
+    assert str(out.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS")).first()[0]) == (
+        "2024-05-01 12:34:56.789"
+    )
+
+    ltz_df = out
+    again = normalize_events_ts(ltz_df)
+    assert again.schema["ts"].dataType == TimestampType()
+
+
+def test_streaming_reader_matches_batch_contract(spark):
+    """stream_events must yield the same normalized ts type as load_table."""
+    from crick_spark.streaming.windows import stream_events
+
+    sdf = stream_events(spark, "/root/testdata/sf0.001")
+    assert sdf.schema["ts"].dataType == TimestampType()
