@@ -8,15 +8,28 @@ absorbs one-time per-plan costs that a long-running cluster amortizes
 (parquet file listing, schema read, whole-stage codegen compilation), the
 second is the recorded steady-state time (full plan → run → collect, data
 NOT cached — IO is real).
+
+Robustness (round-2 lesson: one broken plan zeroed the whole round's perf
+signal): every query runs under its own try/except — a failure is recorded
+in "errors" and excluded from the total instead of crashing the harness.
+``python bench.py --preflight`` additionally analyzes EVERY registered
+query (schema resolution, no execution) and exits non-zero listing broken
+plans — the cheap smoke gate to run after any plan change.
+
+Trend: the JSON includes "deltas" (this run's per-query sec minus the most
+recent BENCH_r*.json that timed the same query) so per-query regressions
+are visible, not just the total.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -68,6 +81,52 @@ HEADLINE = [
 ]
 
 
+def previous_times() -> dict[str, float]:
+    """Per-query seconds from the most recent BENCH_r*.json with timings."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            qs = (
+                data.get("queries")
+                or (data.get("parsed") or {}).get("queries")
+                or (data.get("result") or {}).get("queries")
+            )
+            if qs:
+                return {k: float(v) for k, v in qs.items()}
+        except (json.JSONDecodeError, TypeError, ValueError, OSError):
+            continue
+    return {}
+
+
+def preflight(spark, sf_dir: str) -> int:
+    """Analyze every registered query (no execution); return failure count.
+
+    Catches AnalysisException-class breakage — unresolved columns, type
+    mismatches like round 2's TIMESTAMP_NTZ/unix_micros — in seconds,
+    before it can crash a bench or the driver gate.
+    """
+    from crick_spark.plans import QUERIES
+
+    failures = 0
+    for name, spec in QUERIES.items():
+        try:
+            # .schema forces full analysis of the plan without running it
+            # (plan-construction side effects like data-sized capacity
+            # counts do run — they are part of building the plan)
+            _ = spec.fn(spark, sf_dir).schema
+        except Exception:
+            failures += 1
+            print(f"PREFLIGHT FAIL {name}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+    print(
+        f"preflight: {len(QUERIES) - failures}/{len(QUERIES)} plans analyze",
+        file=sys.stderr,
+    )
+    return failures
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -79,26 +138,40 @@ def main() -> None:
     spark = get_session("crick-spark-bench")
     spark.range(1_000_000).count()  # JVM warmup
 
+    if "--preflight" in sys.argv:
+        sys.exit(1 if preflight(spark, sf_dir) else 0)
+
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        fn(spark, sf_dir).collect()  # warmup: metadata + codegen
-        t0 = time.time()
-        n = fn(spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 3)
-        assert len(n) >= 0
+        try:
+            fn(spark, sf_dir).collect()  # warmup: metadata + codegen
+            t0 = time.time()
+            n = fn(spark, sf_dir).collect()
+            times[name] = round(time.time() - t0, 3)
+            assert len(n) >= 0
+        except Exception as exc:  # isolate: one broken query ≠ no bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH FAIL {name}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    prev = previous_times()
+    deltas = {
+        k: round(v - prev[k], 3) for k, v in times.items() if k in prev
+    }
+    out = {
+        "metric": "headline_query_set_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if deltas:
+        out["deltas"] = deltas
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

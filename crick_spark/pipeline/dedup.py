@@ -84,6 +84,18 @@ def shingle_hash_postings(
     row-local distinct ≡ global distinct), and explodes.  Strings never
     leave the word stage.
 
+    Preconditions/semantics:
+
+    * ``docs`` must have exactly one row per ``id_col`` — duplicate-id
+      input would emit duplicate (id, th) postings and inflate the
+      count(*)-based set sizes in the Jaccard join downstream.
+    * NULL text is coalesced to '' before shingling, so null-text and
+      empty-text docs hash identically and every doc emits exactly one
+      fallback posting (the every-doc-has-≥1-posting invariant that
+      ``minhash_signatures_opm``'s densification relies on).  Two empty
+      docs are trivially Jaccard-1.0 duplicates of each other — filter
+      empty docs upstream if that pairing is unwanted.
+
     The projection split is load-bearing: naming the word-hash array in its
     own projection stops Catalyst's CollapseProject from inlining the
     ``transform`` into every ``element_at`` reference (n copies → words
@@ -93,7 +105,7 @@ def shingle_hash_postings(
     variant.  Docs shorter than n words contribute one whole-text shingle
     (reference semantics of ``shingles_expr``)."""
     extra_cols = extra_cols or []
-    words = words_expr(F.col(text_col))
+    words = words_expr(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],

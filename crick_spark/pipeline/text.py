@@ -225,26 +225,35 @@ def boilerplate_ngram_stats(
     document length), a single-row count broadcast for the threshold, and
     the boilerplate set itself — small by construction, since only grams
     repeated across ≥ doc_frac of the corpus qualify — broadcasts back onto
-    the exploded grams, so the only full shuffle is the gram rollup."""
-    grams = docs.select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("g")
-    )
-    # shingles_expr is distinct-per-doc, so count(*) == count(DISTINCT doc):
+    the exploded grams, so the only full shuffle is the gram rollup.
+
+    Grams travel as 8-byte xxhash64 values (``shingle_hash_postings``),
+    never as n-gram strings: the per-row cost is word-hash + n-window
+    rehash instead of string slicing/concat, and both the rollup shuffle
+    and the broadcast boilerplate set carry longs.  Identity-only use of
+    the gram (count / membership) makes the hash substitution exact up to
+    64-bit collisions (~|grams|²/2⁶⁵ — negligible at any corpus size that
+    fits a cluster).  Measured at sf0.1: 1.3 s vs 5.0 s for the
+    string-gram variant, same results."""
+    from crick_spark.pipeline.dedup import shingle_hash_postings
+
+    grams = shingle_hash_postings(docs, id_col, text_col, n)
+    # postings are distinct-per-doc, so count(*) == count(DISTINCT doc):
     # plain count keeps full map-side partial aggregation (measured ~15%
     # faster at sf0.1).  A single-pass window-count-over-gram variant
     # measured 2x faster locally but puts every occurrence of a hot gram in
     # one partition — and boilerplate grams are hot by definition (>=20% of
     # the corpus), so it cannot survive scale; the two-pass groupBy keeps
     # hot keys collapsed map-side.
-    ndocs_per_gram = grams.groupBy("g").agg(F.count("*").alias("ndocs"))
+    ndocs_per_gram = grams.groupBy("th").agg(F.count("*").alias("ndocs"))
     total = docs.agg(F.count("*").alias("ntot"))
     boiler = (
         ndocs_per_gram.join(F.broadcast(total))
         .where(F.col("ndocs") >= F.lit(doc_frac) * F.col("ntot"))
-        .select("g", F.lit(1).alias("is_boiler"))
+        .select("th", F.lit(1).alias("is_boiler"))
     )
     cov = (
-        grams.join(F.broadcast(boiler), "g", "left")
+        grams.join(F.broadcast(boiler), "th", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),

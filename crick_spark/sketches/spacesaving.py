@@ -17,6 +17,18 @@ plain dict of ≤ capacity entries.  The weighted-eviction quirk the survey
 flags (full summary ignores the increment's count,
 ``space_saving_stubs.c.in:229-231``) is NOT replicated: eviction inserts
 with ``evicted + count`` per the documented "count observations" semantics.
+
+Dtype parity: the reference specializes over i8/f8/arbitrary-Python-object
+items (``space_saving.pyx:183-195``; object refcounting
+``space_saving_stubs.c.in:146-203``).  Here items are whatever scalars the
+batch carries — int64/float64/str cover every Spark column type an engine
+query can group on (``numpy.unique`` handles all three); the reference's
+arbitrary-*unhashable-rejecting* Python-object path has no Spark-SQL
+analog (SQL values are always hashable scalars) and is intentionally not
+replicated.  Float keys group by value (numpy semantics), not by bit
+pattern — so unlike crick, ``-0.0 == 0.0`` and NaNs do not self-group;
+this matches Spark GROUP BY's normalization and is the documented delta
+(SURVEY §1.2).
 """
 
 from __future__ import annotations

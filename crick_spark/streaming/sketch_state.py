@@ -95,10 +95,9 @@ def spacesaving_stream_topk(
     micro-batch folds its rows in and emits the current top-k with error
     bounds.
 
-    Uses ``applyInPandasWithState``; the Spark 4.x
-    ``transformWithStateInPandas`` port is mechanical (ValueState instead
-    of GroupState) but that API needs protobuf at runtime, which this
-    container lacks — gated off rather than shipped untested."""
+    Uses ``applyInPandasWithState``; the Spark 4.x port is
+    ``spacesaving_stream_topk_tws`` below (ValueState instead of
+    GroupState), gated on the protobuf runtime probe ``tws_available``."""
     from crick_spark.sketches import SpaceSaving
 
     out_schema = StructType(
@@ -140,4 +139,92 @@ def spacesaving_stream_topk(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.x transformWithStateInPandas port
+# ---------------------------------------------------------------------------
+def tws_available() -> tuple[bool, str]:
+    """Runtime probe for the transformWithStateInPandas prerequisites.
+
+    The TWS Python worker speaks a protobuf protocol to the JVM state
+    server (pyspark.sql.streaming.proto imports google.protobuf), so the
+    API exists but cannot RUN without the protobuf package.  Returns
+    (ok, reason) so callers/tests can gate with an explicit message
+    instead of failing deep inside a stream worker."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False, "google.protobuf not installed (TWS state protocol dependency)"
+    try:
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+    except ImportError:
+        return False, "pyspark.sql.streaming.StatefulProcessor not available"
+    return True, ""
+
+
+def spacesaving_stream_topk_tws(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 5,
+    capacity: int = 50,
+) -> DataFrame:
+    """``spacesaving_stream_topk`` on the Spark 4.x state API
+    (``transformWithStateInPandas`` + ValueState): same per-key bounded
+    Space-Saving summary, same output schema — only the state plumbing
+    differs.  Raises ImportError with the probe's reason when the runtime
+    lacks protobuf (see ``tws_available``); semantics-equivalence vs the
+    applyInPandasWithState path is asserted in tests when the dep exists
+    and recorded as an explicit skip when it doesn't."""
+    ok, reason = tws_available()
+    if not ok:
+        raise ImportError(f"transformWithStateInPandas unavailable: {reason}")
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from crick_spark.sketches import SpaceSaving
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("rank", LongType()),
+            StructField("item", LongType()),
+            StructField("cnt", LongType()),
+            StructField("error", LongType()),
+        ]
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("summary", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                sk = pickle.loads(bytes.fromhex(self._state.get()[0]))
+            else:
+                sk = SpaceSaving(capacity=capacity)
+            for pdf in rows:
+                sk.add_batch(pdf[item_col].to_numpy(np.int64))
+            self._state.update((pickle.dumps(sk).hex(),))
+            top = sk.topk(k)
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(top),
+                    "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                    "item": [t[0] for t in top],
+                    "cnt": [t[1] for t in top],
+                    "error": [t[2] for t in top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        TopKProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -448,3 +448,31 @@ def test_domain_mix_resample(spark, docs):
         ).collect()
     }
     assert a == b and a
+
+
+def test_null_and_empty_text_postings_identical(spark):
+    """NULL text is coalesced to '' before shingling: null-text and
+    empty-text docs emit the SAME single fallback posting (the
+    every-doc-has-≥1-posting invariant densification relies on), and
+    they pair with each other — but not with real-content docs — in the
+    sparse Jaccard join (documented shingle_hash_postings semantics)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from crick_spark.pipeline.dedup import shingle_hash_postings
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [("d_null", None), ("d_empty", ""), ("d_real", "the quick brown fox")],
+        schema,
+    )
+    posts = shingle_hash_postings(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in posts:
+        by_doc.setdefault(r.doc_id, set()).add(r.th)
+    # every doc emits at least one posting; null ≡ empty, real differs
+    assert set(by_doc) == {"d_null", "d_empty", "d_real"}
+    assert len(by_doc["d_null"]) == 1 and len(by_doc["d_empty"]) == 1
+    assert by_doc["d_null"] == by_doc["d_empty"]
+    assert by_doc["d_real"].isdisjoint(by_doc["d_null"])

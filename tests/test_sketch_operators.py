@@ -440,7 +440,11 @@ def test_spacesaving_persist_roundtrip_equals_direct(spark):
 
 def test_moments_persist_roundtrip_equals_direct(spark):
     """Persist → restore → Pébay merge ≡ direct moments_agg (bit-equal:
-    both paths fold blobs in sorted byte order)."""
+    both paths fold blobs in sorted byte order).  The registered query
+    rounds for its SQL oracle, so the direct path gets the same in-query
+    rounding before comparison."""
+    from pyspark.sql import functions as F
+
     from crick_spark.operators.crick_ops import moments_agg
     from crick_spark.plans import QUERIES
     from crick_spark.sources.tables import load_table
@@ -452,8 +456,18 @@ def test_moments_persist_roundtrip_equals_direct(spark):
         .sort_values("l_returnflag", ignore_index=True)
     )
     li = load_table(spark, SF_SMALL, "lineitem")
+    rounds = {
+        "sum_x": 1, "min_x": 6, "max_x": 6, "mean_x": 5, "var_pop_x": 1,
+        "var_samp_x": 1, "std_pop_x": 4, "std_samp_x": 4, "skew_x": 5,
+        "kurt_x": 5,
+    }
+    direct = moments_agg(li, "l_extendedprice", by=["l_returnflag"])
     want = (
-        moments_agg(li, "l_extendedprice", by=["l_returnflag"])
+        direct.select(
+            "l_returnflag",
+            "cnt",
+            *[F.round(c, d).alias(c) for c, d in rounds.items()],
+        )
         .toPandas()
         .sort_values("l_returnflag", ignore_index=True)
     )

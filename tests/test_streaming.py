@@ -192,3 +192,49 @@ def test_spacesaving_stream_topk_exact_regime(spark):
             assert ex[r["item"]] == r["cnt"], (key, r["item"])
         excluded = ex.drop(index=g["item"])
         assert g["cnt"].min() >= excluded.max(), key
+
+
+def test_spacesaving_stream_topk_tws_port(spark):
+    """Spark 4.x transformWithStateInPandas port of the streaming top-k.
+
+    Runs the TWS path and asserts it matches the applyInPandasWithState
+    path exactly when the runtime has protobuf (the TWS state-protocol
+    dependency); in this container protobuf is absent and cannot be
+    installed, so the test records an explicit skip with the probe's
+    reason — the gate the round-2 review asked to make verifiable."""
+    import uuid
+
+    import pytest
+
+    from crick_spark.streaming.sketch_state import (
+        spacesaving_stream_topk,
+        spacesaving_stream_topk_tws,
+        tws_available,
+    )
+    from crick_spark.streaming.windows import stream_events
+
+    ok, reason = tws_available()
+    if not ok:
+        with pytest.raises(ImportError, match="transformWithStateInPandas unavailable"):
+            spacesaving_stream_topk_tws(stream_events(spark, SF_SMALL))
+        pytest.skip(f"TWS runtime dep missing: {reason}")
+
+    results = {}
+    for label, build in (
+        ("tws", spacesaving_stream_topk_tws),
+        ("apips", spacesaving_stream_topk),
+    ):
+        out = build(stream_events(spark, SF_SMALL), "event_type", "user_id", k=5, capacity=5000)
+        sink = f"t_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        results[label] = (
+            spark.table(sink).toPandas().sort_values(["key", "rank"], ignore_index=True)
+        )
+    assert results["tws"].equals(results["apips"])
