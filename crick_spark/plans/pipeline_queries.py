@@ -827,3 +827,41 @@ def embedding_dim_stats(spark, sf_dir):
             F.round(F.max("v"), 6).alias("max_v"),
         )
     )
+
+
+@register(
+    "zorder_layout_prune",
+    oracle="""
+SELECT count(*) AS n_rows,
+       round(sum(l_extendedprice), 1) AS sum_price,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60
+""",
+    doc="Z-order layout rewrite + pruned scan (beyond-reference table "
+    "maintenance, the OPTIMIZE ZORDER BY role): lineitem is rewritten "
+    "clustered on the Morton curve over (l_partkey, l_suppkey) and a "
+    "two-dimensional range filter is answered from the rewritten files.  "
+    "Layout must never change query results — the oracle is the same "
+    "filter on the original table; the pruning benefit (per-file min/max "
+    "ranges tight in BOTH dimensions at once) is asserted quantitatively "
+    "in tests/test_pipeline.py.",
+)
+def zorder_layout_prune(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.pipeline.layout import zorder_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="crick_zorder_") + "/lineitem_z.parquet"
+    zorder_by(li, ["l_partkey", "l_suppkey"], bits_per_col=6).write.option(
+        "maxRecordsPerFile", 50_000
+    ).mode("overwrite").parquet(path)
+    z = spark.read.parquet(path)
+    return z.where(
+        F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 60)
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )

@@ -57,6 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; ``events.ts`` is normalized via ``normalize_events_ts``."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→LTZ reinterpretation (and DuckDB naive-timestamp oracle
+        # agreement) is only lossless under UTC; pin it so a vanilla
+        # driver session with a different zone cannot skew event times.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -476,3 +476,48 @@ def test_null_and_empty_text_postings_identical(spark):
     assert len(by_doc["d_null"]) == 1 and len(by_doc["d_empty"]) == 1
     assert by_doc["d_null"] == by_doc["d_empty"]
     assert by_doc["d_real"].isdisjoint(by_doc["d_null"])
+
+
+def test_zorder_tightens_per_file_ranges(spark, tmp_path):
+    """Z-order clustering must (a) preserve row content exactly and
+    (b) tighten per-file min/max envelopes on BOTH clustered columns at
+    once — the statistic parquet row-group pruning consults.  Metric:
+    mean per-file fraction of each column's global range; a random
+    (unsorted) layout leaves every file spanning ~the full range
+    (fraction ≈ 1), the Morton layout must cut the mean fraction on both
+    dimensions substantially."""
+    from crick_spark.pipeline.layout import scan_stats, zorder_by
+    from crick_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    plain_path = str(tmp_path / "plain.parquet")
+    z_path = str(tmp_path / "zorder.parquet")
+    files_opt = ("maxRecordsPerFile", 500)
+    li.repartition(4).write.option(*files_opt).parquet(plain_path)
+    zorder_by(li, ["l_partkey", "l_suppkey"], bits_per_col=6, num_partitions=4).write.option(
+        *files_opt
+    ).parquet(z_path)
+
+    # (a) content identical
+    z = spark.read.parquet(z_path)
+    assert z.count() == li.count()
+    assert (
+        z.exceptAll(li).count() == 0 and li.exceptAll(z).count() == 0
+    ), "zorder_by changed row content"
+
+    # (b) per-file envelopes tight in both dims
+    def mean_frac(path, col):
+        stats = scan_stats(spark, path, ["l_partkey", "l_suppkey"]).toPandas()
+        lo, hi = stats[f"min_{col}"], stats[f"max_{col}"]
+        full = max(stats[f"max_{col}"].max() - stats[f"min_{col}"].min(), 1)
+        return float(((hi - lo) / full).mean())
+
+    for col in ("l_partkey", "l_suppkey"):
+        plain_f = mean_frac(plain_path, col)
+        z_f = mean_frac(z_path, col)
+        assert z_f < plain_f * 0.6, (
+            f"{col}: z-order mean per-file range fraction {z_f:.3f} "
+            f"not < 60% of unsorted {plain_f:.3f}"
+        )
