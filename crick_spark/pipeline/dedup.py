@@ -492,31 +492,56 @@ def simhash_expr(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """SimHash-64 via explode → hash-aggregate: each word hashed once, 64
-    bit-vote sums accumulate map-side, fingerprint assembled from the
-    aggregated votes.  Materializing through the aggregation barrier also
-    stops Catalyst re-inlining the 64-fold expression tree at every
+    """SimHash-64 via explode → hash-aggregate: each word hashed once, the
+    64 per-bit vote sums accumulate map-side, fingerprint assembled from
+    the aggregated votes.  Materializing through the aggregation barrier
+    also stops Catalyst re-inlining the 64-fold expression tree at every
     downstream reference (the pure-expression ``simhash_expr`` is kept for
-    single-use column contexts)."""
+    single-use column contexts).
+
+    SWAR packing: instead of 64 ``sum(±1)`` aggregate buffers, the 64 bit
+    counts ride in 16 longs of four 16-bit lanes each (bit ``4g+j`` of the
+    word hash adds ``1 << 16j`` to packed sum ``g``) plus one row count;
+    the ±1 vote for bit b is recovered exactly as ``2·bitcount_b − n``, so
+    fingerprints are bit-identical to the unpacked form (asserted in
+    tests).  Local wall time is flat (per-row ALU work is the same —
+    measured 1.57 s vs 1.60 s at sf0.1) but the partial-aggregation row
+    shrinks 64→17 longs, i.e. the map-side partial shuffled per doc per
+    partition drops 512 B → 136 B — a 3.7× shuffle-width cut that is the
+    point at cluster scale.  Lane capacity 2¹⁶ words per doc per
+    partition — far above any real document; longer docs would need
+    32-bit lanes (8 packed sums)."""
     h = docs.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("w")
     ).select(F.col(id_col), F.xxhash64(F.col("w")).alias("h"))
+    one = F.lit(1).cast("long")
+
+    def packed_lane(g: int) -> Column:
+        return F.sum(
+            reduce(
+                lambda a, b: a.bitwiseOR(b),
+                [
+                    F.shiftleft(
+                        F.shiftright(F.col("h"), 4 * g + j).bitwiseAND(one), 16 * j
+                    )
+                    for j in range(4)
+                ],
+            )
+        ).alias(f"p{g}")
+
     votes = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+        F.count("*").alias("n"), *[packed_lane(g) for g in range(16)]
     )
-    fingerprint = reduce(
-        lambda a, c: a.bitwiseOR(c),
-        [
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
-            for b in range(64)
-        ],
-    )
+    mask = F.lit(0xFFFF).cast("long")
+
+    def bit_set(b: int) -> Column:
+        g, j = divmod(b, 4)
+        cnt = F.shiftright(F.col(f"p{g}"), 16 * j).bitwiseAND(mask)
+        return F.when(
+            cnt * 2 > F.col("n"), F.shiftleft(one, b)
+        ).otherwise(F.lit(0).cast("long"))
+
+    fingerprint = reduce(lambda a, c: a.bitwiseOR(c), [bit_set(b) for b in range(64)])
     return votes.select(F.col(id_col), fingerprint.alias("sh"))
 
 

@@ -521,3 +521,38 @@ def test_zorder_tightens_per_file_ranges(spark, tmp_path):
             f"{col}: z-order mean per-file range fraction {z_f:.3f} "
             f"not < 60% of unsorted {plain_f:.3f}"
         )
+
+
+def test_simhash_swar_packing_bit_identical(spark, docs):
+    """The 16-bit-lane SWAR vote packing must reproduce the unpacked
+    64-aggregate fingerprints exactly (vote_b = 2*bitcount_b - n > 0 is
+    the same predicate as sum(+/-1) > 0)."""
+    from functools import reduce
+
+    from crick_spark.pipeline.dedup import simhash_signatures, words_expr
+
+    got = {
+        r.doc_id: r.sh for r in simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    h = docs.select(
+        F.col("doc_id"), F.explode(words_expr(F.col("text"))).alias("w")
+    ).select(F.col("doc_id"), F.xxhash64(F.col("w")).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fingerprint = reduce(
+        lambda a, c: a.bitwiseOR(c),
+        [
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    want = {r.doc_id: r.sh for r in votes.select("doc_id", fingerprint.alias("sh")).collect()}
+    assert got == want
