@@ -225,17 +225,19 @@ def minhash_signatures_opm(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     df: DataFrame,
     id_col: str,
     sig_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: two docs are candidates iff one band of their signatures
-    matches exactly.  Implemented as explode(band) → shuffle by (band, hash)
-    → self-join inside buckets; emits distinct (id_a < id_b) pairs."""
-    banded = df.select(
+    """LSH band buckets of a signature column: (id, band, bucket) rows,
+    bucket = hash of the band's signature slice.  Deterministic per doc —
+    independent of batching/partitioning — which is what lets the
+    streaming incremental dedup join a new batch's buckets against a
+    persisted history of old ones (``streaming/incremental_dedup.py``)."""
+    return df.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -257,6 +259,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: two docs are candidates iff one band of their signatures
+    matches exactly.  Implemented as explode(band) → shuffle by (band, hash)
+    → self-join inside buckets; emits distinct (id_a < id_b) pairs."""
+    banded = band_buckets(df, id_col, sig_col, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -906,3 +906,123 @@ def full_outer_reconciliation(spark, sf_dir):
         .otherwise("both")
         .alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion_users",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM s1) AS n_viewed,
+       (SELECT count(*) FROM s2) AS n_clicked_after_view,
+       (SELECT count(*) FROM s3) AS n_purchased_after_click,
+       round((SELECT count(*) FROM s3) * 1.0 /
+             (SELECT count(*) FROM s1), 6) AS view_to_purchase_rate
+""",
+    doc="Ordered three-stage funnel (view -> click -> purchase, each stage "
+    "strictly at-or-after the previous stage's first completion) — the "
+    "classic event-analytics sequence query.  Three stage aggregates, "
+    "each a groupBy(user) co-partitioned with the previous stage's join: "
+    "every shuffle is on user_id, so at scale AQE reuses one exchange "
+    "layout; no window over the full stream, no row explosion.",
+)
+def funnel_conversion_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(F.broadcast(s1.agg(F.count("*").alias("n_viewed"))))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_clicked_after_view"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_purchased_after_click"))))
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked_after_view",
+            "n_purchased_after_click",
+            F.round(
+                F.col("n_purchased_after_click") / F.col("n_viewed"), 6
+            ).alias("view_to_purchase_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2-style validity intervals from the event changelog
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_event_type_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+  FROM events),
+islands AS (
+  SELECT user_id, event_type, min(ts) AS valid_from, count(*) AS n_events
+  FROM ordered GROUP BY user_id, event_type, island)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM islands
+""",
+    doc="SCD2-style dimension history from a changelog: collapse each "
+    "user's consecutive same-type events into validity intervals "
+    "[valid_from, valid_to) with the gaps-and-islands double-row_number "
+    "trick, then one lead() for the closing bound — the standard "
+    "slowly-changing-dimension compaction a warehouse maintains from CDC "
+    "feeds.  Two window passes + one aggregate, all partitioned by "
+    "user_id: one shuffle layout reused end-to-end; no self-join.",
+)
+def scd2_event_type_intervals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = (
+        ev.withColumn(
+            "island", F.row_number().over(w_all) - F.row_number().over(w_type)
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from")
+    return islands.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+        "n_events",
+    )

@@ -460,3 +460,36 @@ def streaming_session_rollup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+@register(
+    "streaming_incremental_dedup",
+    doc="Streaming incremental near-dup detection — dedup-against-history "
+    "(the continuous-ingestion pattern for training corpora): documents "
+    "stream in 4 micro-batches; each batch's MinHash/LSH band buckets "
+    "join the accumulated bucket store for cross-batch candidates plus a "
+    "within-batch self-join, then append to the store — history's text "
+    "is never rescanned.  Rows-only for the driver (xxhash64-based); the "
+    "incremental candidate set ≡ single-batch lsh_candidate_pairs is "
+    "asserted exactly in tests/test_streaming.py.",
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    import tempfile
+
+    from crick_spark.streaming.incremental_dedup import (
+        incremental_near_dup_candidates,
+    )
+
+    work = tempfile.mkdtemp(prefix="crick_incdedup_q_")
+    src = f"{work}/docs"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = incremental_near_dup_candidates(
+        spark, sdf, "doc_id", "text", work_dir=f"{work}/state"
+    )
+    return pairs.orderBy("id_a", "id_b")

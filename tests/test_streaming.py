@@ -238,3 +238,33 @@ def test_spacesaving_stream_topk_tws_port(spark):
             spark.table(sink).toPandas().sort_values(["key", "rank"], ignore_index=True)
         )
     assert results["tws"].equals(results["apips"])
+
+
+def test_incremental_dedup_equals_batch_lsh(spark, tmp_path):
+    """The streaming incremental candidate set (4 micro-batches folding
+    into a persisted bucket store) must equal the single-batch
+    lsh_candidate_pairs set EXACTLY — signatures and band buckets are
+    deterministic per doc, so batching cannot change the union."""
+    from crick_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    from crick_spark.sources.tables import load_table
+    from crick_spark.streaming.incremental_dedup import (
+        incremental_near_dup_candidates,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_near_dup_candidates(
+            spark, sdf, "doc_id", "text", work_dir=str(tmp_path / "state")
+        ).collect()
+    }
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    want = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert got == want and len(got) > 0
