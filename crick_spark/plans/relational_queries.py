@@ -1026,3 +1026,62 @@ def scd2_event_type_intervals(spark, sf_dir):
         F.lead("valid_from").over(w_seq).alias("valid_to"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (weekly)
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week)
+SELECT CAST(a.cohort_week AS TIMESTAMP) AS cohort_week,
+       a.week_offset,
+       count(*) AS n_active,
+       round(count(*) * 1.0 / any_value(s.cohort_size), 6) AS retention
+FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset
+""",
+    doc="Weekly cohort retention matrix — the standard growth-analytics "
+    "rollup: users are cohorted by the week of their first event, and "
+    "each (cohort, week-offset) cell counts distinct users still active, "
+    "normalized by cohort size.  Two shuffles on user_id (first-event "
+    "aggregate, activity join) then one small matrix aggregate; the "
+    "cohort-size side is broadcast.  ISO Monday week truncation matches "
+    "DuckDB's date_trunc('week').",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(F.count("*") / F.any_value("cohort_size"), 6).alias("retention"),
+        )
+        .select("cohort_week", "week_offset", "n_active", "retention")
+    )
