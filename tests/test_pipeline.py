@@ -556,3 +556,67 @@ def test_simhash_swar_packing_bit_identical(spark, docs):
     )
     want = {r.doc_id: r.sh for r in votes.select("doc_id", fingerprint.alias("sh")).collect()}
     assert got == want
+
+
+def test_zvalue_bit_interleave_roundtrip(spark):
+    """zvalue_expr must place bit i of column c at output bit i*ncols+c —
+    checked against a pure-Python Morton encode over exhaustive 2x6-bit
+    codes (sampled grid) and 3-column interleave."""
+    from crick_spark.pipeline.layout import zvalue_expr
+
+    def py_morton(codes, bits, ncols):
+        z = 0
+        for c, code in enumerate(codes):
+            for i in range(bits):
+                z |= ((code >> i) & 1) << (i * ncols + c)
+        return z
+
+    rows = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zvalue_expr([F.col("a"), F.col("b")], 6).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == py_morton([a, b], 6, 2), (a, b)
+
+    rows3 = [(a, a * 3 % 16, a * 7 % 16) for a in range(16)]
+    df3 = spark.createDataFrame(rows3, ["a", "b", "c"])
+    got3 = {
+        (r.a, r.b, r.c): r.z
+        for r in df3.select(
+            "a", "b", "c",
+            zvalue_expr([F.col("a"), F.col("b"), F.col("c")], 4).alias("z"),
+        ).collect()
+    }
+    for t in rows3:
+        assert got3[t] == py_morton(list(t), 4, 3), t
+
+
+def test_bucket_code_matches_searchsorted(spark):
+    """bucket_code_expr's branchless binary search must equal numpy
+    searchsorted(cuts, x, side='right') for values on, between, below,
+    and above every cut."""
+    import numpy as np
+
+    from crick_spark.pipeline.layout import bucket_code_expr
+
+    bits = 4
+    cuts = sorted(float(v) for v in np.linspace(3, 93, (1 << bits) - 1))
+    xs = (
+        [c for c in cuts]
+        + [c + 0.5 for c in cuts]
+        + [-10.0, 0.0, 94.0, 1e9]
+    )
+    df = spark.createDataFrame([(float(x),) for x in xs], ["x"])
+    got = {
+        r.x: r.code
+        for r in df.select(
+            "x", bucket_code_expr(F.col("x"), cuts, bits).alias("code")
+        ).collect()
+    }
+    want = np.searchsorted(np.array(cuts), np.array(xs), side="right")
+    for x, w in zip(xs, want):
+        assert got[float(x)] == int(w), (x, got[float(x)], int(w))
