@@ -100,17 +100,31 @@ def previous_times() -> dict[str, float]:
     return {}
 
 
+# Queries whose fn() EXECUTES work at plan-construction time (streams run
+# to completion, layout/persist queries write parquet) — analyzing them is
+# not cheap, so the smoke gate skips them; tools/check_correctness.py and
+# the pytest oracle sweep still run them end-to-end.
+PREFLIGHT_SKIP_SUBSTR = ("stream", "persist_roundtrip", "zorder")
+
+
 def preflight(spark, sf_dir: str) -> int:
-    """Analyze every registered query (no execution); return failure count.
+    """Analyze every cheaply-analyzable registered query; return failure
+    count.
 
     Catches AnalysisException-class breakage — unresolved columns, type
-    mismatches like round 2's TIMESTAMP_NTZ/unix_micros — in seconds,
-    before it can crash a bench or the driver gate.
+    mismatches like round 2's TIMESTAMP_NTZ/unix_micros — in under a
+    minute.  Queries with construction-time side effects (streams,
+    parquet-writing layout/persistence queries; see
+    ``PREFLIGHT_SKIP_SUBSTR``) are skipped here and covered by the full
+    correctness gate instead.
     """
     from crick_spark.plans import QUERIES
 
-    failures = 0
+    failures = skipped = 0
     for name, spec in QUERIES.items():
+        if any(s in name for s in PREFLIGHT_SKIP_SUBSTR):
+            skipped += 1
+            continue
         try:
             # .schema forces full analysis of the plan without running it
             # (plan-construction side effects like data-sized capacity
@@ -120,8 +134,10 @@ def preflight(spark, sf_dir: str) -> int:
             failures += 1
             print(f"PREFLIGHT FAIL {name}", file=sys.stderr)
             traceback.print_exc(file=sys.stderr)
+    checked = len(QUERIES) - skipped
     print(
-        f"preflight: {len(QUERIES) - failures}/{len(QUERIES)} plans analyze",
+        f"preflight: {checked - failures}/{checked} plans analyze "
+        f"({skipped} side-effecting queries skipped)",
         file=sys.stderr,
     )
     return failures

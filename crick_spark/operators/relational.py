@@ -27,16 +27,18 @@ from pyspark.sql import functions as F
 
 
 def _ltz(df: DataFrame, col: str) -> DataFrame:
-    """Coerce a TIMESTAMP_NTZ time column to TIMESTAMP_LTZ.
+    """Coerce a time column to TIMESTAMP_LTZ (NTZ or long-nanos input).
 
     ``unix_micros`` / window functions over mixed-source unions require LTZ;
-    parquet written with isAdjustedToUTC=false reads as NTZ in Spark 4.  The
-    engine pins the session timezone to UTC (session.py), so the cast is a
-    pure reinterpretation — no wall-clock shift.
+    parquet written with isAdjustedToUTC=false reads as NTZ in Spark 4.
+    Delegates to the centralized contract in ``sources/tables.py``
+    (``normalize_events_ts``) so there is one implementation to update
+    when the next encoding change ships; the session timezone is pinned to
+    UTC, so the conversion never shifts wall-clock values.
     """
-    if dict(df.dtypes).get(col) == "timestamp_ntz":
-        return df.withColumn(col, F.to_timestamp_ltz(col))
-    return df
+    from crick_spark.sources.tables import normalize_events_ts
+
+    return normalize_events_ts(df, col)
 
 
 def asof_join(

@@ -515,17 +515,18 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     single-use column contexts).
 
     SWAR packing: instead of 64 ``sum(±1)`` aggregate buffers, the 64 bit
-    counts ride in 16 longs of four 16-bit lanes each (bit ``4g+j`` of the
-    word hash adds ``1 << 16j`` to packed sum ``g``) plus one row count;
+    counts ride in 32 longs of two 32-bit lanes each (bit ``2g+j`` of the
+    word hash adds ``1 << 32j`` to packed sum ``g``) plus one row count;
     the ±1 vote for bit b is recovered exactly as ``2·bitcount_b − n``, so
     fingerprints are bit-identical to the unpacked form (asserted in
-    tests).  Local wall time is flat (per-row ALU work is the same —
-    measured 1.57 s vs 1.60 s at sf0.1) but the partial-aggregation row
-    shrinks 64→17 longs, i.e. the map-side partial shuffled per doc per
-    partition drops 512 B → 136 B — a 3.7× shuffle-width cut that is the
-    point at cluster scale.  Lane capacity 2¹⁶ words per doc per
-    partition — far above any real document; longer docs would need
-    32-bit lanes (8 packed sums)."""
+    tests).  Local wall time is flat (per-row ALU work is the same) but
+    the partial-aggregation row shrinks 64→33 longs, i.e. the map-side
+    partial shuffled per doc per partition drops 512 B → 264 B — the
+    shuffle-width cut that matters at cluster scale.  32-bit lanes are
+    deliberate over denser 16-bit ones: the lane accumulates a doc's
+    TOTAL word count (final-merge adds partials into the same lanes), and
+    Spark 4 runs ANSI mode where a lane overflow would throw mid-job —
+    2³¹ words per doc is safely unreachable, 2¹⁶ (a long book) is not."""
     h = docs.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("w")
     ).select(F.col(id_col), F.xxhash64(F.col("w")).alias("h"))
@@ -537,21 +538,21 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
                 lambda a, b: a.bitwiseOR(b),
                 [
                     F.shiftleft(
-                        F.shiftright(F.col("h"), 4 * g + j).bitwiseAND(one), 16 * j
+                        F.shiftright(F.col("h"), 2 * g + j).bitwiseAND(one), 32 * j
                     )
-                    for j in range(4)
+                    for j in range(2)
                 ],
             )
         ).alias(f"p{g}")
 
     votes = h.groupBy(id_col).agg(
-        F.count("*").alias("n"), *[packed_lane(g) for g in range(16)]
+        F.count("*").alias("n"), *[packed_lane(g) for g in range(32)]
     )
-    mask = F.lit(0xFFFF).cast("long")
+    mask = F.lit(0xFFFFFFFF).cast("long")
 
     def bit_set(b: int) -> Column:
-        g, j = divmod(b, 4)
-        cnt = F.shiftright(F.col(f"p{g}"), 16 * j).bitwiseAND(mask)
+        g, j = divmod(b, 2)
+        cnt = F.shiftright(F.col(f"p{g}"), 32 * j).bitwiseAND(mask)
         return F.when(
             cnt * 2 > F.col("n"), F.shiftleft(one, b)
         ).otherwise(F.lit(0).cast("long"))

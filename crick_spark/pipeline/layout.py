@@ -38,6 +38,12 @@ def zvalue_expr(codes: list, bits_per_col: int) -> F.Column:
     ``i * ncols + c`` is bit ``i`` of ``codes[c]`` — pure shift/mask
     expressions, whole-stage codegen."""
     ncols = len(codes)
+    if ncols * bits_per_col > 63:
+        raise ValueError(
+            f"z-value needs {ncols * bits_per_col} bits — exceeds the 63 "
+            f"non-sign bits of a long; lower bits_per_col or cluster fewer "
+            f"columns (a negative z-value would scramble the curve order)"
+        )
     parts = []
     for c, code in enumerate(codes):
         code = code.cast("long")
@@ -93,6 +99,9 @@ def zorder_by(
             for c in cols
         ]
     ).first()
+    for c in cols:
+        if cut_row[c] is None:
+            raise ValueError(f"column {c!r} has no non-null values to cluster on")
     codes = [
         bucket_code_expr(F.col(c), list(cut_row[c]), bits_per_col) for c in cols
     ]

@@ -70,11 +70,11 @@ def minhash_near_dup_pairs(spark, sf_dir):
     oracle=r"""
 WITH s AS (
   SELECT doc_id, lang,
-    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 >= 1
+    CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
       THEN list_distinct(list_transform(
-             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
-             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
-      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+             generate_series(1, len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+'), ' ')]
     END AS sh
   FROM documents
 )
@@ -110,11 +110,11 @@ def simhash_near_dup_pairs_q(spark, sf_dir):
     oracle=r"""
 WITH s AS (
   SELECT doc_id,
-    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 3 >= 1
+    CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 3 >= 1
       THEN list_distinct(list_transform(
-             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 3),
-             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' ')))
-      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+             generate_series(1, len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 3),
+             i -> array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+')[i:i+3], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+'), ' ')]
     END AS sh
   FROM documents
 ),
@@ -541,11 +541,11 @@ def chunk_documents(spark, sf_dir):
 _JACCARD_PAIRS_CTE = r"""
 s AS (
   SELECT doc_id, lang,
-    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 >= 1
+    CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
       THEN list_distinct(list_transform(
-             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
-             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
-      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+             generate_series(1, len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+'), ' ')]
     END AS sh
   FROM documents
 ),
@@ -758,7 +758,7 @@ def pii_redact_documents(spark, sf_dir):
     "boilerplate_ngram_filter",
     oracle=r"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS ws FROM documents),
 g AS (
   SELECT doc_id,
          CASE WHEN len(ws) - 2 >= 1

@@ -992,7 +992,8 @@ islands AS (
   SELECT user_id, event_type, min(ts) AS valid_from, count(*) AS n_events
   FROM ordered GROUP BY user_id, event_type, island)
 SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_type)
          AS valid_to,
        n_events
 FROM islands
@@ -1018,7 +1019,10 @@ def scd2_event_type_intervals(spark, sf_dir):
         .groupBy("user_id", "event_type", "island")
         .agg(F.min("ts").alias("valid_from"), F.count("*").alias("n_events"))
     )
-    w_seq = Window.partitionBy("user_id").orderBy("valid_from")
+    # tiebreak on event_type: two same-user islands can share valid_from
+    # (same-ts events of different types) but never (valid_from, type) —
+    # without it the lead() assignment is cross-engine nondeterministic
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
     return islands.select(
         "user_id",
         "event_type",

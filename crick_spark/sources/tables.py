@@ -28,8 +28,8 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """Normalize ``events.ts`` to TIMESTAMP_LTZ whatever the parquet encoding.
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ whatever the encoding.
 
     The driver has regenerated events.parquet with different physical types
     between rounds — TIMESTAMP(NANOS) (reads as long under the legacy nanos
@@ -43,13 +43,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    dtype = dict(df.dtypes).get("ts")
+    dtype = dict(df.dtypes).get(col)
     if dtype in ("bigint", "long"):
         # integer division: double division loses precision on ~1.7e18
         # nanosecond values (> 2^53) and rounds the microsecond up
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     elif dtype == "timestamp_ntz":
-        df = df.withColumn("ts", F.to_timestamp_ltz("ts"))
+        df = df.withColumn(col, F.to_timestamp_ltz(col))
     return df
 
 

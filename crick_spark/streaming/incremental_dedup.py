@@ -118,9 +118,13 @@ def incremental_near_dup_candidates(
     )
     q.awaitTermination(600)
     if not os.path.isdir(pairs_dir):
-        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.types import StructField, StructType
 
+        id_type = docs_stream.schema[id_col].dataType
         return spark.createDataFrame(
-            [], StructType([StructField("id_a", StringType()), StructField("id_b", StringType())])
+            [],
+            StructType(
+                [StructField("id_a", id_type), StructField("id_b", id_type)]
+            ),
         )
     return spark.read.parquet(pairs_dir).distinct()

@@ -620,3 +620,35 @@ def test_bucket_code_matches_searchsorted(spark):
     want = np.searchsorted(np.array(cuts), np.array(xs), side="right")
     for x, w in zip(xs, want):
         assert got[float(x)] == int(w), (x, got[float(x)], int(w))
+
+
+def test_simhash_handles_book_length_docs(spark):
+    """The 32-bit SWAR lanes must not overflow on a book-length document
+    (the 16-bit-lane variant would throw ARITHMETIC_OVERFLOW under ANSI
+    mode past ~65k words): fingerprint a 70k-word doc and check it equals
+    the fingerprint of the same word multiset computed per-bit in Python."""
+    from crick_spark.pipeline.dedup import simhash_signatures
+
+    words = [f"w{i % 97}" for i in range(70_000)]
+    docs = spark.createDataFrame([("big", " ".join(words))], ["doc_id", "text"])
+    (row,) = simhash_signatures(docs, "doc_id", "text").collect()
+
+    hashes = {
+        r.w: r.h
+        for r in spark.createDataFrame([(w,) for w in set(words)], ["w"])
+        .select("w", F.xxhash64("w").alias("h"))
+        .collect()
+    }
+    from collections import Counter
+
+    counts = Counter(words)
+    n = sum(counts.values())
+    expect = 0
+    for b in range(64):
+        ones = sum(c for w, c in counts.items() if (hashes[w] >> b) & 1)
+        if 2 * ones > n:
+            expect |= 1 << b
+    # Python ints are unbounded; fold to signed 64-bit like Spark's long
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert row.sh == expect

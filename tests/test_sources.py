@@ -60,6 +60,9 @@ def test_normalize_handles_all_encodings(spark):
     assert again.schema["ts"].dataType == TimestampType()
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="sf0.001 testdata absent"
+)
 def test_streaming_reader_matches_batch_contract(spark):
     """stream_events must yield the same normalized ts type as load_table."""
     from crick_spark.streaming.windows import stream_events
