@@ -69,3 +69,39 @@ def test_streaming_reader_matches_batch_contract(spark):
 
     sdf = stream_events(spark, "/root/testdata/sf0.001")
     assert sdf.schema["ts"].dataType == TimestampType()
+
+
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+@pytest.mark.parametrize("sf_dir", [d for d in SF_DIRS if os.path.isdir(d)])
+def test_table_columns_match_contract(spark, sf_dir):
+    """Schema-drift tripwire: the driver regenerates /root/testdata between
+    rounds; a dropped or renamed column should fail HERE with the table
+    name, not as an unresolved-attribute error deep inside one of the 155
+    registered query plans.  Column NAMES only — value-type drift (like
+    the events.ts encoding changes) is handled by normalize_events_ts and
+    its own tests above."""
+    from crick_spark.sources.tables import load_table
+
+    for table, want in EXPECTED_COLUMNS.items():
+        got = set(load_table(spark, sf_dir, table).columns)
+        assert want <= got, f"{sf_dir}/{table}: missing columns {want - got}"
