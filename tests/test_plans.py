@@ -1,0 +1,133 @@
+"""Physical-plan invariants for the headline queries.
+
+Bench timings catch perf regressions after the fact; these tests catch the
+STRUCTURAL causes up front, per plan, at sf0.001 cost: a lost broadcast, a
+filter that stopped reaching the scan, a join that degraded to a cartesian
+product, or a shuffle-count blowup all fail here with the query name.
+Counts come from the same `explain("formatted")` summary the PLANS.md
+audit uses (tools/plan_audit.py).
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from tools.plan_audit import summarize
+
+
+def plan_text(spark, name: str) -> str:
+    from crick_spark.plans import QUERIES
+
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_summary(spark, name: str) -> dict:
+    return summarize(plan_text(spark, name))
+
+
+# Queries where a nested-loop/cartesian node is INTENTIONAL and bounded:
+# single-row broadcasts (thresholds, totals, query vectors) cross-joined
+# back onto the data, or deliberately tiny candidate sets.
+CARTESIAN_ALLOWED = {
+    "winsorize_extendedprice",
+    "tdigest_quantile_accuracy",
+    "funnel_conversion_users",
+    "knn_bruteforce_cosine",
+    "boilerplate_ngram_filter",
+    "tpch_q11_important_parts",
+    "tpch_q22_dormant_customers",
+    "decontaminate_documents",
+    "cms_freq_event_types",
+}
+
+# (query, max shuffle exchanges) — the shuffle budget the current plan
+# meets with headroom; a regression past it means a lost broadcast or a
+# new wide dependency, which is exactly what should fail loudly.
+SHUFFLE_BUDGETS = [
+    ("q1_pricing_summary", 2),
+    ("revenue_by_nation", 3),
+    ("topk_users_by_events", 2),
+    ("events_hourly_rollup", 2),
+    ("tpch_q3_shipping_priority", 4),
+    ("tpch_q9_product_profit", 5),
+    ("dedup_exact_documents", 2),
+    ("scd2_event_type_intervals", 3),
+    ("cohort_retention_weekly", 5),
+]
+
+
+@pytest.mark.parametrize("name,budget", SHUFFLE_BUDGETS)
+def test_shuffle_budget(spark, name, budget):
+    s = plan_summary(spark, name)
+    assert s["exchange_nodes"] <= budget, (
+        f"{name}: {s['exchange_nodes']} exchanges > budget {budget} — "
+        f"a broadcast was lost or a new wide dependency appeared"
+    )
+
+
+def test_no_unexpected_cartesian_products(spark):
+    from crick_spark.plans import QUERIES
+
+    bad = []
+    for name in [n for n, _ in SHUFFLE_BUDGETS] + [
+        "join_types_customer_orders",
+        "asof_join_events_orders",
+        "range_join_event_pairs",
+        "jaccard_ngram_dup_pairs",
+        "minhash_near_dup_pairs",
+        "simhash_near_dup_pairs",
+    ]:
+        if name in CARTESIAN_ALLOWED:
+            continue
+        s = plan_summary(spark, name)
+        if s["bnlj"] or s["cartesian"]:
+            bad.append(name)
+    assert bad == [], f"unexpected nested-loop/cartesian joins in: {bad}"
+
+
+def test_star_joins_broadcast_dimensions(spark):
+    """revenue_by_nation joins facts to nation/region dims — the dims must
+    broadcast, never shuffle-join."""
+    s = plan_summary(spark, "revenue_by_nation")
+    assert s["bhj"] >= 2, "dimension joins stopped broadcasting"
+    assert s["smj"] == 0, "a dimension join degraded to sort-merge"
+
+
+def test_pruned_scan_prunes_partitions_and_columns(spark):
+    """partition_pruned_scan exists to prove pruning: the partition-column
+    filter must reach the scan as a PartitionFilter (directory-level
+    skipping), and the scan must not read every column."""
+    text = plan_text(spark, "partition_pruned_scan")
+    assert "PartitionFilters: [" in text and "o_year" in text.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], "partition filter no longer reaches the scan"
+    s = summarize(text)
+    assert s["scan_cols"] and max(s["scan_cols"]) <= 6, (
+        f"column pruning regressed: scan reads {s['scan_cols']} columns"
+    )
+
+
+def test_selective_filter_pushes_to_scan(spark):
+    """tpch_q6's selective predicates must reach the parquet scan as
+    PushedFilters (row-group skipping at scale)."""
+    s = plan_summary(spark, "tpch_q6_forecast_revenue")
+    assert s["pushed"] >= 1, "filters no longer pushed to the parquet scan"
+
+
+def test_sketch_aggregation_stays_narrow(spark):
+    """The two-phase sketch path must shuffle sketch buffers, not rows:
+    tdigest grouped quantiles gets at most 2 exchanges (partial shuffle +
+    final), and its scans read only the value + group columns."""
+    s = plan_summary(spark, "tdigest_quantiles_by_returnflag")
+    assert s["exchange_nodes"] <= 2
+    assert s["scan_cols"] and max(s["scan_cols"]) <= 2, (
+        f"sketch scan reads {s['scan_cols']} columns — pruning regressed"
+    )
