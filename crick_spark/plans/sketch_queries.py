@@ -643,3 +643,42 @@ def spacesaving_weighted_topk_parts(spark, sf_dir):
     return spacesaving_topk(
         li, "l_partkey", 10, capacity=max(4096, n_parts), count_col="qty_w"
     )
+
+
+@register(
+    "tdigest_cdf_accuracy",
+    oracle="SELECT "
+    + ", ".join(
+        f"TRUE AS ok_{str(x).replace('.', '_')}" for x in [5.0, 25.0, 50.0, 100.0, 200.0]
+    ),
+    doc="t-digest CDF accuracy at the reference's own tolerance "
+    "(|cdf_est(x) − cdf_exact(x)| ≤ 0.005, crick/tests/test_tdigest.py:"
+    "105-107) as a hash-matchable oracle: the digest's CDF at five fixed "
+    "probe points is compared JVM-side against the exact midpoint-at-ties "
+    "empirical CDF, and the per-point pass/fail booleans are hashed — "
+    "the companion of tdigest_quantile_accuracy on the inverse axis.",
+)
+def tdigest_cdf_accuracy(spark, sf_dir):
+    xs = [5.0, 25.0, 50.0, 100.0, 200.0]
+    ev = load_table(spark, sf_dir, "events").select("value")
+    est = tdigest_cdf(ev, "value", xs)  # 1 row of cdf_* estimates
+    exact = ev.agg(
+        *[
+            F.avg(
+                F.when(F.col("value") < F.lit(x), 1.0)
+                .when(F.col("value") == F.lit(x), 0.5)
+                .otherwise(0.0)
+            ).alias(f"exact_{i}")
+            for i, x in enumerate(xs)
+        ]
+    )
+    joined = est.crossJoin(F.broadcast(exact))
+    est_cols = est.columns
+    return joined.select(
+        *[
+            (F.abs(F.col(est_cols[i]) - F.col(f"exact_{i}")) <= F.lit(0.005)).alias(
+                f"ok_{str(x).replace('.', '_')}"
+            )
+            for i, x in enumerate(xs)
+        ]
+    )
