@@ -84,7 +84,16 @@ HEADLINE = [
 def previous_times() -> dict[str, float]:
     """Per-query seconds from the most recent BENCH_r*.json with timings."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    # sort by the extracted round NUMBER — lexicographic sort would put
+    # BENCH_r10 below BENCH_r2..r9 once rounds reach double digits
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no, reverse=True
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -209,11 +209,19 @@ def tdigest_decayed_quantiles(
     before the merge equals scaling the merged day-digest — the
     decay composes with the two-phase distributed aggregation unchanged.
     Emits (by…, decayed_n, p…)."""
+    from pyspark.sql.window import Window
+
     by = by or []
     day = F.to_date(F.col(ts_col))
-    ref_day = df.agg(F.max(day).alias("d")).collect()[0]["d"]
     partials = tdigest_agg(
         df.withColumn("__day__", day), col, by=by + ["__day__"], compression=compression
+    )
+    # reference day = global max day, computed IN-PLAN over the tiny
+    # partials relation (groups × days rows) via an unpartitioned window —
+    # no driver .collect(), no second scan of the fact table.  The
+    # single-partition shuffle is bounded by the partial count, not rows.
+    partials = partials.withColumn(
+        "__ref_day__", F.max("__day__").over(Window.partitionBy(F.lit(1)))
     )
     schema = StructType(
         [StructField("decayed_n", DoubleType())]
@@ -230,6 +238,7 @@ def tdigest_decayed_quantiles(
             ["__day__", "__blob__"], kind="stable"
         )
         merged = None
+        ref_day = pdf["__ref_day__"].iloc[0]
         for _, r in pdf.iterrows():
             age = (ref_day - r["__day__"]).days
             sk = pickle.loads(bytes(r["sketch"])).scale(0.5 ** (age / hl))

@@ -64,6 +64,13 @@ def asof_join(
     time within partition) → filter.  State per key is one payload
     struct, never a buffered row set; skewed keys are bounded by the
     window sort, not a join fanout.
+
+    Time-column contract: timestamp / timestamp_ntz columns are used
+    as-is (NTZ reinterpreted in the UTC-pinned session).  A BIGINT time
+    column is assumed to be **epoch-nanoseconds** (the events-table
+    contract in ``sources/tables.py``); pass epoch-micros/millis longs
+    through ``F.timestamp_micros``/``F.timestamp_millis`` yourself
+    before calling, or the times will be off by 1000×.
     """
     left = _ltz(left, left_time)
     right = _ltz(right, right_time)
@@ -112,6 +119,10 @@ def range_join(
     Implementation: bucket width = window length, each left row joins the
     two adjacent buckets its window can span, right rows land in exactly
     one bucket; the range predicate is a residual filter on the equi-join.
+
+    Time-column contract: same as :func:`asof_join` — BIGINT time
+    columns are interpreted as epoch-nanoseconds per the events-table
+    contract; convert other long encodings to timestamps first.
     """
     width = upper_us - lower_us
     left = _ltz(left, left_time)

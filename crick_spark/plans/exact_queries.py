@@ -19,6 +19,7 @@ from crick_spark.functions.stats import nan_to_null
 from crick_spark.functions.topk import exact_topk, exact_topk_per_group
 from crick_spark.plans.registry import register
 from crick_spark.sources.tables import load_table
+from crick_spark.tmpdirs import run_tmpdir
 
 
 # ---------------------------------------------------------------------------
@@ -576,12 +577,11 @@ GROUP BY r.r_name, n.n_name
     "survive the round trip bit-exact.",
 )
 def sink_roundtrip_parquet(spark, sf_dir):
-    import tempfile
 
     from crick_spark.plans.registry import QUERIES
 
     out = QUERIES["revenue_by_nation"].fn(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="crick_sink_") + "/revenue.parquet"
+    path = run_tmpdir("crick_sink_") + "/revenue.parquet"
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -619,11 +619,10 @@ GROUP BY n.n_name
     "explicit schema → join + aggregate; must survive the text round trip.",
 )
 def source_csv_roundtrip(spark, sf_dir):
-    import tempfile
 
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="crick_csv_") + "/supplier.csv"
+    path = run_tmpdir("crick_csv_") + "/supplier.csv"
     s.write.mode("overwrite").option("header", True).csv(path)
     s2 = spark.read.schema(s.schema).option("header", True).csv(path)
     return (
@@ -647,11 +646,10 @@ GROUP BY r_name
     "explicit schema → join + aggregate.",
 )
 def source_json_roundtrip(spark, sf_dir):
-    import tempfile
 
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    path = tempfile.mkdtemp(prefix="crick_json_") + "/nation.json"
+    path = run_tmpdir("crick_json_") + "/nation.json"
     n.write.mode("overwrite").json(path)
     n2 = spark.read.schema(n.schema).json(path)
     return (
@@ -720,7 +718,6 @@ GROUP BY c.c_mktsegment
     "joins at 100 TB.  Exchange-freeness is asserted, not assumed.",
 )
 def bucketed_join_order_totals(spark, sf_dir):
-    import tempfile
 
     from crick_spark.sources.layout import (
         assert_no_shuffle_join,
@@ -730,7 +727,7 @@ def bucketed_join_order_totals(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = tempfile.mkdtemp(prefix="crick_buckets_")
+    base = run_tmpdir("crick_buckets_")
     write_bucketed(
         o.withColumnRenamed("o_custkey", "custkey"),
         "orders_bkt", "custkey", 8, path=f"{base}/orders_bkt",
@@ -760,12 +757,11 @@ GROUP BY o_orderpriority
     "(PartitionFilters asserted in the scan) — no I/O for other years.",
 )
 def partition_pruned_scan(spark, sf_dir):
-    import tempfile
 
     from crick_spark.sources.layout import assert_partition_pruned
 
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="crick_part_") + "/orders_by_year"
+    base = run_tmpdir("crick_part_") + "/orders_by_year"
     o.withColumn("o_year", F.year("o_orderdate")).write.mode(
         "overwrite"
     ).partitionBy("o_year").parquet(base)
@@ -986,12 +982,11 @@ GROUP BY r.r_name, n.n_name
     "(columnar format parity with the parquet sink).",
 )
 def sink_roundtrip_orc(spark, sf_dir):
-    import tempfile
 
     from crick_spark.plans.registry import QUERIES
 
     out = QUERIES["revenue_by_nation"].fn(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="crick_sink_") + "/revenue.orc"
+    path = run_tmpdir("crick_sink_") + "/revenue.orc"
     out.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
 
@@ -1061,12 +1056,11 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
     "tabs/newlines.  Hash-matched on (doc_id, md5(text)).",
 )
 def source_text_roundtrip(spark, sf_dir):
-    import tempfile
 
     from crick_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="crick_textsrc_") + "/docs_txt"
+    path = run_tmpdir("crick_textsrc_") + "/docs_txt"
     # lossless line encoding: '%' first so decode order ('%' last) is
     # unambiguous — any '%09'/'%0A'/'%0D' in the encoded stream denotes a
     # real tab/LF/CR, never original text

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from crick_spark.plans.registry import register
 from crick_spark.sources.tables import load_table
+from crick_spark.tmpdirs import run_tmpdir
 
 
 # ---------------------------------------------------------------------------
@@ -253,10 +254,9 @@ GROUP BY event_type
     "semantics).",
 )
 def sorted_layout_minmax_scan(spark, sf_dir):
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    path = tempfile.mkdtemp(prefix="crick_sorted_") + "/events_by_value"
+    path = run_tmpdir("crick_sorted_") + "/events_by_value"
     (
         ev.repartitionByRange(8, "value")
         .sortWithinPartitions("value")

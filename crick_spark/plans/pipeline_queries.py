@@ -35,6 +35,7 @@ from crick_spark.pipeline.text import (
 from crick_spark.pipeline.multimodal import attach_fake_media, extract_image_features
 from crick_spark.plans.registry import register
 from crick_spark.sources.tables import load_table
+from crick_spark.tmpdirs import run_tmpdir
 
 
 # ---------------------------------------------------------------------------
@@ -848,20 +849,27 @@ WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60
     "in tests/test_pipeline.py.",
 )
 def zorder_layout_prune(spark, sf_dir):
-    import tempfile
+    import shutil
 
     from crick_spark.pipeline.layout import zorder_by
 
     li = load_table(spark, sf_dir, "lineitem")
-    path = tempfile.mkdtemp(prefix="crick_zorder_") + "/lineitem_z.parquet"
+    work = run_tmpdir("crick_zorder_")
+    path = work + "/lineitem_z.parquet"
     zorder_by(li, ["l_partkey", "l_suppkey"], bits_per_col=6).write.option(
         "maxRecordsPerFile", 50_000
     ).mode("overwrite").parquet(path)
     z = spark.read.parquet(path)
-    return z.where(
+    out = z.where(
         F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 60)
     ).agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+    # the 1-row result is materialized (lineage truncated off the temp
+    # files) so the rewritten lineitem copy can be deleted immediately
+    # instead of accumulating a full table copy per run
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -26,6 +26,7 @@ from crick_spark.operators import (
 )
 from crick_spark.plans.registry import register
 from crick_spark.sources.tables import load_table
+from crick_spark.tmpdirs import run_tmpdir
 
 _QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
@@ -215,7 +216,6 @@ def approx_distinct_users(spark, sf_dir):
     "equality with the direct path asserted in tests.",
 )
 def tdigest_persist_roundtrip(spark, sf_dir):
-    import tempfile
 
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -224,7 +224,7 @@ def tdigest_persist_roundtrip(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     partials = tdigest_agg(li, "l_extendedprice", by=["l_returnflag"])
-    path = tempfile.mkdtemp(prefix="crick_digests_") + "/digests.parquet"
+    path = run_tmpdir("crick_digests_") + "/digests.parquet"
     partials.write.mode("overwrite").parquet(path)
     restored = spark.read.parquet(path)
     qs = [0.25, 0.5, 0.75, 0.99]
@@ -493,7 +493,6 @@ SELECT event_type, item, cnt, CAST(0 AS BIGINT) AS error FROM (
     "equality additionally asserted in tests.",
 )
 def spacesaving_persist_roundtrip(spark, sf_dir):
-    import tempfile
 
     import numpy as np
     import pandas as pd
@@ -517,7 +516,7 @@ def spacesaving_persist_roundtrip(spark, sf_dir):
 
     ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
     partials = partial_sketches(ev, ops, ["user_id"], ["event_type"])
-    path = tempfile.mkdtemp(prefix="crick_spsv_") + "/summaries.parquet"
+    path = run_tmpdir("crick_spsv_") + "/summaries.parquet"
     partials.write.mode("overwrite").parquet(path)
     restored = spark.read.parquet(path)
     schema = StructType(
@@ -564,7 +563,6 @@ GROUP BY s.g, m.mu
     "additionally asserted in tests.",
 )
 def moments_persist_roundtrip(spark, sf_dir):
-    import tempfile
 
     import numpy as np
     import pandas as pd
@@ -585,7 +583,7 @@ def moments_persist_roundtrip(spark, sf_dir):
 
     ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
     partials = partial_sketches(li, ops, ["l_extendedprice"], ["l_returnflag"])
-    path = tempfile.mkdtemp(prefix="crick_moments_") + "/moments.parquet"
+    path = run_tmpdir("crick_moments_") + "/moments.parquet"
     partials.write.mode("overwrite").parquet(path)
     restored = spark.read.parquet(path)
     schema = StructType([StructField(n, t) for n, t in _MOMENTS_FIELDS])

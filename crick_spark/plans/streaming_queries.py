@@ -17,6 +17,7 @@ from crick_spark.plans.registry import register
 from crick_spark.streaming.windows import session_rollup_batch, stream_events
 from crick_spark.streaming.sketch_state import tdigest_stream_quantiles
 from crick_spark.sources.tables import load_table
+from crick_spark.tmpdirs import run_tmpdir
 
 
 @register(
@@ -360,9 +361,8 @@ WHERE rn = 1
     "merge logic is what this exercises.",
 )
 def streaming_upsert_foreachbatch(spark, sf_dir):
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="crick_upsert_")
+    base = run_tmpdir("crick_upsert_")
     paths = [f"{base}/snap_a", f"{base}/snap_b"]
     state = {"cur": None, "flip": 0}
 
@@ -474,13 +474,13 @@ def streaming_session_rollup(spark, sf_dir):
     "asserted exactly in tests/test_streaming.py.",
 )
 def streaming_incremental_dedup(spark, sf_dir):
-    import tempfile
+    import shutil
 
     from crick_spark.streaming.incremental_dedup import (
         incremental_near_dup_candidates,
     )
 
-    work = tempfile.mkdtemp(prefix="crick_incdedup_q_")
+    work = run_tmpdir("crick_incdedup_q_")
     src = f"{work}/docs"
     docs = load_table(spark, sf_dir, "documents")
     docs.repartition(4).write.parquet(src)
@@ -492,4 +492,8 @@ def streaming_incremental_dedup(spark, sf_dir):
     pairs = incremental_near_dup_candidates(
         spark, sdf, "doc_id", "text", work_dir=f"{work}/state"
     )
-    return pairs.orderBy("id_a", "id_b")
+    # materialize the (small) pair set so the doc copy + bucket store +
+    # checkpoint under work/ can be deleted instead of leaking per run
+    out = pairs.orderBy("id_a", "id_b").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

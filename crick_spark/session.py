@@ -39,6 +39,10 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events-table contract (sources/tables.py): TIMESTAMP(NANOS)
+        # parquet reads as long; pinned at build time so load_table never
+        # has to mutate an engine-built session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -9,6 +9,8 @@ the scan via Catalyst, which is what makes the 100 TB case workable.
 from __future__ import annotations
 
 import os
+import warnings
+from weakref import WeakSet
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,14 +55,44 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+_PINNED_SESSIONS: "WeakSet[SparkSession]" = WeakSet()
+
+
+def _pin_events_confs(spark: SparkSession) -> None:
+    """Apply the events-table contract confs — legacy-nanos parquet read +
+    UTC session timezone — at most ONCE per session.
+
+    ``get_session`` already pins both at build time, so engine-built
+    sessions are never mutated here.  This path exists for VANILLA
+    sessions (the correctness driver imports ``__spark_entry__`` with no
+    engine confs): the NTZ→LTZ reinterpretation, and agreement with
+    DuckDB's naive-timestamp oracles, are only lossless under UTC.  A
+    session whose zone is explicitly non-UTC is still pinned (the events
+    contract requires it) but with a loud warning instead of a silent
+    global flip mid-session.
+    """
+    if spark in _PINNED_SESSIONS:
+        return
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        if tz:
+            warnings.warn(
+                f"load_table('events') pins spark.sql.session.timeZone to UTC "
+                f"(was {tz!r}) — the events time contract and oracle parity "
+                f"require it; build sessions with crick_spark.session."
+                f"get_session to pin this at startup instead.",
+                stacklevel=3,
+            )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _PINNED_SESSIONS.add(spark)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; ``events.ts`` is normalized via ``normalize_events_ts``."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ→LTZ reinterpretation (and DuckDB naive-timestamp oracle
-        # agreement) is only lossless under UTC; pin it so a vanilla
-        # driver session with a different zone cannot skew event times.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _pin_events_confs(spark)
         return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -10,10 +10,23 @@ per batch, MinHash signatures → LSH band buckets; the batch's buckets
 equi-join the accumulated bucket store (parquet, ~bands × 16 B per doc —
 the *sketch* of history, never its text) for cross-batch candidates, plus
 one self-join for within-batch candidates; then the batch's buckets are
-appended to the store.  Because signatures and buckets are deterministic
+written to the store.  Because signatures and buckets are deterministic
 per document (independent of batching), the union of candidates over any
 batch split equals the single-batch LSH candidate set exactly — asserted
 in tests.
+
+State semantics: both the bucket store and the pairs sink are partitioned
+by ``batch_id`` and written with dynamic partition OVERWRITE, so a
+replayed micro-batch (foreachBatch is at-least-once) rewrites its own
+partition instead of appending a second copy — the store stays exactly
+one row per (doc, band) and cross-batch join fan-out cannot inflate on
+retry.
+
+All filesystem probes go through the Hadoop FileSystem API
+(`_store_has_data`), never ``os.path`` — on a real cluster the store
+lives on object storage (s3a://, hdfs://) where driver-local ``os.*``
+checks always return False and would silently drop every vs-history
+candidate.
 
 100 TB shape: per micro-batch work is |batch| × bands bucket rows joined
 against a bucket store that is bands × 16 B per historical doc (e.g.
@@ -23,13 +36,36 @@ corpus scan); the historical text is never read again.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crick_spark.pipeline.dedup import band_buckets, minhash_signatures
+from crick_spark.tmpdirs import run_tmpdir
+
+
+def _store_has_data(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and contains at least one data file,
+    probed through the Hadoop FileSystem for the path's own scheme
+    (file:, hdfs://, s3a://, ...) — NOT the driver's local filesystem.
+
+    ``os.path.isdir`` on an object-store URI is always False on a
+    cluster, which would silently disable the vs-history join — the
+    whole point of the operator.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)  # recursive: data lives under batch_id=N/
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.startswith("part-") or name.endswith(".parquet"):
+            return True
+    return False
 
 
 def _pair_cols(id_col: str):
@@ -49,10 +85,16 @@ def process_batch(
     pairs_dir: str,
     num_perm: int = 64,
     bands: int = 16,
+    batch_id: int = 0,
 ) -> None:
     """Fold one micro-batch into the dedup state: emit candidate pairs
-    (within-batch + vs-history) to ``pairs_dir``, append the batch's band
-    buckets to ``state_dir``."""
+    (within-batch + vs-history) to ``pairs_dir``, write the batch's band
+    buckets to ``state_dir``.
+
+    Idempotent per ``batch_id``: both sinks are partitioned by batch id
+    and dynamically overwritten, so replaying a micro-batch (foreachBatch
+    delivers at-least-once) cannot duplicate state rows or pairs.
+    """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(batch, id_col, text_col, num_perm)
     bb = band_buckets(sigs, id_col, "minhash", bands, rows_per_band)
@@ -65,10 +107,12 @@ def process_batch(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(*_pair_cols(id_col))
     pairs = within
-    if os.path.isdir(state_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(state_dir)
-    ):
-        hist = spark.read.parquet(state_dir).alias("b")
+    if _store_has_data(spark, state_dir):
+        hist = (
+            spark.read.parquet(state_dir)
+            .select(id_col, "band", "bucket")
+            .alias("b")
+        )
         cross = (
             bb.alias("a")
             .join(
@@ -80,8 +124,21 @@ def process_batch(
             .select(*_pair_cols(id_col))
         )
         pairs = pairs.unionByName(cross)
-    pairs.distinct().write.mode("append").parquet(pairs_dir)
-    bb.write.mode("append").parquet(state_dir)
+    (
+        pairs.distinct()
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(pairs_dir)
+    )
+    (
+        bb.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
     bb.unpersist()
 
 
@@ -99,15 +156,22 @@ def incremental_near_dup_candidates(
     candidate pairs (id_a < id_b).  Equals the batch
     ``lsh_candidate_pairs`` over the same corpus regardless of how the
     stream was micro-batched."""
-    import tempfile
 
-    work = work_dir or tempfile.mkdtemp(prefix="crick_incdedup_")
+    work = work_dir or run_tmpdir("crick_incdedup_")
     state_dir = f"{work}/buckets"
     pairs_dir = f"{work}/pairs"
 
-    def fold(batch: DataFrame, _bid: int) -> None:
+    def fold(batch: DataFrame, bid: int) -> None:
         process_batch(
-            spark, batch, id_col, text_col, state_dir, pairs_dir, num_perm, bands
+            spark,
+            batch,
+            id_col,
+            text_col,
+            state_dir,
+            pairs_dir,
+            num_perm,
+            bands,
+            batch_id=bid,
         )
 
     q = (
@@ -117,7 +181,7 @@ def incremental_near_dup_candidates(
         .start()
     )
     q.awaitTermination(600)
-    if not os.path.isdir(pairs_dir):
+    if not _store_has_data(spark, pairs_dir):
         from pyspark.sql.types import StructField, StructType
 
         id_type = docs_stream.schema[id_col].dataType
@@ -127,4 +191,4 @@ def incremental_near_dup_candidates(
                 [StructField("id_a", id_type), StructField("id_b", id_type)]
             ),
         )
-    return spark.read.parquet(pairs_dir).distinct()
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()

@@ -524,7 +524,7 @@ def test_zorder_tightens_per_file_ranges(spark, tmp_path):
 
 
 def test_simhash_swar_packing_bit_identical(spark, docs):
-    """The 16-bit-lane SWAR vote packing must reproduce the unpacked
+    """The 32-bit-lane SWAR vote packing must reproduce the unpacked
     64-aggregate fingerprints exactly (vote_b = 2*bitcount_b - n > 0 is
     the same predicate as sum(+/-1) > 0)."""
     from functools import reduce

@@ -268,3 +268,56 @@ def test_incremental_dedup_equals_batch_lsh(spark, tmp_path):
     sigs = minhash_signatures(docs, "doc_id", "text")
     want = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_state_probe_is_not_driver_local(spark, tmp_path):
+    """The bucket-store existence probe must go through the Hadoop
+    FileSystem (portable to s3a://hdfs://), never ``os.path``.  Drive
+    two batches against a ``file:``-scheme URI — a path string for which
+    ``os.path.isdir`` is always False — and assert the second batch
+    still finds the history and emits cross-batch candidates."""
+    import os
+
+    from crick_spark.streaming.incremental_dedup import process_batch
+
+    batch_a = load_table(spark, SF_SMALL, "documents").limit(50).cache()
+    # batch B = the SAME texts under shifted ids → every B doc collides
+    # with its A twin in every band, so cross-batch pairs are guaranteed
+    batch_b = batch_a.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    state = f"file:{tmp_path}/buckets"
+    pairs = f"file:{tmp_path}/pairs"
+    assert not os.path.isdir(state)  # the URI form defeats os.path
+    process_batch(spark, batch_a, "doc_id", "text", state, pairs, batch_id=0)
+    assert not os.path.isdir(state)  # still not visible to os.path...
+    process_batch(spark, batch_b, "doc_id", "text", state, pairs, batch_id=1)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs)
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    a_ids = {r.doc_id for r in batch_a.select("doc_id").collect()}
+    # every (a, a+10M) twin pair must have been found via the history join
+    twins = {(i, i + 10_000_000) for i in a_ids}
+    assert twins <= got
+    batch_a.unpersist()
+
+
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch with the
+    same batch_id must OVERWRITE its state partition, not append a
+    second copy — otherwise every future cross-batch join fans out on
+    duplicated bucket rows."""
+    from crick_spark.streaming.incremental_dedup import process_batch
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(100)
+    state = str(tmp_path / "buckets")
+    pairs = str(tmp_path / "pairs")
+    process_batch(spark, docs, "doc_id", "text", state, pairs, batch_id=0)
+    once = spark.read.parquet(state).count()
+    pairs_once = spark.read.parquet(pairs).count()
+    # replay the same batch id (simulated retry after failure)
+    process_batch(spark, docs, "doc_id", "text", state, pairs, batch_id=0)
+    assert spark.read.parquet(state).count() == once
+    assert spark.read.parquet(pairs).count() == pairs_once
