@@ -206,29 +206,51 @@ def changelog_upsert_latest_wins(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "hll_distinct_users_by_type",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS within_bound
+FROM events
+""",
     doc="Native Datasketches HLL as the distinct-count member of the "
     "sketch family (crick's contract: single-pass, bounded state, "
     "mergeable — SURVEY §2.5 'Distinct / approx distinct').  Per "
     "event_type sketch -> estimate, plus hll_union_agg proving the "
     "merge path: the union of per-type sketches estimates total "
-    "distinct users without a second scan.  No SQL oracle (approx); "
-    "tests bound the estimates against exact distinct counts.",
+    "distinct users.  Hash-matched boolean oracle: lgK=14 standard "
+    "error is 0.81%, so |est−exact| ≤ max(2, 3%·exact) (≈3.7σ) holds "
+    "deterministically in practice; the exact counts ride along and "
+    "hash-match DuckDB directly.",
 )
 def hll_distinct_users_by_type(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    tol = lambda exact: F.greatest(F.lit(2.0), F.lit(0.03) * exact)  # noqa: E731
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.count_distinct("user_id").alias("exact_distinct"),
     )
-    total = per_type.agg(
-        F.lit("__all__").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
-        F.sum(F.lit(0)).cast("bigint").alias("exact_distinct"),
-    ).select("event_type", "est_distinct", "exact_distinct")
     per = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_distinct"),
         "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= tol(F.col("exact_distinct"))
+        ).alias("within_bound"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total")
+    )
+    exact_total = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    total = exact_total.crossJoin(F.broadcast(merged)).select(
+        F.lit("__all__").alias("event_type"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est_total") - F.col("exact_distinct"))
+            <= tol(F.col("exact_distinct"))
+        ).alias("within_bound"),
     )
     return per.unionByName(total)
 
@@ -486,35 +508,63 @@ def mode_quantity_by_returnflag(spark, sf_dir):
 
 @register(
     "hll_setops_users",
+    oracle="""
+SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+         AS exact_click,
+       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+         AS exact_purchase,
+       count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                           THEN user_id END) AS exact_union,
+       TRUE AS ok_click, TRUE AS ok_purchase, TRUE AS ok_union,
+       TRUE AS ok_intersection
+FROM events
+""",
     doc="Distinct-set algebra on HLL sketches: one conditional-aggregate "
     "scan builds per-cohort user sketches (click vs purchase), union via "
     "hll_union, intersection by inclusion-exclusion |A|+|B|-|A∪B| — the "
     "sketch-typed analog of set ops, O(sketch size) state, single-row "
-    "exchange only.  Approximate -> rows-only; the test bounds every "
-    "estimate against the exact batch distinct counts.",
+    "exchange only.  Hash-matched boolean oracle: each estimate within "
+    "max(2, 3%) of the exact cohort count computed in the SAME scan; the "
+    "inclusion-exclusion intersection compounds three estimates, so its "
+    "bound is 5% of the union size.",
 )
 def hll_setops_users(spark, sf_dir):
     from crick_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    a_user = F.when(F.col("event_type") == "click", F.col("user_id"))
+    b_user = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    ab_user = F.when(
+        F.col("event_type").isin("click", "purchase"), F.col("user_id")
+    )
     sk = ev.agg(
-        F.hll_sketch_agg(
-            F.when(F.col("event_type") == "click", F.col("user_id")), F.lit(14)
-        ).alias("sk_a"),
-        F.hll_sketch_agg(
-            F.when(F.col("event_type") == "purchase", F.col("user_id")), F.lit(14)
-        ).alias("sk_b"),
+        F.hll_sketch_agg(a_user, F.lit(14)).alias("sk_a"),
+        F.hll_sketch_agg(b_user, F.lit(14)).alias("sk_b"),
+        F.count_distinct(a_user).alias("exact_click"),
+        F.count_distinct(b_user).alias("exact_purchase"),
+        F.count_distinct(ab_user).alias("exact_union"),
     )
     est = sk.select(
-        F.hll_sketch_estimate("sk_a").alias("est_click"),
-        F.hll_sketch_estimate("sk_b").alias("est_purchase"),
-        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+        "exact_click",
+        "exact_purchase",
+        "exact_union",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_u"),
+    ).withColumn(
+        "est_i", F.col("est_a") + F.col("est_b") - F.col("est_u")
     )
+    tol = lambda exact: F.greatest(F.lit(2.0), F.lit(0.03) * exact)  # noqa: E731
+    exact_i = F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union")
     return est.select(
-        "est_click",
-        "est_purchase",
-        "est_union",
+        "exact_click",
+        "exact_purchase",
+        "exact_union",
+        (F.abs(F.col("est_a") - F.col("exact_click")) <= tol(F.col("exact_click"))).alias("ok_click"),
+        (F.abs(F.col("est_b") - F.col("exact_purchase")) <= tol(F.col("exact_purchase"))).alias("ok_purchase"),
+        (F.abs(F.col("est_u") - F.col("exact_union")) <= tol(F.col("exact_union"))).alias("ok_union"),
         (
-            F.col("est_click") + F.col("est_purchase") - F.col("est_union")
-        ).alias("est_intersection"),
+            F.abs(F.col("est_i") - exact_i)
+            <= F.greatest(F.lit(3.0), F.lit(0.05) * F.col("exact_union"))
+        ).alias("ok_intersection"),
     )

@@ -366,6 +366,57 @@ def knn_lsh_ann(spark, sf_dir):
 
 
 @register(
+    "knn_lsh_recall_vs_exact",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
+""",
+    doc="ANN quality gate, hash-matched boolean oracle (the rows-only→"
+    "oracle promotion pattern): recall@10 of the LSH-bucketed ANN vs the "
+    "exact brute-force top-10, for 5 query vectors in ONE job (the exact "
+    "and ANN top-k subplans union with a query_id tag and join on "
+    "(query_id, vec_id)).  Measured per-query recall 0.8–1.0 at sf0.01; "
+    "asserted ≥0.5 per query and ≥0.7 on average — margins sized to "
+    "survive testdata regeneration.  An at-scale eval harness would "
+    "batch all queries through one matmul (lsh_buckets_udf already "
+    "vectorizes per Arrow batch); the per-query union here keeps the "
+    "fixture plan simple.",
+)
+def knn_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    }
+    exact_all = None
+    ann_all = None
+    for qid in sorted(qvecs):
+        ex = cosine_topk(emb, qvecs[qid], k=10).select(
+            F.lit(qid).cast("bigint").alias("query_id"), "vec_id"
+        )
+        an = lsh_ann_topk(emb, qvecs[qid], k=10, nbits=6, num_tables=8).select(
+            F.lit(qid).cast("bigint").alias("query_id"), "vec_id"
+        )
+        exact_all = ex if exact_all is None else exact_all.unionByName(ex)
+        ann_all = an if ann_all is None else ann_all.unionByName(an)
+    hits = (
+        exact_all.join(ann_all, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / 10.0).alias("recall"))
+    )
+    per_query = hits.select(
+        "query_id", (F.col("recall") >= 0.5).alias("recall_ok")
+    )
+    overall = hits.agg(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        (F.avg("recall") >= 0.7).alias("recall_ok"),
+    )
+    return per_query.unionByName(overall)
+
+
+@register(
     "embedding_norms_by_label",
     oracle="""
 SELECT label,
@@ -835,37 +886,63 @@ def embedding_dim_stats(spark, sf_dir):
     oracle="""
 SELECT count(*) AS n_rows,
        round(sum(l_extendedprice), 1) AS sum_price,
-       count(DISTINCT l_orderkey) AS n_orders
+       count(DISTINCT l_orderkey) AS n_orders,
+       TRUE AS pruning_effective
 FROM lineitem
 WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60
 """,
-    doc="Z-order layout rewrite + pruned scan (beyond-reference table "
-    "maintenance, the OPTIMIZE ZORDER BY role): lineitem is rewritten "
-    "clustered on the Morton curve over (l_partkey, l_suppkey) and a "
-    "two-dimensional range filter is answered from the rewritten files.  "
-    "Layout must never change query results — the oracle is the same "
-    "filter on the original table; the pruning benefit (per-file min/max "
-    "ranges tight in BOTH dimensions at once) is asserted quantitatively "
-    "in tests/test_pipeline.py.",
+    doc="Z-order layout rewrite + pruned scan, END-TO-END (beyond-"
+    "reference table maintenance, the OPTIMIZE ZORDER BY role): lineitem "
+    "is rewritten clustered on the Morton curve over (l_partkey, "
+    "l_suppkey) and a two-dimensional range filter is answered from the "
+    "rewritten files.  Layout must never change results — the exact "
+    "aggregates hash-match the same filter on the original table — AND "
+    "the layout must actually prune: pruning_effective consults the "
+    "per-file min/max envelopes (scan_stats, the statistics a parquet "
+    "reader prunes on) and requires the files whose envelope intersects "
+    "the predicate box to be ≤ half of all files (vacuous below 4 files, "
+    "where the fixture is too small to split).  Per-dimension range "
+    "tightening vs an unsorted copy is asserted in tests/test_pipeline.py.",
 )
 def zorder_layout_prune(spark, sf_dir):
     import shutil
 
-    from crick_spark.pipeline.layout import zorder_by
+    from crick_spark.pipeline.layout import scan_stats, zorder_by
 
     li = load_table(spark, sf_dir, "lineitem")
     work = run_tmpdir("crick_zorder_")
     path = work + "/lineitem_z.parquet"
     zorder_by(li, ["l_partkey", "l_suppkey"], bits_per_col=6).write.option(
-        "maxRecordsPerFile", 50_000
+        "maxRecordsPerFile", 5_000
     ).mode("overwrite").parquet(path)
     z = spark.read.parquet(path)
-    out = z.where(
+    agg = z.where(
         F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 60)
     ).agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
         F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+    stats = scan_stats(spark, path, ["l_partkey", "l_suppkey"])
+    envelopes = stats.agg(
+        F.count("*").alias("__total__"),
+        F.sum(
+            (
+                (F.col("min_l_partkey") <= 300)
+                & (F.col("max_l_partkey") >= 100)
+                & (F.col("min_l_suppkey") <= 60)
+                & (F.col("max_l_suppkey") >= 10)
+            ).cast("long")
+        ).alias("__needed__"),
+    )
+    out = agg.crossJoin(envelopes).select(
+        "n_rows",
+        "sum_price",
+        "n_orders",
+        (
+            (F.col("__total__") < 4)
+            | (F.col("__needed__") * 2 <= F.col("__total__"))
+        ).alias("pruning_effective"),
     )
     # the 1-row result is materialized (lineage truncated off the temp
     # files) so the rewritten lineitem copy can be deleted immediately

@@ -91,7 +91,10 @@ _GATE_WINDOW = [
     "window_functions_customer_orders",
     "sink_roundtrip_parquet",
     "source_csv_roundtrip",
-    "source_json_roundtrip",
+    # r4: source_json_roundtrip rotated out (low-information 5-row
+    # roundtrip; still oracle-checked outside the window) for the z-order
+    # end-to-end layout+pruning proof (r3 VERDICT item 7)
+    "zorder_layout_prune",
     "join_types_customer_orders",
     "bucketed_join_order_totals",
     "partition_pruned_scan",

@@ -209,11 +209,19 @@ def approx_distinct_users(spark, sf_dir):
 
 @register(
     "tdigest_persist_roundtrip",
+    oracle="""
+SELECT l_returnflag, count(l_extendedprice) AS n_values,
+       TRUE AS roundtrip_equal
+FROM lineitem GROUP BY l_returnflag
+""",
     doc="Sketch persistence (SURVEY §7.2 'sketch persistence'; crick pickle "
     "surface tdigest.pyx:246-263): per-group digest state → parquet → read "
     "back → merge → quantiles.  The incremental-rollup pattern: yesterday's "
-    "persisted digests merge with today's partials without rescanning; "
-    "equality with the direct path asserted in tests.",
+    "persisted digests merge with today's partials without rescanning.  "
+    "Hash-matched boolean oracle: the persisted→restored→merged quantiles "
+    "must equal the never-persisted direct path bit-for-bit (pickle and "
+    "parquet roundtrips are byte-preserving and the merge fold order is "
+    "pinned), emitted beside the exact per-group count.",
 )
 def tdigest_persist_roundtrip(spark, sf_dir):
 
@@ -228,16 +236,30 @@ def tdigest_persist_roundtrip(spark, sf_dir):
     partials.write.mode("overwrite").parquet(path)
     restored = spark.read.parquet(path)
     qs = [0.25, 0.5, 0.75, 0.99]
-    schema = StructType(
-        [StructField(f"p{str(q).replace('.', '_')}", DoubleType()) for q in qs]
-    )
+    pnames = [f"p{str(q).replace('.', '_')}" for q in qs]
+    schema = StructType([StructField(p, DoubleType()) for p in pnames])
 
     def finalize(sk):
         return pd.DataFrame(
             [{f"p{str(q).replace('.', '_')}": float(sk.quantile(q)) for q in qs}]
         )
 
-    return tdigest_merge_finalize(restored, ["l_returnflag"], finalize, schema)
+    via_disk = tdigest_merge_finalize(restored, ["l_returnflag"], finalize, schema)
+    direct = tdigest_merge_finalize(partials, ["l_returnflag"], finalize, schema)
+    counts = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("n_values")
+    )
+    d = direct.select(
+        "l_returnflag", *[F.col(p).alias(f"__d_{p}") for p in pnames]
+    )
+    eq = F.lit(True)
+    for p in pnames:
+        eq = eq & (F.col(p) == F.col(f"__d_{p}"))
+    return (
+        via_disk.join(d, "l_returnflag")
+        .join(counts, "l_returnflag")
+        .select("l_returnflag", "n_values", eq.alias("roundtrip_equal"))
+    )
 
 
 @register(
@@ -345,17 +367,45 @@ def tdigest_quantile_accuracy(spark, sf_dir):
 
 @register(
     "tdigest_decayed_quantiles",
+    oracle="""
+SELECT event_type,
+       TRUE AS quantiles_monotone,
+       TRUE AS quantiles_in_range,
+       TRUE AS decayed_mass_bounded
+FROM events GROUP BY event_type
+""",
     doc="Exponentially-decayed quantiles via TDigest.scale "
     "(tdigest.pyx:326-340 'exponential decay of windows'): per-day digests "
     "scaled by 0.5^(age/7d) and merged per event_type — recent data "
-    "dominates, old data fades; decay weights asserted in tests.",
+    "dominates, old data fades.  Hash-matched invariant oracle (the "
+    "boolean-tolerance promotion pattern): p50≤p90≤p99 monotone, every "
+    "estimate within the group's [min,max], and 0 < decayed mass ≤ group "
+    "count (scale weights are ≤1).  Exact decay weights asserted in "
+    "tests/test_sketch_operators.py.",
 )
 def tdigest_decayed_quantiles_q(spark, sf_dir):
     from crick_spark.operators import tdigest_decayed_quantiles
 
     ev = load_table(spark, sf_dir, "events")
-    return tdigest_decayed_quantiles(
+    dq = tdigest_decayed_quantiles(
         ev, "value", "ts", [0.5, 0.9, 0.99], by=["event_type"], half_life_days=7.0
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("__mn__"),
+        F.max("value").alias("__mx__"),
+        F.count("value").alias("__n__"),
+    )
+    return dq.join(bounds, "event_type").select(
+        "event_type",
+        ((F.col("p0_5") <= F.col("p0_9")) & (F.col("p0_9") <= F.col("p0_99"))).alias(
+            "quantiles_monotone"
+        ),
+        ((F.col("p0_5") >= F.col("__mn__")) & (F.col("p0_99") <= F.col("__mx__"))).alias(
+            "quantiles_in_range"
+        ),
+        ((F.col("decayed_n") > 0) & (F.col("decayed_n") <= F.col("__n__"))).alias(
+            "decayed_mass_bounded"
+        ),
     )
 
 
@@ -392,15 +442,39 @@ def spacesaving_topk_types_by_nation(spark, sf_dir):
 
 @register(
     "tdigest_weighted_quantiles",
+    oracle="SELECT "
+    + ", ".join(
+        f"TRUE AS ok_{str(q).replace('.', '_')}" for q in [0.25, 0.5, 0.75, 0.99]
+    ),
     doc="Weighted t-digest (crick TDigest.add(x, w), tdigest.pyx:265-280): "
-    "quantiles of l_extendedprice weighted by l_quantity; weighted-stream "
-    "equivalence asserted in kernel tests.",
+    "quantiles of l_extendedprice weighted by l_quantity.  Hash-matched "
+    "boolean oracle (the tdigest_quantile_accuracy pattern, weighted): "
+    "the WEIGHTED empirical CDF (midpoint-at-ties) evaluated at each "
+    "estimate must sit within 0.015 of the target q; weighted-stream "
+    "equivalence additionally asserted in kernel tests.",
 )
 def tdigest_weighted_quantiles(spark, sf_dir):
+    qs = [0.25, 0.5, 0.75, 0.99]
     li = load_table(spark, sf_dir, "lineitem")
-    return tdigest_quantiles(
-        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], weight_col="l_quantity"
-    )
+    est = tdigest_quantiles(li, "l_extendedprice", qs, weight_col="l_quantity")
+    joined = li.crossJoin(F.broadcast(est))
+    w = F.col("l_quantity").cast("double")
+    checks = []
+    for q in qs:
+        p = f"p{str(q).replace('.', '_')}"
+        wcdf = (
+            F.sum(F.when(F.col("l_extendedprice") < F.col(p), w).otherwise(0.0))
+            + F.sum(
+                F.when(F.col("l_extendedprice") == F.col(p), w).otherwise(0.0)
+            )
+            / 2.0
+        ) / F.sum(w)
+        checks.append(
+            (F.abs(wcdf - F.lit(q)) <= F.lit(0.015)).alias(
+                f"ok_{str(q).replace('.', '_')}"
+            )
+        )
+    return joined.agg(*checks)
 
 
 @register(

@@ -308,12 +308,23 @@ def stream_stream_join_click_purchase(spark, sf_dir):
 
 @register(
     "streaming_distinct_users_hll",
+    oracle="""
+SELECT date_trunc('day', ts) AS day_start,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS stream_eq_batch,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+""",
     doc="Windowed approx-distinct over the event stream: per-day "
     "approx_count_distinct(user_id) through Structured Streaming "
-    "(availableNow, complete mode) — HLL±2.5% state per window instead "
+    "(availableNow, complete mode) — HLL±5% rsd state per window instead "
     "of a per-user distinct set, so state size is bounded regardless of "
-    "user cardinality.  Rows-only check (approx); the test bounds every "
-    "window against the exact batch distinct.",
+    "user cardinality.  Hash-matched boolean oracle: the streamed "
+    "estimate must equal the BATCH approx_count_distinct bit-for-bit "
+    "(HLL++ register merge is order-independent, so micro-batching "
+    "cannot change the estimate — the streaming analog of stream≡batch) "
+    "and sit within max(5, 20%) of exact (4σ at rsd=5%); the exact "
+    "per-day counts ride along and hash-match DuckDB.",
 )
 def streaming_distinct_users_hll(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
@@ -335,7 +346,31 @@ def streaming_distinct_users_hll(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_start")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx_batch"),
+        )
+    )
+    return (
+        spark.table(sink)
+        .join(batch, "day_start")
+        .select(
+            "day_start",
+            "exact_users",
+            (F.col("approx_users") == F.col("approx_batch")).alias(
+                "stream_eq_batch"
+            ),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(5.0), F.lit(0.20) * F.col("exact_users"))
+            ).alias("within_bound"),
+        )
+    )
 
 
 @register(
@@ -464,18 +499,22 @@ def streaming_session_rollup(spark, sf_dir):
 
 @register(
     "streaming_incremental_dedup",
+    oracle="SELECT TRUE AS pairs_match_batch, TRUE AS any_pairs_found",
     doc="Streaming incremental near-dup detection — dedup-against-history "
     "(the continuous-ingestion pattern for training corpora): documents "
     "stream in 4 micro-batches; each batch's MinHash/LSH band buckets "
     "join the accumulated bucket store for cross-batch candidates plus a "
-    "within-batch self-join, then append to the store — history's text "
-    "is never rescanned.  Rows-only for the driver (xxhash64-based); the "
-    "incremental candidate set ≡ single-batch lsh_candidate_pairs is "
-    "asserted exactly in tests/test_streaming.py.",
+    "within-batch self-join, then overwrite their batch_id partition of "
+    "the store — history's text is never rescanned.  Hash-matched "
+    "boolean oracle: signatures and buckets are deterministic per doc, "
+    "so the incremental candidate set must EQUAL the single-batch "
+    "lsh_candidate_pairs set exactly (symmetric difference empty) and be "
+    "non-empty — batching cannot change the union.",
 )
 def streaming_incremental_dedup(spark, sf_dir):
     import shutil
 
+    from crick_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
     from crick_spark.streaming.incremental_dedup import (
         incremental_near_dup_candidates,
     )
@@ -494,6 +533,15 @@ def streaming_incremental_dedup(spark, sf_dir):
     )
     # materialize the (small) pair set so the doc copy + bucket store +
     # checkpoint under work/ can be deleted instead of leaking per run
-    out = pairs.orderBy("id_a", "id_b").localCheckpoint(eager=True)
+    inc = pairs.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
-    return out
+    batch = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    ).select("id_a", "id_b")
+    sym_diff = inc.subtract(batch).unionByName(batch.subtract(inc))
+    return inc.agg(F.count("*").alias("__n__")).crossJoin(
+        sym_diff.agg(F.count("*").alias("__d__"))
+    ).select(
+        (F.col("__d__") == 0).alias("pairs_match_batch"),
+        (F.col("__n__") > 0).alias("any_pairs_found"),
+    )

@@ -304,6 +304,74 @@ def test_incremental_dedup_state_probe_is_not_driver_local(spark, tmp_path):
     batch_a.unpersist()
 
 
+def test_session_window_state_evicted_after_watermark(spark, tmp_path):
+    """Session-window state must be EVICTED once the watermark passes the
+    session's close (SURVEY §7.3 risk: unbounded state under high-
+    cardinality keys).  Feed 300 one-event user sessions, then advance
+    event time far past watermark+gap in later micro-batches; the state
+    operator's numRowsTotal must first hold all 300 sessions and then
+    drop to (nearly) zero — results alone can't show this, only the
+    state-store metrics can."""
+    import datetime as dt
+    import json
+    import os
+    import time
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    users = list(range(300))
+    f1 = spark.createDataFrame(
+        [(u, base, 1.0) for u in users], "user_id long, ts timestamp, value double"
+    )
+    # two later files so the watermark advanced by f2 is APPLIED (and
+    # state evicted) in the batch that reads f3
+    f2 = spark.createDataFrame(
+        [(9001, base + dt.timedelta(hours=6), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    f3 = spark.createDataFrame(
+        [(9002, base + dt.timedelta(hours=12), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    for i, df in enumerate((f1, f2, f3)):
+        p = str(src / f"f{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        # file source orders micro-batches by modification time
+        t = time.time() + i * 2
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    sdf = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = f"sess_evict_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(pr.json) for pr in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert max(state_rows) >= 300, state_rows  # all sessions held at peak
+    assert state_rows[-1] <= 2, state_rows  # evicted after watermark passed
+    # and the finalized sessions were all emitted downstream
+    assert spark.table(sink).count() >= 300
+
+
 def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a micro-batch with the
     same batch_id must OVERWRITE its state partition, not append a
