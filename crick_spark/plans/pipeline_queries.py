@@ -98,6 +98,50 @@ def jaccard_ngram_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "minhash_recall_high_jaccard",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+'), ' ')]
+    END AS sh
+  FROM documents
+)
+SELECT count(*) AS n_high_pairs, TRUE AS all_found_by_lsh FROM (
+  SELECT 1
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.85
+)
+""",
+    doc="MinHash/LSH recall cross-validation, hash-matched: every exact "
+    "pair with 3-gram Jaccard ≥ 0.85 (the DuckDB-computable ground "
+    "truth; count rides along and hash-matches) must appear in the LSH "
+    "candidate set — at J=0.85 a 16-band×4-row scheme misses with "
+    "probability (1−J⁴)¹⁶ ≈ 8·10⁻⁶, so all_found_by_lsh is "
+    "deterministically TRUE in practice.  This is the driver-visible "
+    "recall statement for the rows-only minhash_near_dup_pairs headline.",
+)
+def minhash_recall_high_jaccard(spark, sf_dir):
+    from crick_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_high = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.85, n=3
+    ).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    )
+    missed = exact_high.join(cand, ["id_a", "id_b"], "left_anti")
+    return exact_high.agg(F.count("*").alias("n_high_pairs")).crossJoin(
+        missed.agg((F.count("*") == 0).alias("all_found_by_lsh"))
+    )
+
+
+@register(
     "simhash_near_dup_pairs",
     doc="SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit chunk blocking.",
 )
@@ -301,16 +345,35 @@ def lang_id_documents(spark, sf_dir):
 
 @register(
     "doc_fingerprints",
-    doc="Min-k rolling-hash fingerprints (bottom-k sketch per doc) grouped "
-    "into collision stats; xxhash64-based → rows-only.",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(coalesce(text, ''))) AS n_distinct_texts,
+       TRUE AS exact_dups_share_fingerprint
+FROM documents
+""",
+    doc="Min-k rolling-hash fingerprints (bottom-k sketch per doc).  "
+    "Hash-matched boolean oracle: fingerprints are a pure function of "
+    "text, so every group of byte-identical texts (keyed by md5, which "
+    "DuckDB computes too) must carry exactly ONE distinct fingerprint — "
+    "emitted beside the exact doc/text counts.  The xxhash64 fingerprint "
+    "VALUES stay Spark-only; their collision statistics are what near-dup "
+    "tests consume.",
 )
 def doc_fingerprints(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
-        "doc_id", doc_fingerprint_expr(F.col("text")).alias("fingerprint")
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("tkey"),
+        F.coalesce(
+            doc_fingerprint_expr(F.col("text")).cast("string"), F.lit("∅")
+        ).alias("fp"),
     )
-    return fp.groupBy("fingerprint").agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    per_text = fp.groupBy("tkey").agg(
+        F.count("*").alias("nd"), F.count_distinct("fp").alias("nfp")
+    )
+    return per_text.agg(
+        F.sum("nd").alias("n_docs"),
+        F.count("*").alias("n_distinct_texts"),
+        (F.max("nfp") <= 1).alias("exact_dups_share_fingerprint"),
     )
 
 
@@ -467,9 +530,22 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_feature_stats",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS kind,
+       count(*) AS n_items,
+       round(avg(octet_length(encode(text))), 6) AS avg_bytes,
+       TRUE AS intensity_in_range
+FROM documents GROUP BY 1
+""",
     doc="Binary media columns + Arrow-batched decode/feature plumbing "
     "(decode stubbed deterministically — no media libs in container; the "
-    "Spark-side schema/batching/partitioning is real), rolled up per kind.",
+    "Spark-side schema/batching/partitioning is real), rolled up per "
+    "kind.  Hash-matched oracle: the PLUMBING outputs are deterministic "
+    "— kind assignment (doc_id % 3) and per-kind blob byte sizes "
+    "(utf-8 octet length) reproduce exactly in DuckDB — while the "
+    "stub-PRNG intensities are checked as a range boolean "
+    "(mean ∈ [0,255], std ≥ 0).",
 )
 def multimodal_feature_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -478,15 +554,33 @@ def multimodal_feature_stats(spark, sf_dir):
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_items"),
         F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
-        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+        F.min(
+            F.col("mean_intensity").between(0.0, 255.0)
+            & (F.col("std_intensity") >= 0.0)
+        ).alias("intensity_in_range"),
     )
 
 
 @register(
     "video_frame_samples",
-    doc="Video frame sampling (1 fps, ≤8 frames/video): decode stubbed, the "
-    "1→N frame-explosion plumbing, timing math, and binary frame columns "
-    "are real; per-video frame counts + intensity stats.",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         least(8, greatest(CAST(floor(coalesce(n_chars, 0) / 100.0) AS BIGINT),
+                           1)) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, n_frames,
+       256.0 AS avg_frame_bytes,
+       CAST(n_frames - 1 AS DOUBLE) AS last_offset_s
+FROM v
+""",
+    doc="Video frame sampling (1 fps, ≤8 frames/video): decode stubbed, "
+    "the 1→N frame-explosion plumbing, timing math, and binary frame "
+    "columns are real — and FULLY value-oracled: frame count per video "
+    "(min(8, max(⌊duration⌋, 1)) with duration = n_chars/100), constant "
+    "256-byte stub frames, and the last frame offset are all "
+    "deterministic arithmetic DuckDB reproduces exactly.",
 )
 def video_frame_samples(spark, sf_dir):
     from crick_spark.pipeline.multimodal import sample_frames
@@ -709,10 +803,21 @@ def dup_cluster_canonical(spark, sf_dir):
 
 @register(
     "audio_window_features",
+    oracle="""
+SELECT doc_id,
+       least(16, greatest(CAST(floor(coalesce(n_chars, 0) / 100.0) AS BIGINT),
+                          1)) AS n_windows,
+       TRUE AS rms_nonneg, TRUE AS peak_bounded, TRUE AS zc_bounded
+FROM documents WHERE doc_id % 3 = 1
+""",
     doc="Windowed audio features (RMS energy, zero crossings, peak) per "
     "1s window over the audio rows of the media column — Arrow-batched "
     "mapInPandas, 1→N explode, stub codec with real feature math "
-    "(pipeline/multimodal.py); rolled up per doc for a stable check.",
+    "(pipeline/multimodal.py).  Hash-matched oracle: the window count "
+    "per doc is deterministic arithmetic (min(16, max(⌊duration⌋,1))) "
+    "DuckDB reproduces, and the stub-stream features are checked as "
+    "physics booleans — RMS ≥ 0, |peak| ≤ 127.5 (the centered sample "
+    "range), total zero-crossings < the 256-sample stream length.",
 )
 def audio_window_features_q(spark, sf_dir):
     from crick_spark.pipeline.multimodal import (
@@ -725,25 +830,34 @@ def audio_window_features_q(spark, sf_dir):
     feats = audio_window_features(media)
     return feats.groupBy("doc_id").agg(
         F.count("*").alias("n_windows"),
-        F.round(F.avg("rms_energy"), 6).alias("avg_rms"),
-        F.sum("zero_crossings").alias("total_zc"),
-        F.round(F.max("peak"), 6).alias("max_peak"),
+        F.min(F.col("rms_energy") >= 0.0).alias("rms_nonneg"),
+        F.min(F.col("peak") <= 127.5).alias("peak_bounded"),
+        (F.sum("zero_crossings") <= F.lit(255)).alias("zc_bounded"),
     )
 
 
 @register(
     "knn_quantized_ann",
+    oracle="SELECT TRUE AS recall_ok",
     doc="int8 scalar-quantized ANN: integer-dot scan over 4×-smaller "
     "codes, rerank-pool exact cosine on the survivors (pipeline/"
-    "similarity.py quantized_cosine_topk) — the memory-scale path; "
-    "recall vs brute force asserted in tests.",
+    "similarity.py quantized_cosine_topk) — the memory-scale path.  "
+    "Hash-matched boolean oracle: recall@10 vs the exact brute-force "
+    "top-10 must be ≥0.8 (measured 1.0 — the 4k rerank pool recovers "
+    "full precision; threshold leaves margin for testdata regeneration).",
 )
 def knn_quantized_ann(spark, sf_dir):
     from crick_spark.pipeline.similarity import quantized_cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return quantized_cosine_topk(emb, list(query), k=10)
+    quant = quantized_cosine_topk(emb, list(query), k=10).select("vec_id")
+    exact = cosine_topk(emb, list(query), k=10).select("vec_id")
+    return (
+        exact.join(quant, "vec_id", "left_semi")
+        .agg(F.count("*").alias("__hits__"))
+        .select((F.col("__hits__") >= 8).alias("recall_ok"))
+    )
 
 
 @register(

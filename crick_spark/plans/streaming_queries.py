@@ -73,9 +73,18 @@ def session_rollup_users(spark, sf_dir):
 
 @register(
     "tdigest_stream_quantiles",
+    oracle="""
+SELECT event_type AS key, count(value) AS n,
+       TRUE AS ok_0_5, TRUE AS ok_0_9, TRUE AS ok_0_99
+FROM events GROUP BY event_type
+""",
     doc="Per-event-type running t-digest as custom streaming state "
-    "(applyInPandasWithState): bounded per-key state, update-mode emission; "
-    "final estimates vs batch digest asserted in tests.",
+    "(applyInPandasWithState): bounded per-key state, update-mode "
+    "emission.  Hash-matched oracle: the final streamed digest must have "
+    "ingested exactly count(value) rows per key (n hash-matches DuckDB) "
+    "and each lifetime quantile estimate must sit within 0.02 of the "
+    "target rank on the exact batch CDF (midpoint-at-ties) — the "
+    "streaming analog of tdigest_quantile_accuracy.",
 )
 def tdigest_stream_quantiles_q(spark, sf_dir):
     sdf = stream_events(spark, sf_dir)
@@ -91,9 +100,31 @@ def tdigest_stream_quantiles_q(spark, sf_dir):
     q.awaitTermination(300)
     # update-mode sink may hold one row per key per batch; keep the last
     t = spark.table(sink)
-    return t.groupBy("key").agg(
-        F.max_by(F.struct("n", *[c for c in t.columns if c.startswith("p")]), "n").alias("s")
-    ).select("key", "s.*")
+    est = (
+        t.groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("n", *[c for c in t.columns if c.startswith("p")]), "n"
+            ).alias("s")
+        )
+        .select("key", "s.*")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    joined = ev.join(F.broadcast(est), ev["event_type"] == est["key"])
+    aggs = [F.max("n").alias("n")]
+    for qq in (0.5, 0.9, 0.99):
+        p = f"p{str(qq).replace('.', '_')}"
+        cdf = F.avg(
+            F.when(F.col("value") < F.col(p), 1.0)
+            .when(F.col("value") == F.col(p), 0.5)
+            .otherwise(0.0)
+        )
+        aggs.append(
+            (F.abs(cdf - F.lit(qq)) <= F.lit(0.02)).alias(
+                f"ok_{str(qq).replace('.', '_')}"
+            )
+        )
+    return joined.groupBy("key").agg(*aggs)
 
 
 @register(
@@ -147,14 +178,25 @@ def sliding_window_rollup(spark, sf_dir):
 
 @register(
     "spacesaving_stream_topk",
+    oracle="""
+SELECT event_type AS key, TRUE AS bounds_hold, TRUE AS counts_match_exact
+FROM events GROUP BY event_type
+""",
     doc="Per-event-type streaming heavy hitters (Space-Saving summaries as "
     "applyInPandasWithState GroupState; bounded O(capacity) state per "
     "key); one availableNow pass over events — top-5 users per event_type "
-    "with error bounds.  (The Spark 4.x transformWithStateInPandas port "
-    "is mechanical but needs protobuf at runtime, absent here.)",
+    "with error bounds.  Hash-matched oracle: every emitted counter must "
+    "obey the Space-Saving guarantee cnt ≤ actual ≤ cnt+error against "
+    "exact batch counts, and (capacity 1000 ≫ per-key user cardinality → "
+    "exact regime) the emitted top-5 count MULTISET must equal the exact "
+    "top-5 counts — multiset, not items, so boundary ties cannot flap "
+    "the hash.  (The Spark 4.x transformWithStateInPandas port is "
+    "mechanical but needs protobuf at runtime, absent here.)",
 )
 def spacesaving_stream_topk_q(spark, sf_dir):
     import uuid as _uuid
+
+    from pyspark.sql.window import Window
 
     from crick_spark.streaming.sketch_state import spacesaving_stream_topk
     from crick_spark.streaming.windows import stream_events
@@ -170,7 +212,43 @@ def spacesaving_stream_topk_q(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(sink)
+    # update-mode sink may hold one row per (key, rank) per batch; keep
+    # the lifetime-final (largest-count) emission per slot
+    t = spark.table(sink)
+    stream = (
+        t.groupBy("key", "rank")
+        .agg(F.max_by(F.struct("item", "cnt", "error"), "cnt").alias("s"))
+        .select("key", "rank", "s.*")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    actual = ev.groupBy(
+        F.col("event_type").alias("key"), F.col("user_id").alias("item")
+    ).agg(F.count("*").alias("actual"))
+    per_key = (
+        stream.join(actual, ["key", "item"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(
+                (F.col("cnt") <= F.col("actual"))
+                & (F.col("actual") <= F.col("cnt") + F.col("error"))
+            ).alias("bounds_hold"),
+            F.sort_array(F.collect_list("cnt")).alias("stream_cnts"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.desc("actual"), "item")
+    )
+    exact_top = (
+        actual.withColumn("rk", rk)
+        .where(F.col("rk") <= 5)
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("actual")).alias("exact_cnts"))
+    )
+    return per_key.join(exact_top, "key").select(
+        "key",
+        "bounds_hold",
+        (F.col("stream_cnts") == F.col("exact_cnts")).alias("counts_match_exact"),
+    )
 
 
 @register(
