@@ -136,6 +136,49 @@ def chunk_exprs(
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (training-data prep: chunks → fixed-token sequences)
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    chunks,
+    max_tokens: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_chunk_tokens",
+):
+    """Assign chunks to fixed-budget training sequences (the packing step
+    between chunking and batch assembly in an LLM data pipeline).
+
+    Packing rule — deterministic concat-and-bin: within a shard, chunks
+    are ordered by (doc, chunk_idx), and a chunk joins sequence
+    ``floor(tokens_before_it / max_tokens)``.  A sequence can overflow
+    ``max_tokens`` by at most one chunk's tokens (chunks are never split);
+    exact first-fit packing is inherently sequential, and this streaming
+    rule is what scale pipelines actually run.
+
+    Scale shape: packing is per-SHARD (``hash-mod`` on the doc id), so
+    the window sort is N independent partitions — no global ordering, no
+    single-partition shuffle; shards map 1:1 to output training files.
+    Fully deterministic and SQL-oracle-able (one window sum).
+    Emits (shard, seq_id, chunk identity, seq_pos) per chunk.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col, idx_col)
+    cum_before = F.sum(tok_col).over(w) - F.col(tok_col)
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn(
+            "seq_id", F.floor(cum_before / F.lit(int(max_tokens))).cast("bigint")
+        )
+        .withColumn("seq_pos", F.row_number().over(
+            Window.partitionBy("shard", "seq_id").orderBy(id_col, idx_col)
+        ))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition filtering (Gopher-style quality rules)
 # ---------------------------------------------------------------------------
 def repetition_exprs(text: Column) -> list[Column]:

@@ -98,6 +98,65 @@ def jaccard_ngram_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "pack_training_sequences",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+),
+n AS (
+  SELECT doc_id, len(words) AS nw,
+         CAST(ceil(greatest(len(words) - 8, 1) / 24.0) AS INT) AS n_chunks
+  FROM w
+),
+c AS (
+  SELECT doc_id, i - 1 AS chunk_idx, least(nw - (i - 1) * 24, 32) AS n_chunk_tokens
+  FROM n, unnest(generate_series(1, n_chunks)) AS t(i)
+),
+p AS (
+  SELECT doc_id % 64 AS shard, doc_id, n_chunk_tokens,
+         CAST(floor((sum(n_chunk_tokens)
+                       OVER (PARTITION BY doc_id % 64 ORDER BY doc_id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING)
+                     - n_chunk_tokens) / 2048.0) AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT shard, seq_id, count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+       count(DISTINCT doc_id) AS n_docs
+FROM p GROUP BY shard, seq_id
+""",
+    doc="Sequence packing — the step between chunking and batch assembly "
+    "in an LLM training-data pipeline: chunks are concatenated per shard "
+    "(doc_id mod 64; shards map to output training files) and binned "
+    "into 2048-token sequences by the deterministic concat-and-bin rule "
+    "seq = ⌊tokens_before / budget⌋, so a sequence overflows by at most "
+    "one chunk (chunks are never split; exact first-fit is inherently "
+    "sequential).  Per-shard windows → 64 independent sorts, no global "
+    "ordering — the shape that scales.  Fully value-oracled: the rollup "
+    "(chunks, tokens, docs per sequence) hash-matches the identical "
+    "window arithmetic in DuckDB; fill bounds asserted in tests.",
+)
+def pack_training_sequences(spark, sf_dir):
+    from crick_spark.pipeline.text import chunk_exprs, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_exprs(F.col("text"), 32, 8)).alias("ch")
+    ).select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+    packed = pack_sequences(chunks, max_tokens=2048, n_shards=64)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("seq_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
     "minhash_recall_high_jaccard",
     oracle=r"""
 WITH s AS (

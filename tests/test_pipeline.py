@@ -652,3 +652,34 @@ def test_simhash_handles_book_length_docs(spark):
     if expect >= 1 << 63:
         expect -= 1 << 64
     assert row.sh == expect
+
+
+def test_pack_sequences_fill_bounds_and_conservation(spark, docs):
+    """Concat-and-bin packing invariants: total tokens are conserved,
+    every sequence holds at most budget + (max_chunk − 1) tokens, and
+    every non-final sequence in a shard holds at least
+    budget − (max_chunk − 1) — the deterministic overflow bound of the
+    never-split-a-chunk rule."""
+    from crick_spark.pipeline.text import chunk_exprs, pack_sequences
+
+    budget, max_chunk = 256, 32  # small budget → many sequences per shard
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_exprs(F.col("text"), 32, 8)).alias("ch")
+    ).select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+    packed = pack_sequences(chunks, max_tokens=budget, n_shards=8)
+    seqs = (
+        packed.groupBy("shard", "seq_id")
+        .agg(F.sum("n_chunk_tokens").alias("seq_tokens"))
+        .toPandas()
+    )
+    total = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    assert seqs["seq_tokens"].sum() == total  # nothing dropped or split
+    assert (seqs["seq_tokens"] < budget + max_chunk).all()
+    last_per_shard = seqs.groupby("shard")["seq_id"].transform("max")
+    non_final = seqs[seqs["seq_id"] != last_per_shard]
+    assert len(non_final) > 0
+    assert (non_final["seq_tokens"] > budget - max_chunk).all()

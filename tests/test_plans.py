@@ -131,3 +131,17 @@ def test_sketch_aggregation_stays_narrow(spark):
     assert s["scan_cols"] and max(s["scan_cols"]) <= 2, (
         f"sketch scan reads {s['scan_cols']} columns — pruning regressed"
     )
+
+
+def test_pack_sequences_windows_stay_sharded(spark):
+    """Sequence packing must never collapse to a global sort: both its
+    window and its rollup partition on the shard key, so the plan has no
+    SinglePartition exchange — the property that lets 64 shards pack
+    independently at any corpus size."""
+    text = plan_text(spark, "pack_training_sequences")
+    assert "SinglePartition" not in text, (
+        "packing plan fell back to a global single-partition exchange"
+    )
+    assert "hashpartitioning(shard" in text, (
+        "packing window no longer partitioned by shard"
+    )
