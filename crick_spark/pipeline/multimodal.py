@@ -61,7 +61,14 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     return docs.select(
         F.col(id_col),
-        F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("media"),
+        # coalesce: a NULL text must become an empty blob, not a NULL
+        # media value — the decode kernels call bytes(data) per row and
+        # would throw on None, killing the whole query instead of
+        # degrading one row (the driver has shipped NULL-text fixtures
+        # in past rounds)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        .cast(BinaryType())
+        .alias("media"),
         F.struct(
             kind.alias("kind"),
             (F.col("n_chars") % 640 + 32).cast("int").alias("width"),

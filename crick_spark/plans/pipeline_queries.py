@@ -593,7 +593,7 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
        END AS kind,
        count(*) AS n_items,
-       round(avg(octet_length(encode(text))), 6) AS avg_bytes,
+       round(avg(octet_length(encode(coalesce(text, '')))), 6) AS avg_bytes,
        TRUE AS intensity_in_range
 FROM documents GROUP BY 1
 """,

@@ -683,3 +683,19 @@ def test_pack_sequences_fill_bounds_and_conservation(spark, docs):
     non_final = seqs[seqs["seq_id"] != last_per_shard]
     assert len(non_final) > 0
     assert (non_final["seq_tokens"] > budget - max_chunk).all()
+
+
+def test_multimodal_survives_null_text(spark):
+    """A NULL-text document must flow through the media pipeline as an
+    empty blob (the decode kernels call bytes(data) per row — a NULL
+    media value would throw and kill the whole query; past driver
+    fixtures have contained NULL texts)."""
+    df = spark.createDataFrame(
+        [(1, None, 0), (2, "some words here", 15)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = attach_fake_media(df)
+    pdf = extract_image_features(media).toPandas().sort_values("doc_id")
+    assert len(pdf) == 2
+    assert pdf.iloc[0]["n_bytes"] == 0
+    assert pdf.iloc[1]["n_bytes"] == 15
