@@ -286,6 +286,44 @@ def streaming_dedup_users(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+""",
+    doc="State-BOUNDED streaming exact dedup: each event is doubled "
+    "in-stream (explode ×2 — simulating an at-least-once feed), then "
+    "dropDuplicatesWithinWatermark(event_id) under a 1-hour watermark "
+    "removes every duplicate.  Unlike plain dropDuplicates (one state "
+    "row per key forever, streaming_dedup_users), the within-watermark "
+    "form EVICTS keys once the watermark passes — the only dedup that "
+    "survives an unbounded 100 TB feed.  Hash-matches the batch count "
+    "oracle: doubling then deduping is the identity.",
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    sdf = stream_events(spark, sf_dir)
+    doubled = sdf.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2))).alias("__copy__")
+    ).drop("__copy__")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"stream_wm_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
     "stream_static_join_segments",
     oracle="""
 SELECT c.c_mktsegment, count(*) AS cnt, round(sum(e.value), 4) AS sum_value
