@@ -201,6 +201,45 @@ def minhash_recall_high_jaccard(spark, sf_dir):
 
 
 @register(
+    "simhash_finds_exact_dups",
+    oracle="""
+SELECT count(*) AS n_exact_dup_pairs,
+       TRUE AS all_found_at_hamming_0
+FROM documents a JOIN documents b
+  ON md5(coalesce(a.text, '')) = md5(coalesce(b.text, ''))
+ AND a.doc_id < b.doc_id
+""",
+    doc="SimHash recall cross-validation, hash-matched (the minhash twin's "
+    "counterpart): every pair of byte-identical documents — the "
+    "DuckDB-computable ground truth via md5(text), count rides along — "
+    "must appear in the SimHash near-dup pair set at hamming distance 0 "
+    "(identical word multisets give identical fingerprints, so this is "
+    "deterministic).  The driver-visible recall statement for the "
+    "rows-only simhash_near_dup_pairs headline.",
+)
+def simhash_finds_exact_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("tkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a.tkey") == F.col("b.tkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    found0 = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).where(
+        F.col("hamming") == 0
+    ).select("id_a", "id_b")
+    missed = exact.join(found0, ["id_a", "id_b"], "left_anti")
+    return exact.agg(F.count("*").alias("n_exact_dup_pairs")).crossJoin(
+        missed.agg((F.count("*") == 0).alias("all_found_at_hamming_0"))
+    )
+
+
+@register(
     "simhash_near_dup_pairs",
     doc="SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit chunk blocking.",
 )
