@@ -156,3 +156,52 @@ def range_join(
         )
         .drop("__bkt__", "__lt__", "__rt__")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    block: "Column | None" = None,
+) -> DataFrame:
+    """Approximate string-equality join (entity resolution / data
+    cleaning): pairs whose Levenshtein distance is ≤ ``max_dist``.
+
+    Scale shape: a naive fuzzy join is |L|×|R| edit-distance calls — a
+    theta-join Spark would execute as BNLJ.  This operator turns it into
+    an *equi*-join on a blocking key (default: lowercased first
+    whitespace token — cheap, language-agnostic, and any single-token
+    typo still shares the block unless it hits token 1's first
+    characters; callers pass ``block`` for soundex/length-band/q-gram
+    schemes), with the edit distance evaluated only within blocks as a
+    residual predicate (JVM codegen ``levenshtein``, no UDF).  Work is
+    Σ_b |L_b|·|R_b| — bounded by block granularity, not corpus size.
+    Best practice at 100 TB: fuzzy-join the *distinct dictionary* of the
+    column (usually orders of magnitude smaller than the fact table) and
+    map results back via an exact equi-join.
+    """
+    bl = block if block is not None else (
+        lambda c: F.lower(F.split(F.trim(c), r"\s+")[0])
+    )
+    lb = left.withColumn("__blk", bl(F.col(left_col)))
+    rb = right.withColumn("__blk", bl(F.col(right_col)))
+    joined = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col("l.__blk") == F.col("r.__blk"))
+        & (
+            F.levenshtein(F.col(f"l.{left_col}"), F.col(f"r.{right_col}"))
+            <= F.lit(max_dist)
+        ),
+    )
+    return joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
+            for c in right.columns
+        ],
+        F.levenshtein(
+            F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
+        ).alias("edit_dist"),
+    )

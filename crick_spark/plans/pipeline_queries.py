@@ -746,6 +746,58 @@ def knn_ivf_ann(spark, sf_dir):
 
 
 @register(
+    "knn_ivf_recall_vs_exact",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
+""",
+    doc="IVF ANN quality gate, hash-matched boolean oracle (same promotion "
+    "pattern as knn_lsh_recall_vs_exact): recall@10 of the IVF search "
+    "(16 lists, nprobe=6 — the headline knn_ivf_ann config) vs exact "
+    "brute-force top-10 for 5 query vectors.  ANN.md panel: mean 0.74, "
+    "min 0.40 over 20 queries at this config, so the gate asserts ≥0.2 "
+    "per query and ≥0.5 on average — margins sized to survive testdata "
+    "regeneration.  The k-means quantizer is deterministic (seeded init), "
+    "so the booleans are stable run-to-run.",
+)
+def knn_ivf_recall_vs_exact(spark, sf_dir):
+    from crick_spark.pipeline.similarity import ivf_ann_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=16, n_iter=5)
+    qvecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    }
+    exact_all = None
+    ann_all = None
+    for qid in sorted(qvecs):
+        ex = cosine_topk(emb, qvecs[qid], k=10).select(
+            F.lit(qid).cast("bigint").alias("query_id"), "vec_id"
+        )
+        an = ivf_ann_topk(emb, qvecs[qid], centroids, k=10, nprobe=6).select(
+            F.lit(qid).cast("bigint").alias("query_id"), "vec_id"
+        )
+        exact_all = ex if exact_all is None else exact_all.unionByName(ex)
+        ann_all = an if ann_all is None else ann_all.unionByName(an)
+    hits = (
+        exact_all.join(ann_all, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / 10.0).alias("recall"))
+    )
+    per_query = hits.select(
+        "query_id", (F.col("recall") >= 0.2).alias("recall_ok")
+    )
+    overall = hits.agg(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        (F.avg("recall") >= 0.5).alias("recall_ok"),
+    )
+    return per_query.unionByName(overall)
+
+
+@register(
     "chunk_documents",
     oracle=r"""
 WITH w AS (
@@ -1162,3 +1214,60 @@ def zorder_layout_prune(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_BM25_TERMS = ["spark", "join", "stream"]
+_BM25_SQL_TF = "\n".join(
+    f"         len(list_filter(string_split_regex(trim(text), '\\s+'), "
+    f"t -> t = '{t}')) AS tf_{i},"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_SQL_DF = "\n".join(
+    f"         sum(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i},"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SQL_SCORE = "\n         + ".join(
+    f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * (tf_{i} * 2.2) / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS dl,
+{_BM25_SQL_TF}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+{_BM25_SQL_DF}
+  FROM base
+)
+SELECT doc_id, dl,
+       round({_BM25_SQL_SCORE}, 6) AS bm25
+FROM base, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+""",
+    doc="BM25 ranked retrieval (Lucene-style non-negative idf, k1=1.2, "
+    "b=0.75): top-15 docs for a 3-term query, full-value oracle vs the "
+    "same formula in DuckDB.  100 TB shape: per-term tf via "
+    "size(filter(tokens)) — codegen array ops, NO explode, NO "
+    "(doc,term) shuffle; corpus stats are one tiny aggregate broadcast "
+    "back; final top-k is TakeOrderedAndProject (per-partition heaps), "
+    "not a global sort.  Tie-break on (rounded score, doc_id) keeps the "
+    "k-set engine-independent.",
+)
+def bm25_top_docs(spark, sf_dir):
+    from crick_spark.pipeline.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_TERMS, k=15)
+    return out.select(
+        "doc_id", F.col("dl").cast("bigint").alias("dl"), "bm25"
+    )

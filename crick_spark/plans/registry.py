@@ -90,7 +90,11 @@ _GATE_WINDOW = [
     "scalar_functions_orders",
     "window_functions_customer_orders",
     "sink_roundtrip_parquet",
-    "source_csv_roundtrip",
+    # r4: source_csv_roundtrip rotated out (second low-information
+    # roundtrip; still oracle-checked outside the window) for the BM25
+    # ranked-retrieval family — a new operator family gets driver
+    # visibility over a duplicate roundtrip shape
+    "bm25_top_docs",
     # r4: source_json_roundtrip rotated out (low-information 5-row
     # roundtrip; still oracle-checked outside the window) for the z-order
     # end-to-end layout+pruning proof (r3 VERDICT item 7)
@@ -101,7 +105,11 @@ _GATE_WINDOW = [
     "json_props_rollup",
     "moments_bias_corrected",
     "cube_orders_status_priority",
-    "histogram_value_by_event_type",
+    # r4: histogram_value_by_event_type rotated out (third histogram
+    # variant in-window; still oracle-checked outside) for the ANN
+    # recall gate — quality of the approximate path becomes
+    # driver-visible, not just tested
+    "knn_lsh_recall_vs_exact",
     "weighted_moments_price",
     "equidepth_histogram_value",
     # sketch surface (SURVEY §2.1-2.3): oracle-backed regimes + invariants

@@ -169,6 +169,49 @@ def approx_quantiles_builtin(spark, sf_dir):
 
 
 @register(
+    "approx_quantiles_accuracy",
+    oracle="SELECT "
+    + ", ".join(f"TRUE AS p{str(q).replace('.', '_')}_ok" for q in _QS),
+    doc="percentile_approx (GK sketch) error-bound gate, hash-matched "
+    "boolean oracle — the driver-visible accuracy statement for the "
+    "rows-only approx_quantiles_builtin headline (same promotion pattern "
+    "as tdigest_quantile_accuracy).  GK with accuracy=10000 guarantees "
+    "rank error ≤ n/10000, i.e. |cdf(est) − q| ≤ 1e-4 (+1/n "
+    "discreteness); the gate asserts ≤ 0.001, a 10× margin that still "
+    "catches any real sketch break.  One pass computes the estimates, a "
+    "second computes their exact plotting-position CDF via a 1-row "
+    "broadcast cross join — no driver round-trip of the data.",
+)
+def approx_quantiles_accuracy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ests = ev.agg(
+        *[
+            F.percentile_approx("value", F.lit(q), F.lit(10000)).alias(
+                f"est_{i}"
+            )
+            for i, q in enumerate(_QS)
+        ]
+    )
+    joined = ev.select("value").crossJoin(F.broadcast(ests))
+    cdfs = joined.agg(
+        *[
+            F.avg(
+                (F.col("value") <= F.col(f"est_{i}")).cast("double")
+            ).alias(f"cdf_{i}")
+            for i in range(len(_QS))
+        ]
+    )
+    return cdfs.select(
+        *[
+            (F.abs(F.col(f"cdf_{i}") - F.lit(q)) <= F.lit(0.001)).alias(
+                f"p{str(q).replace('.', '_')}_ok"
+            )
+            for i, q in enumerate(_QS)
+        ]
+    )
+
+
+@register(
     "approx_distinct_users",
     oracle="""
 SELECT count(DISTINCT user_id) AS exact_users,

@@ -699,3 +699,44 @@ def test_multimodal_survives_null_text(spark):
     assert len(pdf) == 2
     assert pdf.iloc[0]["n_bytes"] == 0
     assert pdf.iloc[1]["n_bytes"] == 15
+
+
+def test_bm25_matches_python_oracle(spark, docs):
+    """bm25_scores must reproduce a from-scratch pure-Python BM25
+    (Lucene idf, k1=1.2, b=0.75) for every document, and the plan must
+    be explode-free (tf via codegen array ops — the no-shuffle scoring
+    path is the operator's 100 TB contract)."""
+    import math
+
+    from crick_spark.pipeline.retrieval import bm25_scores, bm25_topk
+
+    terms = ["spark", "join", "stream"]
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.strip().split() for r in pdf.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    k1, b = 1.2, 0.75
+
+    def score(doc_toks):
+        dl = len(doc_toks)
+        s = 0.0
+        for t in terms:
+            tf = doc_toks.count(t)
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return s
+
+    want = {d: score(t) for d, t in toks.items()}
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) <= 1e-9, (d, got[d], want[d])
+
+    top = bm25_topk(docs, terms, k=15)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "BM25 scoring must not explode tokens"
+    assert "TakeOrderedAndProject" in plan, "top-k must be heap-based"
+
+    ranked = sorted(want, key=lambda d: (-round(want[d], 6), d))[:15]
+    assert [r.doc_id for r in top.collect()] == ranked
