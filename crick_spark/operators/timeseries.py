@@ -1,0 +1,85 @@
+"""Time-series regularization operators: gap-filled resampling and
+linear interpolation.
+
+Beyond-reference surface (crick has no temporal layer — SURVEY §2.5);
+the standard preprocessing step for metrics/telemetry before rollups,
+anomaly scoring, or model features: resample an irregular event stream
+to a fixed grid per series, then fill interior gaps by linear
+interpolation between the nearest populated neighbors.
+
+100 TB shape: everything is one shuffle on the series key.  The spine
+(one row per grid step per series) comes from ``sequence`` + ``explode``
+off a tiny per-series bounds aggregate — its size is grid-resolution ×
+series-count, independent of event count; the neighbor search is four
+``last/first IGNORE NULLS`` window functions over the SAME
+(series, time) sort — Catalyst evaluates all four in a single Window
+node pair, no self-joins, no per-gap probing.  Skewed series (one hot
+key holding most events) cost what their row share costs — the window
+sort is per-series and the grid is bounded by the time span, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_interpolate(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "hour",
+) -> DataFrame:
+    """Resample to one row per ``step`` per series (avg of the values in
+    the bucket), densify the grid between each series' first and last
+    populated bucket, and linearly interpolate interior gaps.
+
+    Returns ``(series_col, bucket_ts, value, was_gap)`` where ``value``
+    is the bucket average for populated buckets and the interpolation
+    for gaps.  Grid edges are populated by construction (the spine spans
+    min→max of *populated* buckets), so every gap has both neighbors.
+    """
+    bucketed = df.groupBy(
+        series_col, F.date_trunc(step, F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.avg(value_col).alias("__v"))
+    bounds = bucketed.groupBy(series_col).agg(
+        F.min("bucket_ts").alias("__t0"), F.max("bucket_ts").alias("__t1")
+    )
+    spine = bounds.select(
+        series_col,
+        F.explode(
+            F.sequence(
+                F.col("__t0"), F.col("__t1"), F.expr(f"INTERVAL 1 {step}")
+            )
+        ).alias("bucket_ts"),
+    )
+    full = spine.join(bucketed, [series_col, "bucket_ts"], "left")
+    w_prev = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(series_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    populated_ts = F.when(F.col("__v").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("__v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(populated_ts, ignorenulls=True).over(w_prev)
+    next_v = F.first("__v", ignorenulls=True).over(w_next)
+    next_t = F.first(populated_ts, ignorenulls=True).over(w_next)
+    frac = (
+        F.unix_timestamp(F.col("bucket_ts"))
+        - F.unix_timestamp(prev_t)
+    ) / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t))
+    filled = F.coalesce(
+        F.col("__v"), prev_v + (next_v - prev_v) * frac
+    )
+    return full.select(
+        series_col,
+        "bucket_ts",
+        filled.alias("value"),
+        F.col("__v").isNull().alias("was_gap"),
+    )

@@ -568,3 +568,57 @@ def hll_setops_users(spark, sf_dir):
             <= F.greatest(F.lit(3.0), F.lit(0.05) * F.col("exact_union"))
         ).alias("ok_intersection"),
     )
+
+
+@register(
+    "interpolate_hourly_gaps",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), filled AS (
+  SELECT s.event_type, s.h, hr.v,
+    last_value(hr.v IGNORE NULLS) OVER w_prev AS pv,
+    last_value(CASE WHEN hr.v IS NOT NULL THEN s.h END IGNORE NULLS)
+      OVER w_prev AS pt,
+    first_value(hr.v IGNORE NULLS) OVER w_next AS nv,
+    first_value(CASE WHEN hr.v IS NOT NULL THEN s.h END IGNORE NULLS)
+      OVER w_next AS nt
+  FROM spine s LEFT JOIN hourly hr USING (event_type, h)
+  WINDOW
+    w_prev AS (PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h AS bucket_ts,
+       round(coalesce(v, pv + (nv - pv)
+                           * (epoch(h) - epoch(pt))
+                           / (epoch(nt) - epoch(pt))), 6) AS value,
+       (v IS NULL) AS was_gap
+FROM filled
+""",
+    doc="Time-series regularization: hourly resample of events.value per "
+    "event_type, grid densified between each series' first and last "
+    "populated hour, interior gaps linearly interpolated between "
+    "nearest populated neighbors — full-value oracle incl. the was_gap "
+    "flag.  One shuffle on the series key; the spine is grid-resolution "
+    "x series-count (independent of event count); neighbor search is "
+    "4 IGNORE-NULLS window functions over one sort, no self-joins.",
+)
+def interpolate_hourly_gaps(spark, sf_dir):
+    from crick_spark.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_interpolate(ev, "event_type", "ts", "value", step="hour")
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        F.round("value", 6).alias("value"),
+        "was_gap",
+    )

@@ -99,3 +99,58 @@ def test_range_join_bucket_crossing(spark):
         left, right, "k", "t", "t", 0, 60_000_000, ["id"], []
     )
     assert out.count() == 1
+
+
+def test_fuzzy_join_blocked_levenshtein(spark):
+    """fuzzy_join finds pairs within the edit bound that share a block,
+    computes exact Levenshtein, and (by design) misses cross-block pairs
+    — the documented blocking trade-off."""
+    from crick_spark.operators.relational import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("red widget",), ("red widgit",), ("blue ring",), ("red sprocket",)],
+        ["name_a"],
+    )
+    right = spark.createDataFrame(
+        [("red widgets",), ("blue rings",), ("teal ring",)], ["name_b"]
+    )
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_join(left, right, "name_a", "name_b", 2).collect()
+    }
+    assert ("red widget", "red widgets", 1) in got
+    assert ("red widgit", "red widgets", 2) in got
+    assert ("blue ring", "blue rings", 1) in got
+    # same block, distance too large -> excluded
+    assert all(a != "red sprocket" for a, _, _ in got)
+    # within bound but different first token -> blocked away by design
+    assert all(b != "teal ring" for _, b, _ in got)
+
+
+def test_resample_interpolate_linear(spark):
+    """Gap-filled hourly resample: bucket averages for populated hours,
+    straight-line values for interior gaps, was_gap flags exact."""
+    import datetime as dt
+
+    from crick_spark.operators.timeseries import resample_interpolate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # series "a": hours 0,3 populated -> gaps at 1,2 interpolate 2,3
+        ("a", t0, 1.0),
+        ("a", t0.replace(minute=45), 1.0),  # same bucket, avg stays 1.0
+        ("a", t0 + dt.timedelta(hours=3), 4.0),
+        # series "b": single hour -> no gaps
+        ("b", t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["series", "ts", "v"])
+    out = {
+        (r.series, r.bucket_ts.hour): (r.value, r.was_gap)
+        for r in resample_interpolate(df, "series", "ts", "v").collect()
+    }
+    assert out[("a", 0)] == (1.0, False)
+    assert out[("a", 1)] == (2.0, True)
+    assert out[("a", 2)] == (3.0, True)
+    assert out[("a", 3)] == (4.0, False)
+    assert out[("b", 0)] == (7.0, False)
+    assert len(out) == 5
