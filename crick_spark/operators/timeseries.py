@@ -83,3 +83,42 @@ def resample_interpolate(
         filled.alias("value"),
         F.col("__v").isNull().alias("was_gap"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts whenever the
+    time since the key's previous event exceeds ``gap_minutes`` (the
+    batch twin of Structured Streaming's ``session_window``, same
+    semantics over at-rest data).
+
+    Adds ``session_id`` (0-based per key, by a running sum of new-session
+    flags) — one shuffle on the key, two stacked window functions over
+    the same (key, ts) sort (Catalyst runs them in one Window node), no
+    joins.  At 100 TB this is the canonical sessionization plan: cost is
+    the one sort per key partition; skewed users cost their row share.
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # fractional-second epochs (timestamp→double), NOT unix_timestamp
+    # which truncates to whole seconds and would misclassify sub-second
+    # gaps right at the boundary
+    is_new = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev_ts.cast("double")
+            > float(gap_minutes * 60)
+        )
+    ).cast("long")
+    running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(
+        "session_id", F.sum(is_new).over(running) - F.lit(1)
+    )

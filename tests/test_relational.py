@@ -154,3 +154,26 @@ def test_resample_interpolate_linear(spark):
     assert out[("a", 3)] == (4.0, False)
     assert out[("b", 0)] == (7.0, False)
     assert len(out) == 5
+
+
+def test_sessionize_gap_boundaries(spark):
+    """A gap of exactly gap_minutes does NOT break the session; one
+    microsecond more does.  Session ids are 0-based per key and ordered
+    by (ts, tiebreak)."""
+    import datetime as dt
+
+    from crick_spark.operators.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", t0, 1),
+        ("u1", t0 + dt.timedelta(minutes=30), 2),  # exactly 30 -> same
+        ("u1", t0 + dt.timedelta(minutes=60, microseconds=1), 3),  # break
+        ("u2", t0, 4),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "eid"])
+    got = {
+        r.eid: r.session_id
+        for r in sessionize(df, "user", "ts", 30, tiebreak="eid").collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
