@@ -1229,36 +1229,72 @@ JOIN singles sb ON sb.p_brand = p.brand_b
 CROSS JOIN total t
 """,
     doc="Market-basket analysis: brand co-purchase lift/support over "
-    "orders, full-value oracle.  100 TB shape: project lineitem to "
-    "DISTINCT (order, brand) first (the only big shuffle), self-join "
-    "on orderkey with per-order fan-out bounded by distinct brands per "
-    "basket (~items/order choose 2, never |parts|^2); dimension "
-    "counts and the 1-row total broadcast back.",
+    "orders, full-value oracle.  100 TB shape: ONE shuffle of "
+    "(order, brand) into per-order sorted basket arrays "
+    "(collect_set), then pair expansion map-side via nested "
+    "transform/slice — fan-out bounded by basket size choose 2, never "
+    "|brands|^2 and never an orderkey self-join; pair/single/total "
+    "counts all come from ONE second shuffle (marker structs in the "
+    "same explode), cached tiny and broadcast back — 2 data shuffles "
+    "end to end.",
 )
 def copurchase_brand_lift(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    ob = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
     )
-    singles = ob.groupBy("p_brand").agg(F.count("*").alias("cnt"))
-    total = ob.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
     )
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
+    # map-side pair expansion: for sorted array a, all (a[i], a[j]) i<j;
+    # plus one marker struct per single brand (brand_b NULL) and one per
+    # basket (both NULL) so singles/pair/total counts come from a SINGLE
+    # second shuffle instead of three derivations of `baskets`
+    null_s = F.lit(None).cast("string")
+    pair_structs = F.flatten(
+        F.transform(
+            "brands",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("brands"),
+                    i + F.lit(2),
+                    F.greatest(F.size("brands") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x.alias("brand_a"), y.alias("brand_b")
+                ),
+            ),
+        )
+    )
+    single_structs = F.transform(
+        "brands",
+        lambda x: F.struct(x.alias("brand_a"), null_s.alias("brand_b")),
+    )
+    marker = F.array(
+        F.struct(null_s.alias("brand_a"), null_s.alias("brand_b"))
+    )
+    mixed = (
+        baskets.select(
+            F.explode(
+                F.concat(pair_structs, single_structs, marker)
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
-        .agg(F.count("*").alias("pair_cnt"))
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    pairs = mixed.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNotNull()
+    ).select("brand_a", "brand_b", F.col("cnt").alias("pair_cnt"))
+    singles = mixed.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("p_brand"), "cnt")
+    total = mixed.where(F.col("brand_a").isNull()).select(
+        F.col("cnt").alias("n_orders")
     )
     sa = singles.select(
         F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
