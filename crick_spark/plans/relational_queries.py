@@ -1386,3 +1386,270 @@ def mad_outliers_events(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling (trailing) window aggregates over the daily revenue series
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS dn,
+         sum(o_totalprice) AS rev,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT d,
+       round(rev, 2) AS revenue,
+       n_orders,
+       round(sum(rev) OVER w, 2) AS rev_7d,
+       round(avg(rev) OVER w, 4) AS rev_7d_avg,
+       CAST(count(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="Trailing 7-day rolling revenue (sum/avg/window-size) over the "
+    "daily orders series, full-value oracle.  RANGE frame on integer "
+    "epoch-days (engine-portable, correct across calendar gaps — a "
+    "missing day still shrinks the window, unlike ROWS 6 PRECEDING).  "
+    "One shuffle to daily grain, then a single unpartitioned window "
+    "over the ~date-span-sized series — at 100 TB the daily rollup "
+    "does the data reduction; the window runs over thousands of rows, "
+    "not billions.",
+)
+def rolling_7day_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count("*").alias("n_orders"),
+    ).withColumn("dn", F.datediff("d", F.lit("1970-01-01")))
+    w = Window.orderBy("dn").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.round("rev", 2).alias("revenue"),
+        "n_orders",
+        F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
+        F.round(F.avg("rev").over(w), 4).alias("rev_7d_avg"),
+        F.count("*").over(w).alias("days_in_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile binning (decile feature transform)
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_binning_extendedprice",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM lineitem
+), binned AS (
+  SELECT l.l_extendedprice AS v,
+         1 + len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin
+  FROM lineitem l, b
+)
+SELECT bin,
+       count(*) AS cnt,
+       round(min(v), 2) AS lo,
+       round(max(v), 2) AS hi,
+       round(avg(v), 4) AS mean_v
+FROM binned GROUP BY bin
+""",
+    doc="Decile binning of l_extendedprice (quantile feature transform): "
+    "exact decile edges from ONE percentile aggregate broadcast back, "
+    "bin assigned by comparison count — deterministic under ties "
+    "(unlike ntile, whose tie placement is order-dependent), two "
+    "linear scans, binning itself pure codegen.",
+)
+def quantile_binning_extendedprice(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "qs"
+        )
+    )
+    binned = li.crossJoin(F.broadcast(edges)).select(
+        F.col("l_extendedprice").alias("v"),
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("qs", lambda q: F.col("l_extendedprice") > q)
+            )
+        ).cast("bigint").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+        F.round(F.avg("v"), 4).alias("mean_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (deequ/dbt-test style) in one plan
+# ---------------------------------------------------------------------------
+@register(
+    "data_quality_checks",
+    oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       count(*) = count(DISTINCT o_orderkey) AS passed,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk', count(*) = 0, CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_orderkey_fk', count(*) = 0, CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) AS BIGINT) = 0,
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_totalprice_nonnull',
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) = 0,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'events_value_finite',
+       CAST(sum(CASE WHEN isnan(value) OR value IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) = 0,
+       CAST(sum(CASE WHEN isnan(value) OR value IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+""",
+    doc="Constraint-validation suite (deequ/dbt-test style) as one "
+    "union plan: PK uniqueness, two FK referential checks (anti-join "
+    "counts), a range constraint, null/NaN rates — each row a named "
+    "check with pass boolean + violation count, full-value oracle.  "
+    "At 100 TB each check is an independent scan/agg branch; the FK "
+    "checks broadcast the dimension side; all branches pipeline "
+    "independently (no cross-branch barrier).",
+)
+def data_quality_checks(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def row(name, violations_col):
+        return (
+            (F.lit(name).alias("check_name")),
+            (violations_col == 0).alias("passed"),
+            violations_col.cast("bigint").alias("violations"),
+        )
+
+    pk = o.agg(
+        *row(
+            "orders_pk_unique",
+            F.count("*") - F.countDistinct("o_orderkey"),
+        )
+    )
+    fk1 = (
+        o.join(
+            F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+        ).agg(*row("orders_custkey_fk", F.count("*")))
+    )
+    fk2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            *row("lineitem_orderkey_fk", F.count("*"))
+        )
+    )
+    rng = li.agg(
+        *row(
+            "lineitem_qty_range",
+            F.sum(
+                (
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                ).cast("long")
+            ),
+        )
+    )
+    nn = o.agg(
+        *row(
+            "orders_totalprice_nonnull",
+            F.sum(F.col("o_totalprice").isNull().cast("long")),
+        )
+    )
+    fin = ev.agg(
+        *row(
+            "events_value_finite",
+            F.sum(
+                (F.isnan("value") | F.col("value").isNull()).cast("long")
+            ),
+        )
+    )
+    out = pk
+    for part_df in (fk1, fk2, rng, nn, fin):
+        out = out.unionByName(part_df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: event_type x day-of-week
+# ---------------------------------------------------------------------------
+@register(
+    "chisq_event_type_weekday",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), rows_t AS (
+  SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1
+), cols_t AS (
+  SELECT dow, sum(o) AS ct FROM obs GROUP BY 1
+), n_t AS (
+  SELECT sum(o) AS n FROM obs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT obs.event_type) - 1)
+            * (count(DISTINCT obs.dow) - 1) AS BIGINT) AS dof,
+       round(sum(power(obs.o - rt * ct * 1.0 / n, 2)
+                 / (rt * ct * 1.0 / n)), 6) AS chi2
+FROM obs
+JOIN rows_t USING (event_type)
+JOIN cols_t USING (dow)
+CROSS JOIN n_t
+""",
+    doc="Chi-square independence statistic for event_type x day-of-week "
+    "(observed vs expected under independence), full-value oracle.  "
+    "The contingency table is one shuffle; margins and the scalar N "
+    "are tiny re-aggregations of it broadcast back — the fact table "
+    "is scanned once regardless of scale.",
+)
+def chisq_event_type_weekday(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    obs = obs.cache()
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(n_t))
+        .agg(
+            F.count("*").alias("n_cells"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("dow") - 1)
+            ).alias("dof"),
+            F.round(
+                F.sum(F.pow(F.col("o") - e, F.lit(2)) / e), 6
+            ).alias("chi2"),
+        )
+    )
