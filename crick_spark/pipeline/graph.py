@@ -1,0 +1,71 @@
+"""Iterative graph algorithms as DataFrame plans: weighted PageRank.
+
+Companion to the connected-components label propagation in
+``pipeline/dedup.py`` (the other iterative operator): both express the
+iteration as repeated joins over an edge relation, letting Catalyst
+plan each step.
+
+100 TB shape per iteration: one join of the rank vector (2 cols: node,
+rank) against the out-weight-normalized edge list, one groupBy(dst) —
+i.e. two shuffles over edge-count rows, never materializing anything
+quadratic.  The edge list is computed once and cached/reused across
+iterations; for long iteration chains the rank vector should be
+localCheckpoint-truncated every few steps (same lineage-control pattern
+as dedup's components loop).  Fixed iteration counts keep results
+deterministic and SQL-oracle-able (the oracle unrolls the same
+iterations as chained CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank)`` after ``iterations`` synchronous updates from a
+    uniform 1/N start:  r'(v) = (1−d)/N + d·Σ_{u→v} r(u)·w(u,v)/outw(u).
+
+    Assumes every node has at least one out-edge (no dangling-mass
+    redistribution) — true by construction for bidirectionalized
+    graphs; callers with genuine sinks should add self-loops first.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    norm = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    ).cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(norm, ranks.node == norm.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

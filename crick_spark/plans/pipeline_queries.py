@@ -1271,3 +1271,78 @@ def bm25_top_docs(spark, sf_dir):
     return out.select(
         "doc_id", F.col("dl").cast("bigint").alias("dl"), "bm25"
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = """
+WITH pairs AS (
+  SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+), edges AS (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM pairs
+), outw AS (
+  SELECT src, sum(w) AS ow FROM edges GROUP BY 1
+), norm AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e JOIN outw o USING (src)
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+  SELECT nodes.node,
+         (SELECT 0.15 / n FROM nn)
+           + 0.85 * coalesce(m.mass, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT norm.dst AS node, sum(r{i-1}.rank * norm.p) AS mass
+    FROM r{i-1} JOIN norm ON r{i-1}.node = norm.src GROUP BY 1
+  ) m USING (node)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@register(
+    "pagerank_purchase_graph",
+    oracle=_pagerank_oracle(3),
+    doc="Weighted PageRank (d=0.85, 3 synchronous iterations, uniform "
+    "start) over the bidirectionalized customer–supplier purchase "
+    "graph, FULL-VALUE oracle — the DuckDB side unrolls the identical "
+    "iterations as chained CTEs, so every rank hash-matches at 1e-9.  "
+    "The second iterative operator beside connected components "
+    "(pipeline/dedup.py): per iteration two shuffles over the edge "
+    "list (rank-vector join + groupBy dst), out-weights normalized "
+    "once and cached; no dangling mass by construction (every node "
+    "has out-edges in a bidirectionalized graph).",
+)
+def pagerank_purchase_graph(spark, sf_dir):
+    from crick_spark.pipeline.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    cnode = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = pairs.select(
+        cnode.alias("src"), snode.alias("dst"), "w"
+    ).unionByName(pairs.select(snode.alias("src"), cnode.alias("dst"), "w"))
+    ranks = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
