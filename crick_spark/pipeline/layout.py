@@ -123,3 +123,37 @@ def scan_stats(spark, path: str, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy("__file__").agg(*aggs)
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+) -> tuple[int, int]:
+    """Small-file compaction (the lakehouse OPTIMIZE/bin-packing role,
+    complement of ``zorder_by``): rewrite a fragmented parquet directory
+    into ``ceil(rows / target_rows_per_file)`` evenly-sized files.
+
+    Returns ``(files_before, files_after)``.  The row count comes from
+    parquet footers (count-star pushdown — no data scan); the rewrite is
+    one round-robin ``repartition(n)``, the only shuffle, sized so each
+    output file holds ~target rows.  At 100 TB this runs per partition
+    of a partitioned table (compact within, never across, partition
+    boundaries) and targets bytes not rows; row-count is the right
+    proxy here where rows are homogeneous.
+
+    Layout maintenance must never change results: callers verify
+    row/content preservation (see the ``compact_small_files`` oracle,
+    which hash-matches a content checksum across the rewrite).
+    """
+    import math
+
+    src = spark.read.parquet(src_path)
+    files_before = src.select(F.input_file_name()).distinct().count()
+    n_rows = src.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    src.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    files_after = out.select(F.input_file_name()).distinct().count()
+    return files_before, files_after

@@ -1346,3 +1346,107 @@ def pagerank_purchase_graph(spark, sf_dir):
     ).unionByName(pairs.select(snode.alias("src"), cnode.alias("dst"), "w"))
     ranks = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "unigram_logprob_documents",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+), probs AS (
+  SELECT tok, ln((c + 1) / (total + v)) AS lp FROM counts, totals
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(p.lp), 6) AS avg_logprob
+FROM toks t JOIN probs p USING (tok)
+GROUP BY t.doc_id
+""",
+    doc="Unigram language-model scoring (Laplace-smoothed corpus model, "
+    "mean token log-probability per document) — the classic cheap "
+    "quality/outlier signal for training-data curation, full-value "
+    "oracle.  Two shuffles: token counts, then per-doc score with the "
+    "probability table broadcast (vocab ≪ corpus).  At 100 TB cap the "
+    "vocabulary with the engine's own SpaceSaving heavy-hitters and "
+    "route the tail to one OOV bucket — the model table stays "
+    "broadcast-sized by construction.",
+)
+def unigram_logprob_documents(spark, sf_dir):
+    from crick_spark.pipeline.retrieval import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count("*").cast("double").alias("v"),
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("c") + 1) / (F.col("total") + F.col("v"))).alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       round(sum(value), 2) AS value_sum,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS fragmentation_reduced
+FROM events
+""",
+    doc="Small-file compaction (lakehouse OPTIMIZE bin-packing role): a "
+    "deliberately fragmented 64-file copy of events is rewritten to "
+    "~4 evenly-sized files by one round-robin repartition; the oracle "
+    "hash-matches a content checksum (rows, id-sum, value-sum, "
+    "distinct users) computed from the ORIGINAL table against the "
+    "compacted copy — layout maintenance must never change results — "
+    "plus a fragmentation_reduced boolean (files_after ≤ "
+    "files_before/8).  Row count for sizing comes from parquet "
+    "footers (count-star pushdown, no data scan).",
+)
+def compact_small_files_q(spark, sf_dir):
+    import shutil
+
+    from crick_spark.pipeline.layout import compact_small_files
+
+    work = run_tmpdir("crick_compact_")
+    frag, packed = f"{work}/frag", f"{work}/packed"
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    before, after = compact_small_files(
+        spark, frag, packed, target_rows_per_file=max(1, n // 4)
+    )
+    out = (
+        spark.read.parquet(packed)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.lit(after <= before // 8).alias("fragmentation_reduced"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
