@@ -1079,3 +1079,41 @@ def source_text_roundtrip(spark, sf_dir):
         F.substring(F.col("value"), 1, tab - 1).cast("long").alias("doc_id"),
         F.md5(dec).alias("text_md5"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_old_schema,
+       CAST(count(CASE WHEN event_id < 500 THEN user_id END) AS BIGINT)
+         AS n_user_ids,
+       round(sum(CASE WHEN event_id >= 500 THEN value END), 4) AS value_sum
+FROM events
+""",
+    doc="Schema-evolution source coverage: two parquet generations of "
+    "events — an old one carrying (event_id, user_id) and a new one "
+    "carrying (event_id, value) — read together with mergeSchema; "
+    "columns absent from a generation surface as NULLs.  The oracle "
+    "recomputes the merged aggregate from the canonical events table "
+    "with matching CASE fills.  At 100 TB schema drift across "
+    "partitions is the norm, not the exception — readers must union "
+    "by name off parquet footers, never by position.",
+)
+def source_schema_evolution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    path = run_tmpdir("crick_evolve_") + "/events"
+    old_gen = ev.where(F.col("event_id") < 500).select("event_id", "user_id")
+    new_gen = ev.where(F.col("event_id") >= 500).select("event_id", "value")
+    old_gen.write.mode("overwrite").parquet(f"{path}/gen=0")
+    new_gen.write.mode("overwrite").parquet(f"{path}/gen=1")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("event_id") < 500).cast("long")).alias(
+            "rows_old_schema"
+        ),
+        F.count("user_id").alias("n_user_ids"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

@@ -740,3 +740,43 @@ def test_bm25_matches_python_oracle(spark, docs):
 
     ranked = sorted(want, key=lambda d: (-round(want[d], 6), d))[:15]
     assert [r.doc_id for r in top.collect()] == ranked
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank must equal a from-scratch numpy power iteration on a
+    random weighted digraph (every node given an out-edge, matching the
+    operator's no-dangling contract), and total rank mass must be
+    conserved at 1.0."""
+    import numpy as np
+
+    from crick_spark.pipeline.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    n = 30
+    edges = []
+    for s in range(n):
+        outs = rng.choice(n, size=rng.randint(1, 5), replace=False)
+        for d in outs:
+            edges.append((f"v{s}", f"v{int(d)}", float(rng.randint(1, 10))))
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+
+    # numpy reference: column-stochastic transition on the same node set
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    P = np.zeros((m, m))
+    for s, d, w in edges:
+        P[idx[d], idx[s]] += w
+    P /= P.sum(axis=0, keepdims=True)
+    r = np.full(m, 1.0 / m)
+    for _ in range(3):
+        r = 0.15 / m + 0.85 * P @ r
+
+    got = {
+        row.node: row.rank
+        for row in pagerank(df, iterations=3, damping=0.85, weight_col="w").collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
