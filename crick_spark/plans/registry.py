@@ -89,7 +89,11 @@ _GATE_WINDOW = [
     "set_ops_customer_cohorts",
     "scalar_functions_orders",
     "window_functions_customer_orders",
-    "sink_roundtrip_parquet",
+    # r4: sink_roundtrip_parquet rotated out (zorder_layout_prune already
+    # writes+reads parquet in-window; roundtrip still oracle-checked
+    # outside) for the full-value iterative-algorithm proof — every
+    # PageRank node rank hash-matches a 3-iteration unrolled-CTE oracle
+    "pagerank_purchase_graph",
     # r4: source_csv_roundtrip rotated out (second low-information
     # roundtrip; still oracle-checked outside the window) for the BM25
     # ranked-retrieval family — a new operator family gets driver
