@@ -1661,3 +1661,127 @@ def chisq_event_type_weekday(spark, sf_dir):
             ).alias("chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-contribution analysis
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_revenue_concentration",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         sum(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(o_totalprice) OVER () AS total_rev,
+         count(*) OVER () AS n_orders
+  FROM orders
+)
+SELECT CAST(min(n_orders) AS BIGINT) AS n_orders,
+       round(min(total_rev), 2) AS total_rev,
+       CAST(min(CASE WHEN cum_rev >= 0.5 * total_rev THEN rn END)
+            AS BIGINT) AS orders_for_50pct,
+       CAST(min(CASE WHEN cum_rev >= 0.8 * total_rev THEN rn END)
+            AS BIGINT) AS orders_for_80pct,
+       CAST(min(CASE WHEN cum_rev >= 0.95 * total_rev THEN rn END)
+            AS BIGINT) AS orders_for_95pct,
+       round(sum(CASE WHEN rn <= CAST(0.2 * n_orders AS BIGINT)
+                 THEN o_totalprice END) / min(total_rev), 6)
+         AS top20pct_share
+FROM ranked
+""",
+    doc="Pareto concentration analysis: how many top orders carry "
+    "50/80/95% of revenue, and the revenue share of the top-20% of "
+    "orders, full-value oracle.  Deterministic cumulative ranking "
+    "(orderkey tie-break).  The global ordered window is the honest "
+    "cost at this output; at 100 TB replace the exact ranking with "
+    "the t-digest CDF (value-threshold form of the same question) — "
+    "the engine ships both.",
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.sum("o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_rev"),
+        F.sum("o_totalprice")
+        .over(Window.partitionBy())
+        .alias("total_rev"),
+        F.count("*").over(Window.partitionBy()).alias("n_orders"),
+    )
+    hit = lambda frac: F.min(
+        F.when(
+            F.col("cum_rev") >= frac * F.col("total_rev"), F.col("rn")
+        )
+    ).cast("bigint")
+    return ranked.agg(
+        F.min("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.min("total_rev"), 2).alias("total_rev"),
+        hit(0.5).alias("orders_for_50pct"),
+        hit(0.8).alias("orders_for_80pct"),
+        hit(0.95).alias("orders_for_95pct"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn")
+                    <= (0.2 * F.col("n_orders")).cast("bigint"),
+                    F.col("o_totalprice"),
+                )
+            )
+            / F.min("total_rev"),
+            6,
+        ).alias("top20pct_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the daily revenue series (bounded 30-day kernel)
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS dn,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+), wl AS (
+  SELECT d, rev,
+         list(rev) OVER (ORDER BY dn
+                         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS xs
+  FROM daily
+)
+SELECT d, round(rev, 2) AS revenue,
+       round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma30
+FROM wl
+""",
+    doc="EWMA smoothing (alpha=0.3) of the daily revenue series with a "
+    "30-day truncated kernel, full-value oracle: both engines fold the "
+    "windowed list left-to-right with the identical recurrence "
+    "acc = a*x + (1-a)*acc, so results are bit-comparable before "
+    "rounding (the truncation also bounds work — an unbounded EWMA is "
+    "inherently sequential; 30 taps ≈ (1-a)^30 < 2e-5 residual).  Same "
+    "scale story as rolling_7day: the window runs over the daily "
+    "rollup, never the fact table.",
+)
+def ewma_daily_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    ).withColumn("dn", F.datediff("d", F.lit("1970-01-01")))
+    w = Window.orderBy("dn").rowsBetween(-29, 0)
+    xs = F.collect_list("rev").over(w)
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return daily.select(
+        "d",
+        F.round("rev", 2).alias("revenue"),
+        F.round(ewma, 4).alias("ewma30"),
+    )
