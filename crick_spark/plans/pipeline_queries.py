@@ -5,7 +5,10 @@ Oracle-able entries (exact, deterministic in both engines): exact dedup,
 token/quality stats, marker-vote language ID, embedding norms, brute-force
 cosine top-k.  Hash-based
 operators (MinHash/SimHash/fingerprints use Spark's xxhash64, which DuckDB
-can't reproduce) and the ANN path are rows-only with accuracy asserted in
+can't reproduce) and the ANN path keep rows-only headliners, but each has
+a hash-matched quality twin in the registry (``minhash_recall_high_jaccard``,
+``simhash_finds_exact_dups``, ``knn_lsh_recall_vs_exact``,
+``knn_ivf_recall_vs_exact``) plus accuracy assertions in
 ``tests/test_pipeline.py``.
 """
 

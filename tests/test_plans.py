@@ -61,6 +61,16 @@ SHUFFLE_BUDGETS = [
     ("dedup_exact_documents", 2),
     ("scd2_event_type_intervals", 3),
     ("cohort_retention_weekly", 5),
+    # round-4 depth operators: budgets pin the designed shapes —
+    # sessionize is one key shuffle; basket lift is basket-build +
+    # marker-struct count (+1 AQE read); bm25 is stats agg + top-k;
+    # interpolate is bucket agg + series window (+ broadcast join)
+    ("sessionize_user_events", 3),
+    ("copurchase_brand_lift", 4),
+    ("bm25_top_docs", 3),
+    ("interpolate_hourly_gaps", 3),
+    ("mad_outliers_events", 4),
+    ("fuzzy_match_part_names", 3),
 ]
 
 
