@@ -1785,3 +1785,43 @@ def ewma_daily_revenue(spark, sf_dir):
         F.round("rev", 2).alias("revenue"),
         F.round(ewma, 4).alias("ewma30"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth (MoM / YoY)
+# ---------------------------------------------------------------------------
+@register(
+    "period_over_period_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT m,
+       round(rev, 2) AS revenue,
+       round(100.0 * (rev - lag(rev, 1) OVER (ORDER BY m))
+                   / lag(rev, 1) OVER (ORDER BY m), 4) AS mom_pct,
+       round(100.0 * (rev - lag(rev, 12) OVER (ORDER BY m))
+                   / lag(rev, 12) OVER (ORDER BY m), 4) AS yoy_pct
+FROM monthly
+""",
+    doc="Period-over-period growth: monthly revenue with MoM and YoY "
+    "percent change via lag windows, full-value oracle (NULL for the "
+    "first periods in both engines).  Windows run over the monthly "
+    "rollup (~tens of rows), never the fact table.",
+)
+def period_over_period_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("m")
+    mom = F.lag("rev", 1).over(w)
+    yoy = F.lag("rev", 12).over(w)
+    return monthly.select(
+        "m",
+        F.round("rev", 2).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - mom) / mom, 4).alias("mom_pct"),
+        F.round(100.0 * (F.col("rev") - yoy) / yoy, 4).alias("yoy_pct"),
+    )
