@@ -46,6 +46,9 @@ CARTESIAN_ALLOWED = {
     "tpch_q22_dormant_customers",
     "decontaminate_documents",
     "cms_freq_event_types",
+    # r4: 1-row corpus-stats / basket-total broadcasts cross-joined back
+    "bm25_top_docs",
+    "copurchase_brand_lift",
 }
 
 # (query, max shuffle exchanges) — the shuffle budget the current plan
