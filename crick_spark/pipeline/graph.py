@@ -52,22 +52,29 @@ def pagerank(
         .distinct()
         .cache()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
+    # N in-plan (1-row broadcast cross join), not a driver-side
+    # count(): no extra job per call, no value baked into the closure —
+    # the same pattern as the decayed-quantiles reference day
+    cnt = nodes.agg(F.count("*").cast("double").alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(cnt)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
     for _ in range(iterations):
         contrib = (
             ranks.join(norm, ranks.node == norm.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(cnt))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
     return ranks
