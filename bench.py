@@ -113,7 +113,17 @@ def previous_times() -> dict[str, float]:
 # to completion, layout/persist queries write parquet) — analyzing them is
 # not cheap, so the smoke gate skips them; tools/check_correctness.py and
 # the pytest oracle sweep still run them end-to-end.
-PREFLIGHT_SKIP_SUBSTR = ("stream", "persist_roundtrip", "zorder")
+PREFLIGHT_SKIP_SUBSTR = (
+    "stream",
+    "persist_roundtrip",
+    "zorder",
+    # construction-time side effects added in r4: parquet writes
+    # (compaction, schema-evolution generations) and ANN recall gates
+    # that collect query panels / train the IVF quantizer up front
+    "compact_small_files",
+    "schema_evolution",
+    "recall_vs_exact",
+)
 
 
 def preflight(spark, sf_dir: str) -> int:
