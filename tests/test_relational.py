@@ -177,3 +177,82 @@ def test_sessionize_gap_boundaries(spark):
         for r in sessionize(df, "user", "ts", 30, tiebreak="eid").collect()
     }
     assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_sessionize_matches_python_on_random_streams(spark):
+    """Randomized cross-validation: per-user session partitioning from
+    the Spark plan must equal a from-scratch Python sweep over the same
+    (seeded) random event streams."""
+    import datetime as dt
+    import random
+
+    from crick_spark.operators.timeseries import sessionize
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = t0
+        for _ in range(rng.randint(1, 40)):
+            t = t + dt.timedelta(seconds=rng.randint(1, 4000))
+            rows.append((f"u{u}", t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, ["user", "ts", "eid"])
+    got = {
+        r.eid: (r.user, r.session_id)
+        for r in sessionize(df, "user", "ts", 30, tiebreak="eid").collect()
+    }
+
+    by_user = {}
+    for u, t, e in sorted(rows, key=lambda x: (x[0], x[1], x[2])):
+        by_user.setdefault(u, []).append((t, e))
+    want = {}
+    for u, evs in by_user.items():
+        sid = -1
+        prev = None
+        for t, e in evs:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                sid += 1
+            want[e] = (u, sid)
+            prev = t
+    assert got == want
+
+
+def test_fuzzy_join_matches_bruteforce_within_blocks(spark):
+    """Randomized cross-validation: fuzzy_join output equals the brute
+    force 'same first token AND levenshtein <= d' pair set computed in
+    Python (difflib-free, real DP edit distance)."""
+    import random
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    from crick_spark.operators.relational import fuzzy_join
+
+    rng = random.Random(3)
+    vocab = ["red", "blue", "teal"]
+    nouns = ["widget", "widgit", "wodget", "ring", "rang", "sprocket"]
+    names = [
+        f"{rng.choice(vocab)} {rng.choice(nouns)}" for _ in range(40)
+    ]
+    left = spark.createDataFrame([(n,) for n in names[:25]], ["a"])
+    right = spark.createDataFrame([(n,) for n in names[25:]], ["b"])
+    got = {
+        (r.a, r.b)
+        for r in fuzzy_join(left, right, "a", "b", max_dist=2).collect()
+    }
+    want = {
+        (x, y)
+        for x in names[:25]
+        for y in names[25:]
+        if x.split()[0] == y.split()[0] and lev(x, y) <= 2
+    }
+    assert got == want
