@@ -123,6 +123,8 @@ PREFLIGHT_SKIP_SUBSTR = (
     "compact_small_files",
     "schema_evolution",
     "recall_vs_exact",
+    # eager=True pagerank materializes ranks at plan construction
+    "pagerank",
 )
 
 

@@ -22,6 +22,8 @@ avoid the quadratic pair space a naive theta-join would produce:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,7 +166,7 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_dist: int = 2,
-    block: "Column | None" = None,
+    block: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Approximate string-equality join (entity resolution / data
     cleaning): pairs whose Levenshtein distance is ≤ ``max_dist``.
@@ -187,15 +189,14 @@ def fuzzy_join(
     )
     lb = left.withColumn("__blk", bl(F.col(left_col)))
     rb = right.withColumn("__blk", bl(F.col(right_col)))
+    # join on block equality only, compute the edit-distance DP ONCE in
+    # the projection, filter after — Catalyst does not CSE an expression
+    # shared between a join residual and a later project, and the DP is
+    # the dominant per-pair cost this operator exists to bound
     joined = lb.alias("l").join(
-        rb.alias("r"),
-        (F.col("l.__blk") == F.col("r.__blk"))
-        & (
-            F.levenshtein(F.col(f"l.{left_col}"), F.col(f"r.{right_col}"))
-            <= F.lit(max_dist)
-        ),
+        rb.alias("r"), F.col("l.__blk") == F.col("r.__blk")
     )
-    return joined.select(
+    projected = joined.select(
         *[F.col(f"l.{c}").alias(c) for c in left.columns],
         *[
             F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
@@ -205,3 +206,4 @@ def fuzzy_join(
             F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
         ).alias("edit_dist"),
     )
+    return projected.where(F.col("edit_dist") <= F.lit(max_dist))

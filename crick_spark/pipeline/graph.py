@@ -29,6 +29,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank)`` after ``iterations`` synchronous updates from a
@@ -37,6 +38,13 @@ def pagerank(
     Assumes every node has at least one out-edge (no dangling-mass
     redistribution) — true by construction for bidirectionalized
     graphs; callers with genuine sinks should add self-loops first.
+
+    The normalized edge list and node set are cached for reuse across
+    iterations.  With ``eager=True`` the final rank vector is
+    materialized (``localCheckpoint``) and both caches are released
+    before returning — use this in long-lived sessions that run many
+    queries; the default lazy mode leaves the caches alive for the
+    lifetime of the returned plan (compose further, then unpersist).
     """
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
@@ -77,4 +85,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    if eager:
+        ranks = ranks.localCheckpoint(eager=True)
+        norm.unpersist()
+        nodes.unpersist()
     return ranks

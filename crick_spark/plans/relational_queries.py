@@ -1293,6 +1293,12 @@ def copurchase_brand_lift(spark, sf_dir):
             F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count("*").alias("cnt"))
+        # cached deliberately: ~|brands|^2/2 + |brands| + 1 rows (326 at
+        # 25 brands) consumed by three branches — Catalyst does not
+        # reuse the exchange across them, and recomputing would replay
+        # the basket build (the big shuffle) three times.  The cache is
+        # bytes-sized; at 100 TB it is still bounded by the brand
+        # dictionary, not the fact table
         .cache()
     )
     pairs = mixed.where(
@@ -1641,6 +1647,9 @@ def chisq_event_type_weekday(spark, sf_dir):
     obs = ev.groupBy(
         "event_type", F.dayofweek("ts").alias("dow")
     ).agg(F.count("*").alias("o"))
+    # cached deliberately: the contingency table is |types|x|weekdays|
+    # rows (35 here, dictionary-bounded at any scale) and feeds four
+    # branches; recomputation would re-scan events four times
     obs = obs.cache()
     rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
     cols_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))

@@ -780,3 +780,42 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_dup_recall_gates_survive_tokenless_docs(spark):
+    """Regression for the review finding: fixtures containing several
+    token-less docs (NULL / empty / whitespace text) must not break the
+    exact-dup recall statements — simhash emits no fingerprint for such
+    docs, so they are excluded from the ground truth on both sides, and
+    doc fingerprints must treat NULL and '' as the same text."""
+    from crick_spark.pipeline.dedup import simhash_signatures
+    from crick_spark.pipeline.text import doc_fingerprint_expr
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c"), (5, "a b c")],
+        ["doc_id", "text"],
+    )
+    # NULL text emits NO signature (words_expr(NULL) is NULL) — this is
+    # why the gate's ground truth must exclude token-less docs: the old
+    # md5(coalesce(text,'')) oracle paired doc 1 with doc 2, a pair
+    # simhash can never produce.  Empty/whitespace docs DO hash (one
+    # empty token) and pair with each other.
+    sigs = {r.doc_id: r.sh for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert 1 not in sigs, "NULL-text docs must emit no signature"
+    assert sigs[2] == sigs[3]
+    assert sigs[4] == sigs[5]
+    # the gate's trimmed-text ground truth keeps only (4,5) — found
+    kept = docs.where(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+    assert {r.doc_id for r in kept.collect()} == {4, 5}
+
+    # fingerprints of the coalesced text: NULL and '' must agree
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id",
+            doc_fingerprint_expr(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).alias("fp"),
+        ).collect()
+    }
+    assert fps[1] == fps[2], "NULL-text and empty-text must share a fingerprint"
