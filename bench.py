@@ -80,6 +80,28 @@ HEADLINE = [
     "boilerplate_ngram_filter",
 ]
 
+# Round-4 depth operators, timed and reported under "extra_queries" but
+# EXCLUDED from the headline total — the recorded BASELINE covers the 38
+# headline queries, and changing the set would break round-over-round and
+# baseline comparability.
+R4_EXTRA = [
+    "bm25_top_docs",
+    "fuzzy_match_part_names",
+    "interpolate_hourly_gaps",
+    "sessionize_user_events",
+    "copurchase_brand_lift",
+    "mad_outliers_events",
+    "rolling_7day_revenue",
+    "quantile_binning_extendedprice",
+    "data_quality_checks",
+    "chisq_event_type_weekday",
+    "pagerank_purchase_graph",
+    "unigram_logprob_documents",
+    "pareto_revenue_concentration",
+    "ewma_daily_revenue",
+    "period_over_period_revenue",
+]
+
 
 def previous_times() -> dict[str, float]:
     """Per-query seconds from the most recent BENCH_r*.json with timings."""
@@ -193,6 +215,18 @@ def main() -> None:
             print(f"BENCH FAIL {name}", file=sys.stderr)
             traceback.print_exc(file=sys.stderr)
     total = round(sum(times.values()), 3)
+    extra: dict[str, float] = {}
+    for name in R4_EXTRA:
+        fn = QUERIES[name].fn
+        try:
+            fn(spark, sf_dir).collect()
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            extra[name] = round(time.time() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH FAIL {name}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
     prev = previous_times()
     deltas = {
         k: round(v - prev[k], 3) for k, v in times.items() if k in prev
@@ -204,6 +238,9 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if extra:
+        out["extra_queries"] = extra
+        out["extra_total"] = round(sum(extra.values()), 3)
     if deltas:
         out["deltas"] = deltas
     if errors:
