@@ -1475,3 +1475,63 @@ def compact_small_files_q(spark, sf_dir):
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "negative_sampling_user_types",
+    oracle="""
+WITH pos AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), cand AS (
+  SELECT u.user_id, t.event_type,
+         md5(CAST(u.user_id AS VARCHAR) || ':' || t.event_type) AS coin
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN types t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos p
+    WHERE p.user_id = u.user_id AND p.event_type = t.event_type
+  )
+), ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY coin) AS rk
+  FROM cand
+)
+SELECT user_id, event_type, rk
+FROM ranked WHERE rk <= 2
+""",
+    doc="Deterministic negative sampling (contrastive-training staple): "
+    "for each user, the 2 event types they never interacted with, "
+    "chosen by an md5 coin over (user, type) — reproducible across "
+    "engines and runs, no RNG state; full-value oracle.  100 TB shape: "
+    "the candidate space is |users| x |type dictionary| (the dictionary "
+    "is broadcast-sized by construction), positives removed by an "
+    "anti-join co-partitioned on user_id, per-user ranking windows over "
+    "at most |dictionary| rows.  Item corpora too big to cross-join "
+    "get the same contract via hash-bucketed candidate slices.",
+)
+def negative_sampling_user_types(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    pos = ev.select("user_id", "event_type").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(types))
+        .join(pos, ["user_id", "event_type"], "left_anti")
+        .withColumn(
+            "coin",
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("user_id").cast("string"), F.col("event_type")
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("coin")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("user_id", "event_type", "rk")
+    )
