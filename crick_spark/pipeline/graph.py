@@ -30,6 +30,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     eager: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank)`` after ``iterations`` synchronous updates from a
@@ -68,8 +69,16 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for _ in range(iterations):
+        # broadcast_ranks ships the 2-column rank vector map-side so the
+        # edge list never re-shuffles.  MEASURED at sf0.1 (16k nodes,
+        # 3 iterations): 8.1 s vs 6.5 s for the default shuffle join —
+        # each broadcast must materialize the previous iteration first,
+        # serializing the chain, so it LOSES at shallow depth on small
+        # graphs; it wins only when the edge-list shuffle dominates
+        # (edges ≫ nodes x iterations).  Default stays the shuffle join.
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ranks.join(norm, ranks.node == norm.src)
+            r.join(norm, r.node == norm.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
