@@ -100,6 +100,7 @@ R4_EXTRA = [
     "pareto_revenue_concentration",
     "ewma_daily_revenue",
     "period_over_period_revenue",
+    "negative_sampling_user_types",
 ]
 
 
