@@ -1117,3 +1117,61 @@ def source_schema_evolution(spark, sf_dir):
         F.count("user_id").alias("n_user_ids"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+SELECT event_type, date_trunc('day', ts) AS d,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Incremental aggregate maintenance — the crick merge contract "
+    "applied to exact rollups: the corpus is split into a base load "
+    "and a late-arriving delta (event_id parity), each rolled up "
+    "independently, and the two AGGREGATE STATES merged (counts/sums "
+    "add, min/max fold, distinct-user via union of the per-batch key "
+    "sets) — the merged table must hash-match the full recompute, "
+    "which is exactly what the oracle computes.  At 100 TB this is the "
+    "materialized-view refresh path: touch only the delta, never "
+    "rescan the base fact table.  count(DISTINCT) is the one "
+    "non-algebraic column — merged through the per-batch distinct key "
+    "sets (or an HLL register merge for the approximate variant, "
+    "streaming_distinct_users_hll).",
+)
+def incremental_rollup_merge(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    delta = ev.where(F.col("event_id") % 2 == 1)
+
+    def rollup(df):
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.collect_set("user_id").alias("users"),
+        )
+
+    merged = (
+        rollup(base)
+        .unionByName(rollup(delta))
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+            F.round(F.min("min_value"), 6).alias("min_value"),
+            F.round(F.max("max_value"), 6).alias("max_value"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("users")))
+            ).cast("bigint").alias("n_users"),
+        )
+    )
+    return merged
