@@ -1834,3 +1834,49 @@ def period_over_period_revenue(spark, sf_dir):
         F.round(100.0 * (F.col("rev") - mom) / mom, 4).alias("mom_pct"),
         F.round(100.0 * (F.col("rev") - yoy) / yoy, 4).alias("yoy_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving median (robust rolling statistic) of the daily revenue series
+# ---------------------------------------------------------------------------
+@register(
+    "moving_median_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS dn,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT d, round(rev, 2) AS revenue,
+       round(quantile_cont(rev, 0.5)
+               OVER (ORDER BY dn ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             4) AS med7
+FROM daily
+""",
+    doc="7-observation moving median of daily revenue — the robust twin "
+    "of rolling_7day_revenue (a single outlier day moves the mean but "
+    "not the median), full-value oracle.  Spark lacks a windowed exact "
+    "median, so the frame's values are collected, sorted, and "
+    "interpolated at the midpoint per quantile_cont semantics — "
+    "bounded by the 7-row frame, and the window again runs over the "
+    "daily rollup, never the fact table.",
+)
+def moving_median_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    ).withColumn("dn", F.datediff("d", F.lit("1970-01-01")))
+    w = Window.orderBy("dn").rowsBetween(-6, 0)
+    xs = F.sort_array(F.collect_list("rev").over(w))
+    n = F.size(xs)
+    mid_lo = F.floor((n + 1) / 2).cast("int")
+    mid_hi = (F.floor(n / 2) + 1).cast("int")
+    lo = F.element_at(xs, mid_lo)
+    hi = F.element_at(xs, mid_hi)
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return daily.select(
+        "d",
+        F.round("rev", 2).alias("revenue"),
+        F.round(med, 4).alias("med7"),
+    )
