@@ -99,6 +99,7 @@ R4_EXTRA = [
     "unigram_logprob_documents",
     "pareto_revenue_concentration",
     "ewma_daily_revenue",
+    "moving_median_revenue",
     "period_over_period_revenue",
     "negative_sampling_user_types",
 ]

@@ -135,13 +135,14 @@ def compact_small_files(
     complement of ``zorder_by``): rewrite a fragmented parquet directory
     into ``ceil(rows / target_rows_per_file)`` evenly-sized files.
 
-    Returns ``(files_before, files_after)``.  The row count comes from
-    parquet footers (count-star pushdown — no data scan); the rewrite is
-    one round-robin ``repartition(n)``, the only shuffle, sized so each
-    output file holds ~target rows.  At 100 TB this runs per partition
-    of a partitioned table (compact within, never across, partition
-    boundaries) and targets bytes not rows; row-count is the right
-    proxy here where rows are homogeneous.
+    Returns ``(files_before, files_after)``.  File counts come from a
+    filesystem listing (Hadoop FS API — no data scan at all); the row
+    count comes from parquet footers (count-star pushdown, footer reads
+    only); the rewrite is one round-robin ``repartition(n)``, the only
+    shuffle, sized so each output file holds ~target rows.  At 100 TB
+    this runs per partition of a partitioned table (compact within,
+    never across, partition boundaries) and targets bytes not rows;
+    row-count is the right proxy here where rows are homogeneous.
 
     Layout maintenance must never change results: callers verify
     row/content preservation (see the ``compact_small_files`` oracle,
@@ -150,10 +151,25 @@ def compact_small_files(
     import math
 
     src = spark.read.parquet(src_path)
-    files_before = src.select(F.input_file_name()).distinct().count()
+    files_before = _count_data_files(spark, src_path)
     n_rows = src.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     src.repartition(n_files).write.mode("overwrite").parquet(dst_path)
-    out = spark.read.parquet(dst_path)
-    files_after = out.select(F.input_file_name()).distinct().count()
+    files_after = _count_data_files(spark, dst_path)
     return files_before, files_after
+
+
+def _count_data_files(spark, path: str) -> int:
+    """Count parquet data files under ``path`` via the Hadoop FS listing
+    — metadata-only, no row-group reads, works on any Hadoop-compatible
+    store (local, HDFS, object stores)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            n += 1
+    return n

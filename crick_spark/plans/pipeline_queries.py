@@ -1480,14 +1480,17 @@ def compact_small_files_q(spark, sf_dir):
 @register(
     "negative_sampling_user_types",
     oracle="""
-WITH pos AS (
-  SELECT DISTINCT user_id, event_type FROM events
+WITH ev AS (
+  SELECT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), pos AS (
+  SELECT DISTINCT user_id, event_type FROM ev
 ), types AS (
-  SELECT DISTINCT event_type FROM events
+  SELECT DISTINCT event_type FROM ev
 ), cand AS (
   SELECT u.user_id, t.event_type,
          md5(CAST(u.user_id AS VARCHAR) || ':' || t.event_type) AS coin
-  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN types t
+  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN types t
   WHERE NOT EXISTS (
     SELECT 1 FROM pos p
     WHERE p.user_id = u.user_id AND p.event_type = t.event_type
@@ -1513,7 +1516,13 @@ FROM ranked WHERE rk <= 2
 def negative_sampling_user_types(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL keys excluded up-front on both engines: Spark's concat_ws
+    # would skip a NULL component (coin stays non-NULL) while SQL `||`
+    # propagates NULL — the per-user row_number order would silently
+    # diverge on data with NULL user_id/event_type.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     users = ev.select("user_id").distinct()
     types = ev.select("event_type").distinct()
     pos = ev.select("user_id", "event_type").distinct()

@@ -1293,13 +1293,16 @@ def copurchase_brand_lift(spark, sf_dir):
             F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count("*").alias("cnt"))
-        # cached deliberately: ~|brands|^2/2 + |brands| + 1 rows (326 at
-        # 25 brands) consumed by three branches — Catalyst does not
-        # reuse the exchange across them, and recomputing would replay
-        # the basket build (the big shuffle) three times.  The cache is
-        # bytes-sized; at 100 TB it is still bounded by the brand
-        # dictionary, not the fact table
-        .cache()
+        # materialized deliberately: ~|brands|^2/2 + |brands| + 1 rows
+        # (326 at 25 brands) consumed by three branches — Catalyst does
+        # not reuse the exchange across them, and recomputing would
+        # replay the basket build (the big shuffle) three times.  An
+        # eager localCheckpoint (not .cache()) so the blocks are
+        # reclaimed by the ContextCleaner when the plan is GC'd — no
+        # unpersist obligation leaks to callers in long-lived sessions.
+        # The materialized set is bytes-sized; at 100 TB it is still
+        # bounded by the brand dictionary, not the fact table
+        .localCheckpoint(eager=True)
     )
     pairs = mixed.where(
         F.col("brand_a").isNotNull() & F.col("brand_b").isNotNull()
@@ -1473,19 +1476,34 @@ SELECT bin,
 FROM binned GROUP BY bin
 """,
     doc="Decile binning of l_extendedprice (quantile feature transform): "
-    "exact decile edges from ONE percentile aggregate broadcast back, "
-    "bin assigned by comparison count — deterministic under ties "
-    "(unlike ntile, whose tie placement is order-dependent), two "
-    "linear scans, binning itself pure codegen.",
+    "decile edges from ONE aggregate broadcast back, bin assigned by "
+    "comparison count — deterministic under ties (unlike ntile, whose "
+    "tie placement is order-dependent), two linear scans, binning "
+    "itself pure codegen.  exact=True (this oracle-matched form) uses "
+    "Spark's exact F.percentile, whose aggregation buffer holds EVERY "
+    "value — fine at test scale, O(N) single-task state at 100 TB.  "
+    "The production path is exact=False: edges from the engine's own "
+    "t-digest (crick tdigest.pyx:144-163 — the sketch exists precisely "
+    "for this), constant state per partition, downstream plan "
+    "unchanged; its accuracy twin `quantile_binning_approx_accuracy` "
+    "bounds the bin-mass error at the reference's CDF tolerance.",
 )
-def quantile_binning_extendedprice(spark, sf_dir):
+def quantile_binning_extendedprice(spark, sf_dir, exact: bool = True):
     li = load_table(spark, sf_dir, "lineitem")
     qs = [i / 10.0 for i in range(1, 10)]
-    edges = li.agg(
-        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias(
-            "qs"
+    if exact:
+        edges = li.agg(
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+            ).alias("qs")
         )
-    )
+    else:
+        from crick_spark.operators import tdigest_quantiles
+
+        est = tdigest_quantiles(li, "l_extendedprice", qs)
+        edges = est.select(
+            F.array(*[F.col(c) for c in est.columns]).alias("qs")
+        )
     binned = li.crossJoin(F.broadcast(edges)).select(
         F.col("l_extendedprice").alias("v"),
         (
@@ -1500,6 +1518,35 @@ def quantile_binning_extendedprice(spark, sf_dir):
         F.round(F.min("v"), 2).alias("lo"),
         F.round(F.max("v"), 2).alias("hi"),
         F.round(F.avg("v"), 4).alias("mean_v"),
+    )
+
+
+@register(
+    "quantile_binning_approx_accuracy",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_bins, "
+    "TRUE AS total_preserved, TRUE AS mass_within_tol",
+    doc="Accuracy twin for quantile_binning_extendedprice(exact=False) — "
+    "the 100 TB path, with t-digest decile edges instead of the exact "
+    "F.percentile whose buffer holds every value.  Hash-matched boolean "
+    "oracle (the tdigest_quantile_accuracy pattern): all 10 bins "
+    "present, every row lands in exactly one bin (sum of bin counts == "
+    "table count), and each bin's mass is within 0.03 of the ideal "
+    "0.10 (two t-digest edges bound a bin; the reference's per-edge "
+    "CDF tolerance is 0.012, test_tdigest.py:99-102, so 0.024 worst "
+    "case + headroom).  Downstream binning plan is byte-identical to "
+    "the exact form — only the 1-row edge aggregate changes.",
+)
+def quantile_binning_approx_accuracy(spark, sf_dir):
+    binned = quantile_binning_extendedprice(spark, sf_dir, exact=False)
+    li = load_table(spark, sf_dir, "lineitem")
+    tot = li.agg(F.count("l_extendedprice").alias("n_total"))
+    return binned.crossJoin(F.broadcast(tot)).agg(
+        F.countDistinct("bin").alias("n_bins"),
+        (F.sum("cnt") == F.min("n_total")).alias("total_preserved"),
+        (
+            F.max(F.abs(F.col("cnt") / F.col("n_total") - F.lit(0.1)))
+            <= F.lit(0.03)
+        ).alias("mass_within_tol"),
     )
 
 
@@ -1647,10 +1694,13 @@ def chisq_event_type_weekday(spark, sf_dir):
     obs = ev.groupBy(
         "event_type", F.dayofweek("ts").alias("dow")
     ).agg(F.count("*").alias("o"))
-    # cached deliberately: the contingency table is |types|x|weekdays|
-    # rows (35 here, dictionary-bounded at any scale) and feeds four
-    # branches; recomputation would re-scan events four times
-    obs = obs.cache()
+    # materialized deliberately: the contingency table is
+    # |types|x|weekdays| rows (35 here, dictionary-bounded at any
+    # scale) and feeds four branches; recomputation would re-scan
+    # events four times.  Eager localCheckpoint instead of .cache() so
+    # the blocks are ContextCleaner-reclaimed with the plan — repeated
+    # builder invocations in a long-lived session leak nothing.
+    obs = obs.localCheckpoint(eager=True)
     rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
     cols_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
     n_t = obs.agg(F.sum("o").alias("n"))
@@ -1695,7 +1745,7 @@ SELECT CAST(min(n_orders) AS BIGINT) AS n_orders,
             AS BIGINT) AS orders_for_80pct,
        CAST(min(CASE WHEN cum_rev >= 0.95 * total_rev THEN rn END)
             AS BIGINT) AS orders_for_95pct,
-       round(sum(CASE WHEN rn <= CAST(0.2 * n_orders AS BIGINT)
+       round(sum(CASE WHEN rn <= CAST(floor(0.2 * n_orders) AS BIGINT)
                  THEN o_totalprice END) / min(total_rev), 6)
          AS top20pct_share
 FROM ranked
@@ -1737,7 +1787,7 @@ def pareto_revenue_concentration(spark, sf_dir):
             F.sum(
                 F.when(
                     F.col("rn")
-                    <= (0.2 * F.col("n_orders")).cast("bigint"),
+                    <= F.floor(0.2 * F.col("n_orders")).cast("bigint"),
                     F.col("o_totalprice"),
                 )
             )
