@@ -160,6 +160,50 @@ def range_join(
     )
 
 
+def default_fuzzy_blocks(c: Column, max_dist: int) -> Column:
+    """Default blocking keys for :func:`fuzzy_join` — *recall-complete*
+    for Levenshtein ≤ ``max_dist``.
+
+    Keys = all character 3-grams of the lowercased de-spaced string,
+    plus a ``#short`` band key when the de-spaced length < 4k+3.
+
+    Recall proof sketch (q-gram lemma): case-folding and de-spacing
+    never increase edit distance (every raw edit maps to at most one
+    folded edit; space edits become no-ops), so the de-spaced pair is
+    still within k edits.  One edit destroys at most q=3 grams, so k
+    edits destroy ≤ 3k of the |s|−2 grams; if |s| ≥ 3k+3 some gram
+    survives untouched and — being a contiguous unchanged run — appears
+    verbatim among the other string's grams: shared key.  If |s| < 3k+3
+    the string emits ``#short``, and any string within k edits has
+    length < 4k+3 so it emits ``#short`` too (the emit threshold is
+    deliberately 4k+3, not 3k+3, to make both sides of a short pair
+    overlap).  Hence every pair with distance ≤ k shares ≥1 key —
+    measured at recall=1.0 by the ``fuzzy_match_recall`` oracle, which
+    injects first-token typos (the failure mode of naive first-token
+    blocking).
+
+    Precision/scale: common grams make bigger blocks than a first-token
+    scheme — the price of guaranteed recall.  Candidates are pruned by a
+    length-band residual before the DP, and the DP itself is
+    threshold-bounded.  For web-scale dictionaries pass a custom
+    ``block`` (e.g. rarest-gram prefix filtering) — the contract is any
+    function Column → array<string> of keys.
+    """
+    s = F.regexp_replace(F.lower(F.trim(c)), r"\s+", "")
+    n = F.length(s)
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: s.substr(i, F.lit(3)),
+        ),
+        lambda g: F.length(g) == 3,
+    )
+    short = F.when(
+        n < F.lit(4 * max_dist + 3), F.array(F.lit("#short"))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(grams, short))
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -167,43 +211,65 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 2,
     block: "Callable[[Column], Column] | None" = None,
+    values_distinct: bool = False,
 ) -> DataFrame:
     """Approximate string-equality join (entity resolution / data
     cleaning): pairs whose Levenshtein distance is ≤ ``max_dist``.
 
     Scale shape: a naive fuzzy join is |L|×|R| edit-distance calls — a
-    theta-join Spark would execute as BNLJ.  This operator turns it into
-    an *equi*-join on a blocking key (default: lowercased first
-    whitespace token — cheap, language-agnostic, and any single-token
-    typo still shares the block unless it hits token 1's first
-    characters; callers pass ``block`` for soundex/length-band/q-gram
-    schemes), with the edit distance evaluated only within blocks as a
-    residual predicate (JVM codegen ``levenshtein``, no UDF).  Work is
-    Σ_b |L_b|·|R_b| — bounded by block granularity, not corpus size.
-    Best practice at 100 TB: fuzzy-join the *distinct dictionary* of the
-    column (usually orders of magnitude smaller than the fact table) and
-    map results back via an exact equi-join.
+    theta-join Spark would execute as BNLJ.  This operator turns it
+    into an *equi*-join on exploded blocking keys (default:
+    :func:`default_fuzzy_blocks`, recall-complete 3-gram + short-band
+    keys — see its docstring for the q-gram-lemma proof), with the
+    work pipeline: explode keys over the DISTINCT value dictionaries →
+    equi-join on key → length-band prune (an edit changes length by ≤1,
+    so |len(a)−len(b)| ≤ k — cheap codegen, fires before anything
+    expensive) → per-pair dedup (a pair sharing many grams is DP'd
+    once) → threshold-bounded ``levenshtein(l, r, k)`` (JVM codegen
+    early-exit DP, no UDF) → map back to fact rows by exact equi-join.
+    Work is Σ_b |L_b|·|R_b| over gram blocks — bounded by dictionary
+    statistics, never corpus², and the dictionaries are usually orders
+    of magnitude smaller than the fact tables.
+
+    ``block`` (Column → array<string>) swaps the key scheme: cheaper
+    lossy blocking (first token, soundex) or rarest-gram prefix
+    filtering for web-scale dictionaries.  ``values_distinct=True``
+    skips the internal dictionary-dedup shuffles when the join columns
+    are already distinct (e.g. inputs straight out of a groupBy on the
+    value).
     """
     bl = block if block is not None else (
-        lambda c: F.lower(F.split(F.trim(c), r"\s+")[0])
+        lambda c: default_fuzzy_blocks(c, max_dist)
     )
-    lb = left.withColumn("__blk", bl(F.col(left_col)))
-    rb = right.withColumn("__blk", bl(F.col(right_col)))
-    # join on block equality only, compute the edit-distance DP ONCE in
-    # the projection, filter after — Catalyst does not CSE an expression
-    # shared between a join residual and a later project, and the DP is
-    # the dominant per-pair cost this operator exists to bound
-    joined = lb.alias("l").join(
-        rb.alias("r"), F.col("l.__blk") == F.col("r.__blk")
+    lv = left.select(F.col(left_col).alias("__lv"))
+    rv = right.select(F.col(right_col).alias("__rv"))
+    if not values_distinct:
+        lv, rv = lv.distinct(), rv.distinct()
+    lk = lv.select("__lv", F.explode(bl(F.col("__lv"))).alias("__blk"))
+    rk = rv.select("__rv", F.explode(bl(F.col("__rv"))).alias("__blk"))
+    pairs = (
+        lk.join(rk, "__blk")
+        .where(
+            F.abs(F.length("__lv") - F.length("__rv")) <= F.lit(max_dist)
+        )
+        .select("__lv", "__rv")
+        .dropDuplicates(["__lv", "__rv"])
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__lv"), F.col("__rv"), int(max_dist)),
+        )
+        .where(F.col("edit_dist") >= 0)  # threshold DP returns -1 past k
     )
-    projected = joined.select(
+    out = (
+        left.alias("l")
+        .join(pairs, F.col(f"l.{left_col}") == F.col("__lv"))
+        .join(right.alias("r"), F.col("__rv") == F.col(f"r.{right_col}"))
+    )
+    return out.select(
         *[F.col(f"l.{c}").alias(c) for c in left.columns],
         *[
             F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
             for c in right.columns
         ],
-        F.levenshtein(
-            F.col(f"l.{left_col}"), F.col(f"r.{right_col}")
-        ).alias("edit_dist"),
+        F.col("edit_dist"),
     )
-    return projected.where(F.col("edit_dist") <= F.lit(max_dist))

@@ -1108,25 +1108,25 @@ def cohort_retention_weekly(spark, sf_dir):
     oracle=r"""
 WITH n AS (
   SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name
-), b AS (
-  SELECT p_name, cnt,
-         lower(string_split_regex(trim(p_name), '\s+')[1]) AS blk
-  FROM n
 )
 SELECT a.p_name AS name_a, c.p_name AS name_b,
        levenshtein(a.p_name, c.p_name) AS edit_dist,
        a.cnt AS cnt_a, c.cnt AS cnt_b
-FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+FROM n a JOIN n c ON a.p_name < c.p_name
 WHERE levenshtein(a.p_name, c.p_name) <= 3
 """,
     doc="Fuzzy string match (entity resolution): near-identical part "
-    "names at Levenshtein ≤ 3, full-value oracle.  The 100 TB shape is "
-    "the operator's whole point: fuzzy-join the DISTINCT name "
-    "dictionary (64 names here vs 2k parts; the same ratio holds on "
-    "real catalogs), block on the first token so the edit distance — "
-    "JVM codegen, no UDF — runs only inside blocks (equi-join + "
-    "residual, never a BNLJ theta-join), and map matches back to fact "
-    "rows by exact key if needed.",
+    "names at Levenshtein ≤ 3.  The oracle is the pure brute-force "
+    "pair semantics (every pair within the bound, no blocking term) — "
+    "possible because the default blocking is recall-complete for the "
+    "edit bound (q-gram lemma, see default_fuzzy_blocks), so the "
+    "blocked equi-join provably returns the same pairs as the O(n²) "
+    "scan.  The 100 TB shape is the operator's whole point: fuzzy-join "
+    "the DISTINCT name dictionary (64 names here vs 2k parts; the same "
+    "ratio holds on real catalogs), explode 3-gram keys, equi-join + "
+    "length-band prune + per-pair dedup, then one threshold-bounded "
+    "levenshtein per candidate pair — JVM codegen, no UDF, never a "
+    "BNLJ theta-join — and map matches back to fact rows by exact key.",
 )
 def fuzzy_match_part_names(spark, sf_dir):
     from crick_spark.operators.relational import fuzzy_join
@@ -1139,13 +1139,67 @@ def fuzzy_match_part_names(spark, sf_dir):
     right = names.select(
         F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b")
     )
-    out = fuzzy_join(left, right, "name_a", "name_b", max_dist=3)
+    out = fuzzy_join(
+        left, right, "name_a", "name_b", max_dist=3, values_distinct=True
+    )
     return out.where(F.col("name_a") < F.col("name_b")).select(
         "name_a",
         "name_b",
         F.col("edit_dist").cast("bigint").alias("edit_dist"),
         "cnt_a",
         "cnt_b",
+    )
+
+
+@register(
+    "fuzzy_match_recall",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_injected,
+       CAST(count(*) AS BIGINT) AS n_found,
+       1.0 AS recall
+FROM (SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 8)
+""",
+    doc="Measured recall of fuzzy_join's DEFAULT blocking on injected "
+    "typos, full-value oracle.  Every distinct part name gets a "
+    "deterministic 2-edit corruption that deliberately hits the FIRST "
+    "token (delete char 1, replace char 6 with '#') — the exact "
+    "failure mode of naive first-token blocking, which silently drops "
+    "such pairs.  The recall-complete 3-gram scheme "
+    "(default_fuzzy_blocks) must recover 100% of them: the oracle "
+    "asserts n_found == n_injected and recall == 1.0 — a hash "
+    "mismatch, not a soft warning, if the blocking ever loses a pair.",
+)
+def fuzzy_match_recall(spark, sf_dir):
+    from crick_spark.operators.relational import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select("p_name").where(F.length("p_name") >= 8).distinct()
+    )
+    typos = names.select(
+        F.col("p_name").alias("orig"),
+        F.concat(
+            F.substring("p_name", 2, 4),
+            F.lit("#"),
+            F.expr("substring(p_name, 7)"),
+        ).alias("typo"),
+    )
+    found = fuzzy_join(
+        typos.select("typo"),
+        names.select("p_name"),
+        "typo",
+        "p_name",
+        max_dist=2,
+        values_distinct=True,
+    )
+    matched = found.select(
+        "typo", F.col("p_name").alias("orig"), F.lit(1).alias("__hit")
+    ).dropDuplicates(["typo", "orig"])
+    hits = typos.join(matched, ["typo", "orig"], "left")
+    return hits.agg(
+        F.count("*").alias("n_injected"),
+        F.count("__hit").alias("n_found"),
+        F.round(F.count("__hit") / F.count("*"), 4).alias("recall"),
     )
 
 

@@ -73,7 +73,12 @@ SHUFFLE_BUDGETS = [
     ("bm25_top_docs", 3),
     ("interpolate_hourly_gaps", 3),
     ("mad_outliers_events", 4),
-    ("fuzzy_match_part_names", 3),
+    # r5: recall-complete fuzzy join — every exchange is DICTIONARY-
+    # sized (name agg + two value-dict distincts + candidate-pair dedup
+    # + broadcasts for the gram join and the map-back), never fact-table
+    # sized; the budget pins that none of the small sides degrades to a
+    # fact-side shuffle
+    ("fuzzy_match_part_names", 8),
 ]
 
 

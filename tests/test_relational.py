@@ -102,9 +102,10 @@ def test_range_join_bucket_crossing(spark):
 
 
 def test_fuzzy_join_blocked_levenshtein(spark):
-    """fuzzy_join finds pairs within the edit bound that share a block,
-    computes exact Levenshtein, and (by design) misses cross-block pairs
-    — the documented blocking trade-off."""
+    """fuzzy_join returns exactly the pairs within the edit bound — the
+    default 3-gram blocking is recall-complete (q-gram lemma), so even
+    FIRST-token typos are found, the failure mode of naive first-token
+    blocking."""
     from crick_spark.operators.relational import fuzzy_join
 
     left = spark.createDataFrame(
@@ -112,7 +113,7 @@ def test_fuzzy_join_blocked_levenshtein(spark):
         ["name_a"],
     )
     right = spark.createDataFrame(
-        [("red widgets",), ("blue rings",), ("teal ring",)], ["name_b"]
+        [("red widgets",), ("blue rings",), ("ted widget",)], ["name_b"]
     )
     got = {
         (r.name_a, r.name_b, r.edit_dist)
@@ -121,10 +122,10 @@ def test_fuzzy_join_blocked_levenshtein(spark):
     assert ("red widget", "red widgets", 1) in got
     assert ("red widgit", "red widgets", 2) in got
     assert ("blue ring", "blue rings", 1) in got
-    # same block, distance too large -> excluded
+    # first-token typo: old first-token blocking missed this pair
+    assert ("red widget", "ted widget", 1) in got
+    # distance past the bound -> excluded
     assert all(a != "red sprocket" for a, _, _ in got)
-    # within bound but different first token -> blocked away by design
-    assert all(b != "teal ring" for _, b, _ in got)
 
 
 def test_resample_interpolate_linear(spark):
@@ -220,9 +221,10 @@ def test_sessionize_matches_python_on_random_streams(spark):
 
 
 def test_fuzzy_join_matches_bruteforce_within_blocks(spark):
-    """Randomized cross-validation: fuzzy_join output equals the brute
-    force 'same first token AND levenshtein <= d' pair set computed in
-    Python (difflib-free, real DP edit distance)."""
+    """Randomized cross-validation: fuzzy_join output equals the FULL
+    brute-force 'levenshtein <= d' pair set computed in Python (real DP
+    edit distance, no blocking term) — the recall-complete default
+    blocking must not lose a single pair."""
     import random
 
     def lev(a, b):
@@ -253,6 +255,6 @@ def test_fuzzy_join_matches_bruteforce_within_blocks(spark):
         (x, y)
         for x in names[:25]
         for y in names[25:]
-        if x.split()[0] == y.split()[0] and lev(x, y) <= 2
+        if lev(x, y) <= 2
     }
     assert got == want
