@@ -102,6 +102,10 @@ R4_EXTRA = [
     "moving_median_revenue",
     "period_over_period_revenue",
     "negative_sampling_user_types",
+    # round-5 additions (same extra_queries bucket)
+    "bm25_bulk_scores",
+    "fuzzy_match_recall",
+    "quantile_binning_approx_accuracy",
 ]
 
 

@@ -16,9 +16,12 @@ a global sort).  Two linear scans of the corpus total; at 100 TB both
 are map-only over columnar text.
 
 For *bulk* scoring (thousands of queries at once) the explode →
-(term, doc) posting-list join shape wins instead — that variant is the
-same plan as ``pipeline/dedup.py``'s posting joins and is deliberately
-not duplicated here.
+(term, doc) posting-list join shape wins instead: ``bm25_bulk_scores``
+prunes the exploded corpus tokens to the query vocabulary BEFORE the
+posting shuffle (broadcast semi-join on the distinct term set), so the
+(term, doc, tf) table — and everything after it — is sized by the
+query vocabulary's hit rate, not the corpus token count.  Same plan
+family as ``pipeline/dedup.py``'s posting joins.
 """
 
 from __future__ import annotations
@@ -116,4 +119,113 @@ def bm25_topk(
         )
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def bm25_bulk_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for a PANEL of queries at once (``queries`` =
+    (query_id, array<string> terms); duplicate terms within a query are
+    deduped — terms are a set).  Returns (query_id, id_col, dl, bm25)
+    for every (query, doc) pair sharing ≥1 term; documents matching no
+    term of a query score exactly 0 in the per-query formula and are
+    therefore *absent* here rather than materialized — at bulk scale
+    the zero rows are |panel|×|corpus| dead weight.
+
+    100 TB shape (the posting-join variant the per-query scorer's
+    docstring promises): explode corpus tokens → semi-join against the
+    broadcast DISTINCT query vocabulary BEFORE the posting shuffle (the
+    one big shuffle carries only query-vocab hits) → (term, doc, tf)
+    postings → per-term df as a tiny re-aggregation → broadcast panel
+    join multiplies postings by matching queries → one final
+    (query, doc) sum.  Corpus N/avgdl are a 1-row broadcast.  Work is
+    O(vocabulary hit postings × queries-per-term), never
+    |panel|×|corpus|.
+    """
+    qterms = queries.select(
+        query_id_col,
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    vocab = qterms.select("term").distinct()
+    toks = docs.select(
+        id_col, tokens_expr(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term")  # prune BEFORE the shuffle
+        .groupBy("term", id_col)
+        .agg(F.min("dl").alias("dl"), F.count("*").cast("double").alias("tf"))
+    )
+    # per-term document frequency: re-aggregate the (term, doc) postings
+    # — rows are unique per (term, doc), so df is a plain count
+    df = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    contrib = (
+        postings.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+        .join(F.broadcast(qterms), "term")
+    )
+    return contrib.groupBy(query_id_col, id_col).agg(
+        F.min("dl").alias("dl"), F.sum("contrib").alias("bm25")
+    )
+
+
+def bm25_bulk_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k per query over :func:`bm25_bulk_scores` — one ranking
+    window per query partition (each partition holds only that query's
+    matching docs, never the corpus), deterministic tie-break on the
+    rounded score then id."""
+    from pyspark.sql import Window
+
+    scored = bm25_bulk_scores(
+        docs, queries, id_col, text_col, query_id_col, terms_col, k1, b
+    ).select(
+        query_id_col, id_col, "dl", F.round("bm25", 6).alias("bm25")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
     )

@@ -1296,6 +1296,85 @@ def bm25_top_docs(spark, sf_dir):
     )
 
 
+_BM25_PANEL = [
+    (1, ["spark", "join", "stream"]),
+    (2, ["table", "scan"]),
+    (3, ["window", "agg", "filter", "batch"]),
+]
+_BM25_PANEL_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_PANEL for t in terms
+)
+
+
+@register(
+    "bm25_bulk_scores",
+    oracle=f"""
+WITH panel(query_id, term) AS (VALUES {_BM25_PANEL_SQL}),
+base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), docs AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs
+), tf AS (
+  SELECT p.query_id, p.term, d.doc_id, d.dl,
+         CAST(len(list_filter(d.toks, t -> t = p.term)) AS DOUBLE) AS tf
+  FROM docs d CROSS JOIN panel p
+), df AS (
+  SELECT t.term,
+         sum(CASE WHEN len(list_filter(d.toks, x -> x = t.term)) > 0
+             THEN 1.0 ELSE 0.0 END) AS df
+  FROM (SELECT DISTINCT term FROM panel) t CROSS JOIN docs d
+  GROUP BY t.term
+), scored AS (
+  SELECT f.query_id, f.doc_id, max(f.dl) AS dl,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (f.tf * 2.2)
+             / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl))) AS bm25
+  FROM tf f JOIN df d USING (term) CROSS JOIN stats s
+  WHERE f.tf > 0
+  GROUP BY f.query_id, f.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, dl, round(bm25, 6) AS bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(bm25, 6) DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dl, bm25,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+""",
+    doc="BULK BM25 — a 3-query panel scored in ONE pass via the "
+    "posting-list join variant (the shape pipeline/retrieval.py's "
+    "per-query scorer documents for thousands of queries), top-5 per "
+    "query, full-value oracle.  The exploded corpus tokens are pruned "
+    "to the broadcast query vocabulary BEFORE the posting shuffle, so "
+    "the one big shuffle carries only vocabulary hits; df is a tiny "
+    "re-aggregation of the postings; the panel join is a broadcast; "
+    "per-query ranking windows see only that query's matching docs.  "
+    "Docs matching no term (score exactly 0) are absent by design — "
+    "at bulk scale zero rows are |panel|x|corpus| dead weight.  "
+    "Equivalence with the per-query scorer is asserted in "
+    "tests/test_pipeline.py on the same panel.",
+)
+def bm25_bulk_scores_q(spark, sf_dir):
+    from crick_spark.pipeline.retrieval import bm25_bulk_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    panel = spark.createDataFrame(_BM25_PANEL, ["query_id", "terms"])
+    out = bm25_bulk_topk(docs, panel, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        "bm25",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     head = """
 WITH pairs AS (

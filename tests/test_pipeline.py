@@ -742,6 +742,36 @@ def test_bm25_matches_python_oracle(spark, docs):
     assert [r.doc_id for r in top.collect()] == ranked
 
 
+def test_bm25_bulk_matches_per_query_scorer(spark, docs):
+    """bm25_bulk_scores (posting-join variant) must equal the per-query
+    scorer on every query of a panel — same scores to 1e-9, with the
+    bulk form omitting exactly the zero-score (no shared term) docs."""
+    from crick_spark.pipeline.retrieval import bm25_bulk_scores, bm25_scores
+
+    panel = [
+        (1, ["spark", "join", "stream"]),
+        (2, ["table", "scan"]),
+        (3, ["window", "agg", "filter", "batch"]),
+        (4, ["zz_not_in_corpus"]),  # no hits: query absent from output
+        (5, ["spark", "spark", "join"]),  # dup terms dedupe to a set
+    ]
+    queries = spark.createDataFrame(panel, ["query_id", "terms"])
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_bulk_scores(docs, queries).collect()
+    }
+    want = {}
+    for qid, terms in panel:
+        per = bm25_scores(docs, sorted(set(terms))).collect()
+        for r in per:
+            if r.bm25 > 0:
+                want[(qid, r.doc_id)] = r.bm25
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) <= 1e-9, (key, got[key], want[key])
+    assert not any(q == 4 for q, _ in got), "no-hit query must be absent"
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """pagerank must equal a from-scratch numpy power iteration on a
     random weighted digraph (every node given an out-edge, matching the
