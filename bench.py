@@ -106,6 +106,7 @@ R4_EXTRA = [
     "bm25_bulk_scores",
     "fuzzy_match_recall",
     "quantile_binning_approx_accuracy",
+    "pagerank_deep_dangling",
 ]
 
 

@@ -812,6 +812,66 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_deep_chain_dangling_nodes(spark):
+    """10-iteration PageRank on a graph WITH sink nodes: dangling-mass
+    redistribution must match the numpy power iteration (zero-column
+    transition + dm/N correction) at 1e-9, total mass must stay exactly
+    1.0, and the automatic localCheckpoint truncation must keep the
+    final plan's join count bounded by checkpoint_interval, not by the
+    iteration count."""
+    import numpy as np
+
+    from crick_spark.pipeline.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    n = 25
+    edges = []
+    for s in range(n - 5):  # last 5 nodes have NO out-edges (sinks)
+        outs = rng.choice(n, size=rng.randint(1, 4), replace=False)
+        for d in outs:
+            edges.append((f"v{s}", f"v{int(d)}", float(rng.randint(1, 9))))
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    P = np.zeros((m, m))
+    for s, d, w in edges:
+        P[idx[d], idx[s]] += w
+    has_out = P.sum(axis=0) > 0
+    P[:, has_out] /= P[:, has_out].sum(axis=0, keepdims=True)
+    d = 0.85
+    r = np.full(m, 1.0 / m)
+    for _ in range(10):
+        dm = r[~has_out].sum()
+        r = (1 - d) / m + d * (P @ r + dm / m)
+
+    out = pagerank(
+        df, iterations=10, damping=d, weight_col="w",
+        checkpoint_interval=4, eager=True,
+    )
+    got = {row.node: row.rank for row in out.collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9, "dangling mass lost"
+
+    # bounded lineage: rebuild lazily and inspect the final plan.  Each
+    # iteration references the previous rank vector TWICE (contrib +
+    # dangling mass), so un-truncated lineage doubles per step — 10
+    # iterations would be ~2^10 subtree copies (thousands of joins).
+    # With interval=4 the tail is 2 iterations => at most 4 copies of
+    # the checkpoint scan at ~6 joins each; assert well under the
+    # untruncated blowup but enough headroom for plan-shape noise.
+    lazy = pagerank(
+        df, iterations=10, damping=d, weight_col="w",
+        checkpoint_interval=4,
+    )
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = plan.count("Join")
+    assert n_joins <= 64, f"plan not truncated: {n_joins} joins"
+
+
 def test_dup_recall_gates_survive_tokenless_docs(spark):
     """Regression for the review finding: fixtures containing several
     token-less docs (NULL / empty / whitespace text) must not break the
