@@ -107,6 +107,7 @@ R4_EXTRA = [
     "fuzzy_match_recall",
     "quantile_binning_approx_accuracy",
     "pagerank_deep_dangling",
+    "incremental_sketch_merge",
 ]
 
 

@@ -13,7 +13,7 @@ design question is batch shape and column pruning, handled here).
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -80,6 +80,17 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# The decoder SEAM: every kernel in this module takes an optional
+# ``decoder(data: bytes, kind: str) -> np.ndarray`` (the decoded
+# pixel/sample stream) and defaults to the stub below.  A production
+# deployment passes its PIL/libsndfile kernel at the call site — the
+# callable is closure-captured and cloudpickle-shipped to executors, so
+# no executor-side module state or re-registration is needed.  Schemas,
+# batch iteration, and all downstream feature math are decoder-agnostic
+# (contract-tested in tests/test_pipeline.py::test_decoder_seam_*).
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
 def _decode_bytes(data: bytes, kind: str) -> np.ndarray:
     """STUB decode: deterministic pseudo-pixels from a hash of the bytes.
 
@@ -93,14 +104,17 @@ def _decode_bytes(data: bytes, kind: str) -> np.ndarray:
     return rng.integers(0, 256, size=256, dtype=np.int64)
 
 
-def decode_media_batch(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def decode_media_batch(
+    pdfs: Iterable[pd.DataFrame], decoder: Decoder | None = None
+) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: decode each blob, emit per-item features.
     Arrow gives the batch boundary; state is one batch at a time."""
+    dec = decoder or _decode_bytes
     for pdf in pdfs:
         out = []
         for doc_id, data, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
             kind = meta["kind"]
-            px = _decode_bytes(bytes(data), kind)
+            px = np.asarray(dec(bytes(data), kind), dtype=np.float64)
             out.append(
                 {
                     "doc_id": int(doc_id),
@@ -114,10 +128,16 @@ def decode_media_batch(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
-def extract_image_features(media_df: DataFrame) -> DataFrame:
-    """Decode + feature-extract over the media column (Arrow-batched)."""
+def extract_image_features(
+    media_df: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """Decode + feature-extract over the media column (Arrow-batched).
+    ``decoder`` swaps in a real codec (see the seam note above)."""
+    from functools import partial
+
+    kernel = partial(decode_media_batch, decoder=decoder)
     return media_df.select("doc_id", "media", "meta").mapInPandas(
-        decode_media_batch, schema=FEATURE_SCHEMA
+        kernel, schema=FEATURE_SCHEMA
     )
 
 
@@ -130,7 +150,12 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(
+    media_df: DataFrame,
+    width: int,
+    height: int,
+    decoder: Decoder | None = None,
+) -> DataFrame:
     """Resize images to (width, height): decode → interpolate → re-encode,
     emitting the same (doc_id, media, meta) convention so resize stages
     compose/chain.  The pixel source is the stub decoder; the resampling
@@ -138,12 +163,13 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     and the Spark shape — partition-preserving mapInPandas, binary in/out,
     meta rewrite — is exactly a production PIL kernel's."""
     w, h = int(width), int(height)
+    dec = decoder or _decode_bytes
 
     def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             rows = []
             for doc_id, data, meta in zip(pdf["doc_id"], pdf["media"], pdf["meta"]):
-                px = _decode_bytes(bytes(data), meta["kind"]).astype(np.float64)
+                px = np.asarray(dec(bytes(data), meta["kind"]), dtype=np.float64)
                 resized = np.interp(
                     np.linspace(0.0, len(px) - 1, w * h), np.arange(len(px)), px
                 )
@@ -173,15 +199,32 @@ FRAME_SCHEMA = StructType(
 )
 
 
+# Frame-level decoder contract: ``(data, kind, frame_idx, n_frames) ->
+# np.ndarray`` — a real ffmpeg kernel seeks to the frame natively; the
+# stub salts the bytes with the frame index before pseudo-decoding.
+FrameDecoder = Callable[[bytes, str, int, int], np.ndarray]
+
+
+def _decode_frame_stub(
+    data: bytes, kind: str, frame_idx: int, n_frames: int
+) -> np.ndarray:
+    return _decode_bytes(bytes(data) + int(frame_idx).to_bytes(4, "big"), kind)
+
+
 def sample_frames(
-    media_df: DataFrame, fps: float = 1.0, max_frames: int = 8
+    media_df: DataFrame,
+    fps: float = 1.0,
+    max_frames: int = 8,
+    frame_decoder: FrameDecoder | None = None,
 ) -> DataFrame:
     """Sample frames from video rows at ``fps`` (≤ ``max_frames`` per
     video): one output row per frame — the 1→N explode shape of a video
     curation pipeline.  Frame extraction is the stub decoder seeded
     per-(video, frame index); timing math (duration → frame offsets) and
-    the row-explosion plumbing are real."""
+    the row-explosion plumbing are real.  ``frame_decoder`` swaps in a
+    real frame-seeking codec (see FrameDecoder contract)."""
     f = float(fps)
+    fdec = frame_decoder or _decode_frame_stub
 
     def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -193,8 +236,8 @@ def sample_frames(
                 n = min(int(max_frames), max(int(dur * f), 1))
                 for i in range(n):
                     t = i / f
-                    frame = _decode_bytes(
-                        bytes(data) + i.to_bytes(4, "big"), "video"
+                    frame = np.asarray(
+                        fdec(bytes(data), "video", i, n), dtype=np.float64
                     )
                     rows.append(
                         {
@@ -226,15 +269,20 @@ AUDIO_WINDOW_SCHEMA = StructType(
 
 
 def audio_window_features(
-    media_df: DataFrame, window_s: float = 1.0, max_windows: int = 16
+    media_df: DataFrame,
+    window_s: float = 1.0,
+    max_windows: int = 16,
+    decoder: Decoder | None = None,
 ) -> DataFrame:
     """Windowed audio features for audio rows: the sample stream (stub
     decoder; libsndfile in production) is cut into fixed ``window_s``
     windows and each emits RMS energy, zero-crossing count, and peak —
     the audio twin of video frame sampling (same 1→N explode shape,
     Arrow-batched, partition-preserving).  Feature math is real array
-    math over the decoded stream; only the codec is faked."""
+    math over the decoded stream; only the codec is faked.  ``decoder``
+    swaps in a real codec (see the seam note above)."""
     w_s = float(window_s)
+    dec = decoder or _decode_bytes
 
     def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -244,7 +292,7 @@ def audio_window_features(
                     continue
                 dur = float(meta["duration_s"] or 0.0)
                 n = min(int(max_windows), max(int(dur / w_s), 1))
-                samples = _decode_bytes(bytes(data), "audio").astype(np.float64)
+                samples = np.asarray(dec(bytes(data), "audio"), dtype=np.float64)
                 centered = samples - 127.5
                 per = max(len(centered) // n, 1)
                 for i in range(n):

@@ -589,10 +589,29 @@ def sink_roundtrip_parquet(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Version probe (crick numpy_version, SURVEY §2.4)
 # ---------------------------------------------------------------------------
+def _version_oracle() -> str:
+    # the oracle is rendered at import time from the SAME runtime the Spark
+    # query probes (one pip env; pyspark.__version__ is the JVM version for
+    # a pip-installed Spark), so the hash-match is a genuine probe: if the
+    # query misreports any component version, the driver hash breaks
+    import numpy as np
+    import pyspark
+
+    import crick_spark
+
+    return (
+        f"SELECT '{crick_spark.version()}' AS engine_version, "
+        f"'{pyspark.__version__}' AS spark_version, "
+        f"'{np.__version__}' AS numpy_version"
+    )
+
+
 @register(
     "engine_version",
+    oracle=_version_oracle(),
     doc="Version probe (crick/numpy_version.pyx analog): engine + spark + "
-    "numpy versions as a one-row DataFrame.",
+    "numpy versions as a one-row DataFrame; oracle-backed (r5: literal "
+    "rendered from the same runtime at import).",
 )
 def engine_version(spark, sf_dir):
     import numpy as np

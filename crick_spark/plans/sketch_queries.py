@@ -61,11 +61,49 @@ def tdigest_cdf_events_value(spark, sf_dir):
 
 @register(
     "tdigest_histogram_quantity",
-    doc="t-digest histogram by CDF differencing; exact twin: histogram_quantity.",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS bin,
+       CAST(5.0 * i AS DOUBLE) AS bin_lo,
+       CAST(5.0 * (i + 1) AS DOUBLE) AS bin_hi,
+       TRUE AS cnt_within_bound
+FROM range(10) t(i)
+""",
+    doc="t-digest histogram by CDF differencing (crick TDigest.histogram), "
+    "promoted to a hash-matchable oracle (r5: boolean-tolerance pattern): "
+    "the bin structure (index + edges) is deterministic and hash-matches "
+    "directly; each bin's estimated mass is compared JVM-side against the "
+    "exact midpoint-at-ties empirical mass of the same interval — per-edge "
+    "CDF error is ≤0.005 (the reference's own bound, crick/tests/"
+    "test_tdigest.py:105-107), so per-bin mass error is ≤0.01·N, the "
+    "hashed tolerance.  Exact twin: histogram_quantity.",
 )
 def tdigest_histogram_quantity(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return tdigest_histogram(li, "l_quantity", 0.0, 50.0, 10)
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    hist = tdigest_histogram(li, "l_quantity", 0.0, 50.0, 10)
+    edges = [5.0 * i for i in range(11)]
+    exact = li.agg(
+        F.count("l_quantity").alias("__n__"),
+        *[
+            F.avg(
+                F.when(F.col("l_quantity") < F.lit(e), 1.0)
+                .when(F.col("l_quantity") == F.lit(e), 0.5)
+                .otherwise(0.0)
+            ).alias(f"__cdf_{i}__")
+            for i, e in enumerate(edges)
+        ],
+    )
+    cdf_arr = F.array(*[F.col(f"__cdf_{i}__") for i in range(len(edges))])
+    exact_cnt = (
+        F.element_at(cdf_arr, (F.col("bin") + 2).cast("int"))
+        - F.element_at(cdf_arr, (F.col("bin") + 1).cast("int"))
+    ) * F.col("__n__")
+    tol = F.greatest(F.lit(2.0), F.lit(0.01) * F.col("__n__"))
+    return hist.crossJoin(F.broadcast(exact)).select(
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        (F.abs(F.col("cnt_est") - exact_cnt) <= tol).alias("cnt_within_bound"),
+    )
 
 
 @register(
@@ -797,3 +835,129 @@ def tdigest_cdf_accuracy(spark, sf_dir):
             for i, x in enumerate(xs)
         ]
     )
+
+
+@register(
+    "incremental_sketch_merge",
+    oracle="""
+SELECT event_type,
+       count(value) AS n_values,
+       TRUE AS mass_conserved,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound,
+       TRUE AS hll_merge_lossless
+FROM events GROUP BY event_type
+""",
+    doc="Incremental maintenance for SKETCH rollups — the crick merge "
+    "contract (tdigest.pyx:310-324) as the materialized-view refresh "
+    "path, extending incremental_rollup_merge from exact aggregates to "
+    "sketch state: events are split into a base load and a late delta "
+    "(event_id parity); the base's per-event_type t-digest AND HLL "
+    "register state are PERSISTED to parquet, read back, and merged "
+    "with the delta's partials — no rescan of the base rows.  At 100 TB "
+    "this is the only affordable refresh: the delta scan is "
+    "O(|delta|) and the state shuffled is KBs per group.  "
+    "Hash-matched boolean oracle: (1) merged digest mass equals the "
+    "exact group row count (t-digest conserves weight exactly under "
+    "merge); (2) merged-digest p50/p90 are within the reference's own "
+    "0.012 rank-error bound of the exact empirical CDF (crick/tests/"
+    "test_tdigest.py:99-102) — the same bound the full-recompute path "
+    "meets, so incremental refresh costs no accuracy; (3) the merged "
+    "HLL estimate equals the full-recompute HLL estimate EXACTLY — "
+    "register-wise union is lossless, merge(sk(A), sk(B)) ≡ sk(A∪B).",
+)
+def incremental_sketch_merge(spark, sf_dir):
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from crick_spark.operators.crick_ops import tdigest_agg, tdigest_merge_finalize
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    delta = ev.where(F.col("event_id") % 2 == 1)
+
+    work = run_tmpdir("crick_incr_sketch_")
+    td_path = work + "/tdigest_state.parquet"
+    hll_path = work + "/hll_state.parquet"
+
+    # ---- persist yesterday's state (one digest + one HLL per group) ----
+    tdigest_agg(base, "value", by=["event_type"]).write.mode("overwrite").parquet(
+        td_path
+    )
+    base.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("hsk")
+    ).write.mode("overwrite").parquet(hll_path)
+
+    # ---- refresh: stored state ∪ delta partials, merged per group ----
+    td_state = spark.read.parquet(td_path)
+    td_merged_in = td_state.unionByName(tdigest_agg(delta, "value", by=["event_type"]))
+    qs = [0.5, 0.9]
+    schema = StructType(
+        [StructField("p50", DoubleType()), StructField("p90", DoubleType()),
+         StructField("mass", DoubleType())]
+    )
+
+    def finalize(sk):
+        return pd.DataFrame(
+            [{"p50": float(sk.quantile(0.5)), "p90": float(sk.quantile(0.9)),
+              "mass": float(sk.size())}]
+        )
+
+    refreshed = tdigest_merge_finalize(td_merged_in, ["event_type"], finalize, schema)
+
+    hll_state = spark.read.parquet(hll_path)
+    hll_delta = delta.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("hsk")
+    )
+    hll_refreshed = (
+        hll_state.unionByName(hll_delta)
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("hsk").alias("hsk"))
+        .select("event_type", F.hll_sketch_estimate("hsk").alias("est_inc"))
+    )
+    hll_full = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est_full")
+    )
+
+    # ---- exact per-group facts for the boolean gates ----
+    # exact rank of each refreshed estimate: join estimates back to the rows
+    # (estimates table is tiny → broadcast) and evaluate the midpoint-at-ties
+    # empirical CDF JVM-side, the tdigest_quantile_accuracy pattern grouped.
+    est_b = F.broadcast(refreshed)
+    joined = ev.join(est_b, "event_type")
+
+    def cdf_at(col):
+        return F.avg(
+            F.when(F.col("value") < F.col(col), 1.0)
+            .when(F.col("value") == F.col(col), 0.5)
+            .otherwise(0.0)
+        )
+
+    out = joined.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.first("mass").alias("__mass__"),
+        (F.abs(cdf_at("p50") - F.lit(0.5)) <= F.lit(0.012)).alias("p50_within_bound"),
+        (F.abs(cdf_at("p90") - F.lit(0.9)) <= F.lit(0.012)).alias("p90_within_bound"),
+    )
+    out = (
+        out.join(F.broadcast(hll_refreshed), "event_type")
+        .join(F.broadcast(hll_full), "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            (F.abs(F.col("__mass__") - F.col("n_values")) < F.lit(1e-6)).alias(
+                "mass_conserved"
+            ),
+            "p50_within_bound",
+            "p90_within_bound",
+            (F.abs(F.col("est_inc") - F.col("est_full")) < F.lit(1e-9)).alias(
+                "hll_merge_lossless"
+            ),
+        )
+    )
+    # materialize off the temp state files so they can be deleted now
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

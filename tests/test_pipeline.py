@@ -909,3 +909,104 @@ def test_dup_recall_gates_survive_tokenless_docs(spark):
         ).collect()
     }
     assert fps[1] == fps[2], "NULL-text and empty-text must share a fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# Decoder seam contract (r5 VERDICT item 8): the multimodal pipeline's
+# schemas, batch plumbing, and feature math must be DECODER-AGNOSTIC —
+# swapping the stub for a "real" codec changes only pixel values, never
+# shapes.  The fake real decoder below interprets the blob's actual bytes
+# as the pixel/sample stream (what an uncompressed-bitmap codec does), so
+# expected features are hand-computable from the input bytes.
+# ---------------------------------------------------------------------------
+def _make_literal_decoder():
+    # built fresh per test: a NESTED function is cloudpickle-serialized by
+    # value, exactly how a production caller's codec closure ships — a
+    # module-level function here would pickle by reference and fail on
+    # workers (the tests package is not on the executor path)
+    def literal_decoder(data: bytes, kind: str):
+        import numpy as np
+
+        if kind not in ("image", "audio", "video"):
+            raise NotImplementedError(kind)
+        px = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
+        if len(px) == 0:
+            px = np.zeros(1, dtype=np.int64)
+        return px
+
+    return literal_decoder
+
+
+def test_decoder_seam_features(spark, docs):
+    """extract_image_features(decoder=...) : same schema, features are the
+    real byte statistics of each blob."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import FEATURE_SCHEMA
+
+    media = attach_fake_media(docs.limit(30))
+    via_stub = extract_image_features(media)
+    via_real = extract_image_features(media, decoder=_make_literal_decoder())
+    assert via_real.schema == via_stub.schema == FEATURE_SCHEMA
+
+    blobs = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    got = {r["doc_id"]: r for r in via_real.collect()}
+    assert set(got) == set(blobs)
+    for doc_id, data in blobs.items():
+        px = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        if len(px) == 0:
+            px = np.zeros(1)
+        assert got[doc_id]["n_bytes"] == len(data)
+        assert abs(got[doc_id]["mean_intensity"] - px.mean()) < 1e-9
+        assert abs(got[doc_id]["std_intensity"] - px.std()) < 1e-9
+
+
+def test_decoder_seam_resize_and_audio(spark, docs):
+    """resize_media / audio_window_features accept the same decoder and
+    keep their output contracts (dims rewritten, media = w*h bytes; rms
+    matches the hand-computed value over the literal byte stream)."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import (
+        audio_window_features,
+        resize_media,
+    )
+
+    media = attach_fake_media(docs.limit(30))
+    resized = resize_media(media, 12, 5, decoder=_make_literal_decoder()).toPandas()
+    assert (resized["meta"].map(lambda m: (m["width"], m["height"])) == (12, 5)).all()
+    assert (resized["media"].map(len) == 60).all()
+
+    audio = media.where("meta.kind = 'audio'")
+    feats = audio_window_features(
+        audio, window_s=1.0, max_windows=4, decoder=_make_literal_decoder()
+    ).toPandas()
+    blobs = {r["doc_id"]: bytes(r["media"]) for r in audio.collect()}
+    one = feats[feats["window_idx"] == 0].iloc[0]
+    samples = np.frombuffer(blobs[one["doc_id"]], dtype=np.uint8).astype(np.float64)
+    if len(samples) == 0:
+        samples = np.zeros(1)
+    centered = samples - 127.5
+    dur = feats[feats["doc_id"] == one["doc_id"]].shape[0]
+    per = max(len(centered) // dur, 1)
+    win = centered[:per]
+    assert abs(one["rms_energy"] - float(np.sqrt(np.mean(win**2)))) < 1e-9
+
+
+def test_decoder_seam_frames(spark, docs):
+    """sample_frames takes a frame-level decoder: a fake frame-seeking
+    codec returning [frame_idx] * 16 shows per-frame routing is real."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import sample_frames
+
+    def fake_frame_decoder(data, kind, frame_idx, n_frames):
+        assert kind == "video" and 0 <= frame_idx < n_frames
+        return np.full(16, frame_idx, dtype=np.int64)
+
+    media = attach_fake_media(docs.limit(40))
+    frames = sample_frames(media, fps=1.0, max_frames=4,
+                           frame_decoder=fake_frame_decoder).toPandas()
+    assert len(frames) > 0
+    for _, r in frames.iterrows():
+        assert bytes(r["frame"]) == bytes([r["frame_idx"]] * 16)
