@@ -417,3 +417,89 @@ def quantized_cosine_topk(
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster embeddings
+# with the IVF coarse quantizer, then dedup WITHIN each cluster — the
+# embedding-space analog of MinHash near-dup removal, catching paraphrases
+# that share no n-grams.
+# ---------------------------------------------------------------------------
+SEMANTIC_DEDUP_SCHEMA_SUFFIX = (
+    "cluster int, keep boolean, max_sim_kept double"
+)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.9,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the corpus (reusing
+    the IVF quantizer), then greedily keep/remove within each cluster —
+    an item is removed when its cosine to an already-kept item of the
+    same cluster is ≥ ``eps``.  Keep-priority follows the paper: items
+    LEAST similar to their centroid are kept first (diversity-preserving
+    choice, SemDeDup §3), ties broken by id for determinism.
+
+    Returns (id, cluster, keep, max_sim_kept) — max_sim_kept is the max
+    cosine to any kept item examined before this row (NULL for the first
+    row of a cluster), so keep ≡ (max_sim_kept is NULL or < eps) by
+    construction and the query layer re-verifies the witness property
+    with an independent Spark-expression join.
+
+    100 TB shape: the O(n²) pair space never materializes globally —
+    clustering costs one Arrow matmul pass per k-means iteration
+    (k×d partial sums cross the wire, never vectors), and the pairwise
+    work is Σ_c |c|² inside per-cluster numpy, embarrassingly parallel
+    across clusters.  Pick k ≈ N/5k so each cluster's sim matrix fits an
+    executor — exactly the published SemDeDup cost model.  The one
+    all-to-one hotspot would be a mega-cluster; AQE's skew split cannot
+    subdivide a groupBy-key, so degenerate corpora (everything one
+    cluster) should raise k or pre-shard by a coarse LSH band.
+    """
+    e = float(eps)
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, k=k, vec_col=vec_col, id_col=id_col)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+    indexed = ivf_index(embeddings.select(id_col, vec_col), centroids, vec_col)
+    out_schema = f"{id_col} long, " + SEMANTIC_DEDUP_SCHEMA_SUFFIX
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cl = int(pdf["ivf_cluster"].iloc[0])
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        ids = pdf[id_col].to_numpy()
+        cent_sim = mat @ cn[cl]
+        # keep-priority: ascending centroid-similarity, then id
+        order = np.lexsort((ids, np.round(cent_sim, 12)))
+        sims = mat @ mat.T
+        keep = np.zeros(len(ids), dtype=bool)
+        max_sim = np.full(len(ids), np.nan)
+        kept_idx: list[int] = []
+        for i in order:
+            if kept_idx:
+                ms = float(sims[i, kept_idx].max())
+                max_sim[i] = ms
+                keep[i] = ms < e
+            else:
+                keep[i] = True
+            if keep[i]:
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": cl,
+                "keep": keep,
+                "max_sim_kept": max_sim,
+            }
+        )
+
+    return indexed.groupBy("ivf_cluster").applyInPandas(
+        dedup_cluster, schema=out_schema
+    )

@@ -311,3 +311,98 @@ def boilerplate_ngram_stats(
         F.round(frac, 6).alias("boiler_frac"),
         (frac <= F.lit(max_boiler_frac)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: vocabulary selection + BPE merge candidates
+# ---------------------------------------------------------------------------
+def build_vocab(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    vocab-selection step of tokenizer training: lowercase whitespace
+    tokens, top ``vocab_size`` by count (ties by token, deterministic),
+    plus each token's share and the running coverage of the corpus a
+    prefix of the vocab achieves (the curve that picks V in practice).
+
+    100 TB shape: explode → hash-agg with map-side partial combine (one
+    row per distinct token per task crosses the wire), top-V via
+    TakeOrderedAndProject; only the V selected rows hit the single-
+    partition ranking window.  An unbounded vocabulary tail (adversarial
+    corpora) caps with SpaceSaving top-k (spacesaving_topk) at the same
+    call shape — counts then carry the evict-min error bound.
+    """
+    from pyspark.sql import Window as W
+
+    v = int(vocab_size)
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    total = counts.agg(F.sum("freq").alias("__total__"))
+    top = (
+        counts.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(v)
+        .crossJoin(F.broadcast(total))
+    )
+    w = W.orderBy(F.desc("freq"), F.asc("token")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return top.select(
+        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))).alias("rank"),
+        "token",
+        "freq",
+        F.round(F.sum("freq").over(w) / F.col("__total__"), 6).alias("cum_coverage"),
+    )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The first BPE merge iteration: count adjacent character pairs
+    within corpus words (weighted by word frequency) and rank the merge
+    candidates — top pair = the first merge a byte-pair tokenizer would
+    learn.  Pure codegen: words aggregate FIRST (one row per distinct
+    word — the standard BPE trick, pair counting runs over the word
+    TABLE, not the corpus), then each word explodes into its
+    length-1 adjacent pairs via ``sequence``/``transform``.
+
+    100 TB shape: the word-frequency table is corpus-vocabulary-sized
+    (Heaps' law: ≪ corpus), so each merge iteration is an explode +
+    hash-agg over the vocab, not the raw text — exactly why production
+    BPE trainers precompute word counts.  Subsequent iterations replace
+    the merged pair in the word symbol streams (array transform) and
+    repeat the same plan.
+    """
+    n = int(top_n)
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+    )
+    pairs = words.select(
+        "wfreq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(n)
+    )

@@ -1698,3 +1698,149 @@ def negative_sampling_user_types(spark, sf_dir):
         .where(F.col("rk") <= 2)
         .select("user_id", "event_type", "rk")
     )
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle="""
+SELECT count(*) AS n_vectors,
+       TRUE AS flags_complete,
+       TRUE AS removed_have_kept_witness,
+       TRUE AS keep_consistent
+FROM embeddings
+""",
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023 — beyond "
+    "the n-gram dedup family: catches paraphrases sharing no shingles): "
+    "k-means-cluster the embedding corpus with the IVF quantizer, then "
+    "greedy keep/remove within each cluster at cosine ≥ 0.4 (the "
+    "fixture's planted near-dup threshold), keeping the "
+    "least-centroid-similar item first (the paper's diversity choice).  "
+    "Hash-matched boolean oracle, each invariant verified by an "
+    "INDEPENDENT Spark-expression path (JVM dot products, not the "
+    "kernel's numpy): every vector is flagged exactly once; every "
+    "removed vector has a kept same-cluster witness with cosine ≥ eps; "
+    "the keep flag is exactly (no earlier kept neighbor ≥ eps).  "
+    "Booleans are invariant to the (deterministic, seeded) clustering, "
+    "so the oracle is stable across partitionings.",
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    from crick_spark.pipeline.similarity import (
+        dot_expr,
+        norm_expr,
+        semantic_dedup,
+    )
+
+    eps = 0.4
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, eps=eps, k=16)
+    vec = emb.select("vec_id", "embedding")
+    flagged = flags.join(vec, "vec_id")
+    # independent witness check: for each removed vector, the best cosine
+    # to a KEPT vector of the same cluster, computed with JVM expressions
+    removed = flagged.where(~F.col("keep")).select(
+        F.col("vec_id").alias("r_id"),
+        F.col("cluster").alias("r_cluster"),
+        F.col("embedding").alias("r_vec"),
+    )
+    kept = flagged.where(F.col("keep")).select(
+        F.col("cluster").alias("k_cluster"),
+        F.col("embedding").alias("k_vec"),
+    )
+    cos = dot_expr(F.col("r_vec"), F.col("k_vec")) / (
+        norm_expr(F.col("r_vec")) * norm_expr(F.col("k_vec"))
+    )
+    witness = (
+        removed.join(kept, F.col("r_cluster") == F.col("k_cluster"))
+        .groupBy("r_id")
+        .agg(F.max(cos).alias("best_kept_cos"))
+        .agg(
+            F.coalesce(
+                F.min(F.col("best_kept_cos") >= F.lit(eps - 1e-9)), F.lit(True)
+            ).alias("removed_have_kept_witness"),
+        )
+    )
+    checks = flagged.agg(
+        F.count("*").alias("n_flagged"),
+        F.bool_and(
+            F.col("keep")
+            == (
+                F.col("max_sim_kept").isNull()
+                | (F.col("max_sim_kept") < F.lit(eps))
+            )
+        ).alias("keep_consistent"),
+    )
+    total = emb.agg(F.count("*").alias("n_vectors"))
+    return (
+        total.crossJoin(F.broadcast(checks))
+        .crossJoin(F.broadcast(witness))
+        .select(
+            "n_vectors",
+            (F.col("n_flagged") == F.col("n_vectors")).alias("flags_complete"),
+            "removed_have_kept_witness",
+            "keep_consistent",
+        )
+    )
+
+
+@register(
+    "build_vocab_documents",
+    oracle="""
+WITH toks AS (
+  SELECT t.token
+  FROM documents d, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS t(token)
+  WHERE t.token <> ''
+), counts AS (
+  SELECT token, count(*) AS freq FROM toks GROUP BY token
+), top AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM counts QUALIFY rank <= 500
+)
+SELECT rank, token, freq,
+       round(sum(freq) OVER (ORDER BY rank) /
+             (SELECT sum(freq) FROM counts), 6) AS cum_coverage
+FROM top
+""",
+    doc="Tokenizer-training vocabulary selection: top-500 corpus tokens "
+    "by frequency with the cumulative-coverage curve that picks V in "
+    "practice.  FULLY value-oracled — counts, deterministic tie-break, "
+    "and the running coverage ratio all reproduce exactly in DuckDB.  "
+    "Scale shape: explode → partial-combine hash agg → "
+    "TakeOrderedAndProject; only the 500 winners reach the ranking "
+    "window (SpaceSaving cap documented for unbounded tails).",
+)
+def build_vocab_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, vocab_size=500)
+
+
+@register(
+    "bpe_merge_candidates_documents",
+    oracle="""
+WITH words AS (
+  SELECT w.word, count(*) AS wfreq
+  FROM documents d, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS w(word)
+  WHERE length(w.word) >= 2
+  GROUP BY w.word
+), pairs AS (
+  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wfreq
+  FROM words, unnest(range(1, length(word))) AS t(i)
+)
+SELECT pair, CAST(sum(wfreq) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair ASC LIMIT 20
+""",
+    doc="First BPE merge iteration: top-20 adjacent character pairs over "
+    "the corpus WORD TABLE (weighted by word frequency) — the standard "
+    "trainer trick of aggregating words first (Heaps' law: vocab ≪ "
+    "corpus) so each merge iteration explodes the vocabulary, not the "
+    "raw text.  FULLY value-oracled against DuckDB's identical "
+    "split/substring arithmetic.",
+)
+def bpe_merge_candidates_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import bpe_merge_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, top_n=20)

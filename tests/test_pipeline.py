@@ -1010,3 +1010,64 @@ def test_decoder_seam_frames(spark, docs):
     assert len(frames) > 0
     for _, r in frames.iterrows():
         assert bytes(r["frame"]) == bytes([r["frame_idx"]] * 16)
+
+
+def test_semantic_dedup_matches_numpy(spark):
+    """Spark semantic_dedup ≡ a from-scratch numpy SemDeDup on the same
+    (deterministic) clustering: identical keep set and witness sims."""
+    from crick_spark.pipeline.similarity import semantic_dedup, train_ivf_centroids
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    eps, k = 0.4, 8
+    cents = train_ivf_centroids(emb, k=k)
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"], r["max_sim_kept"])
+        for r in semantic_dedup(emb, eps=eps, k=k, centroids=cents).collect()
+    }
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ids = pdf["vec_id"].to_numpy()
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    assign = (mat @ cn.T).argmax(axis=1)
+    n_removed = 0
+    for c in np.unique(assign):
+        sel = np.where(assign == c)[0]
+        cent_sim = mat[sel] @ cn[c]
+        order = sel[np.lexsort((ids[sel], np.round(cent_sim, 12)))]
+        kept: list[int] = []
+        for i in order:
+            ms = float((mat[kept] @ mat[i]).max()) if kept else None
+            keep = ms is None or ms < eps
+            g_cluster, g_keep, g_ms = got[ids[i]]
+            assert g_cluster == c and g_keep == keep, ids[i]
+            if ms is not None:
+                assert abs(g_ms - ms) < 1e-9, ids[i]
+            if keep:
+                kept.append(i)
+            else:
+                n_removed += 1
+    assert n_removed > 0, "fixture's planted near-dups should be removed"
+
+
+def test_semantic_dedup_removes_planted_paraphrase_clones(spark):
+    """A corpus of near-identical vectors collapses to ~1 kept per clone
+    family; orthogonal vectors all survive."""
+    from crick_spark.pipeline.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 32))
+    rows = []
+    vid = 0
+    for fam in range(4):
+        for _ in range(5):  # 5 clones per family, tiny jitter
+            v = base[fam] + rng.normal(scale=1e-3, size=32)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    for _ in range(6):  # plus isolated random vectors
+        rows.append((vid, [float(x) for x in rng.normal(size=32)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, eps=0.95, k=4).toPandas()
+    kept_clones = out[(out["vec_id"] < 20) & out["keep"]]
+    # each clone family keeps exactly one representative
+    assert len(kept_clones) == 4
+    assert out[out["vec_id"] >= 20]["keep"].all()
