@@ -108,6 +108,10 @@ R4_EXTRA = [
     "quantile_binning_approx_accuracy",
     "pagerank_deep_dangling",
     "incremental_sketch_merge",
+    "semantic_dedup_embeddings",
+    "build_vocab_documents",
+    "bpe_merge_candidates_documents",
+    "snapshot_diff_orders",
 ]
 
 

@@ -273,3 +273,41 @@ def fuzzy_join(
         ],
         F.col("edit_dist"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table — the
+    data-versioning / CDC primitive (what Delta/Iceberg table_changes
+    exposes): returns one row per changed key with ``change_type`` ∈
+    {insert, delete, update}.  Unchanged keys never leave the join.
+
+    Value comparison is by ``xxhash64`` over a null-aware JSON encoding
+    of the non-key columns (64-bit, JVM-side) so the shuffle carries
+    (keys, 8-byte hash) instead of full rows — at 100 TB the diff of
+    two snapshots moves key+hash only, one co-partitioned full-outer
+    sort-merge join on the key (shuffle-free when both snapshots are
+    bucketed by key, the layout a versioned table should have anyway).
+    NOT ``xxhash64(*cols)`` directly: Spark's multi-arg hash chains
+    per-column updates and a NULL leaves the state untouched, so
+    (NULL,'x') and ('x',NULL) collide — to_json(struct(...)) keeps the
+    field names, making NULL placement part of the hashed bytes.
+    """
+    val_cols = [c for c in old.columns if c not in keys]
+    def _h(alias: str):
+        return F.xxhash64(F.to_json(F.struct(*val_cols))).alias(alias)
+
+    oh = old.select(*keys, _h("__h_old__"))
+    nh = new.select(*keys, _h("__h_new__"))
+    j = oh.join(nh, keys, "full_outer")
+    change = (
+        F.when(F.col("__h_old__").isNull(), F.lit("insert"))
+        .when(F.col("__h_new__").isNull(), F.lit("delete"))
+        .when(F.col("__h_old__") != F.col("__h_new__"), F.lit("update"))
+    )
+    return j.select(*keys, change.alias("change_type")).where(
+        F.col("change_type").isNotNull()
+    )

@@ -84,3 +84,44 @@ def domain_mix_summary(
             "realized_share"
         ),
     )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    stratum_col: str,
+    target_share: Column,
+    token_count_col: Column,
+    budget_tokens: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Epoch-aware mixture planning — the UPSAMPLING side of domain
+    mixing (``domain_mix_resample`` covers downsampling): given a total
+    training-token budget and per-domain target shares, compute how many
+    epochs (repeats) each domain needs and cap it at ``max_epochs``
+    (repeating data beyond ~4 epochs stops helping — the
+    data-constrained scaling result this plan encodes).  Domains hitting
+    the cap contribute ``max_epochs × available`` tokens; the shortfall
+    column is what a curator must source elsewhere.
+
+    One tiny per-stratum aggregate (counts + token sums), arithmetic on
+    the ≤|domains| result — nothing corpus-sized moves after the scan.
+    """
+    per = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col).alias("avail_tokens"),
+        F.first(target_share).alias("__share__"),
+    )
+    target = F.col("__share__") * F.lit(float(budget_tokens))
+    epochs = target / F.col("avail_tokens")
+    eff_epochs = F.least(epochs, F.lit(float(max_epochs)))
+    effective = eff_epochs * F.col("avail_tokens")
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "avail_tokens",
+        F.round(target, 2).alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs_needed"),
+        (epochs > F.lit(float(max_epochs))).alias("capped"),
+        F.round(effective, 2).alias("effective_tokens"),
+        F.round(target - effective, 2).alias("shortfall_tokens"),
+    )

@@ -1844,3 +1844,51 @@ def bpe_merge_candidates_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merge_candidates(docs, top_n=20)
+
+
+@register(
+    "mixture_epoch_plan_documents",
+    oracle="""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS avail_tokens,
+         (20 - CAST(substr(source, 4) AS INT)) / 210.0 AS share
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, avail_tokens,
+       round(share * 2000000, 2) AS target_tokens,
+       round(share * 2000000 / avail_tokens, 6) AS epochs_needed,
+       share * 2000000 / avail_tokens > 4.0 AS capped,
+       round(least(share * 2000000 / avail_tokens, 4.0) * avail_tokens, 2)
+         AS effective_tokens,
+       round(share * 2000000
+             - least(share * 2000000 / avail_tokens, 4.0) * avail_tokens, 2)
+         AS shortfall_tokens
+FROM per
+""",
+    doc="Epoch-aware mixture planning — the UPSAMPLING complement of "
+    "domain_mix_resample: a 2M-token training budget with target shares "
+    "∝ (20-K) per source; per domain the plan reports epochs needed, "
+    "the ≤4-epoch repeat cap (the data-constrained-scaling rule that "
+    "repeating past ~4 epochs stops helping), effective contribution, "
+    "and the shortfall a curator must source elsewhere.  FULLY "
+    "value-oracled; one tiny per-domain aggregate, arithmetic on "
+    "|domains| rows — nothing corpus-sized moves after the scan.",
+)
+def mixture_epoch_plan_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import words_expr
+    from crick_spark.pipeline.sampling import mixture_epoch_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    share = (
+        F.lit(20) - F.substring(F.col("source"), 4, 10).cast("int")
+    ) / F.lit(210.0)
+    return mixture_epoch_plan(
+        docs,
+        "source",
+        share,
+        F.size(words_expr(F.col("text"))),
+        budget_tokens=2_000_000,
+        max_epochs=4.0,
+    )

@@ -1984,3 +1984,44 @@ def moving_median_revenue(spark, sf_dir):
         F.round("rev", 2).alias("revenue"),
         F.round(med, 4).alias("med7"),
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS change_type
+FROM orders WHERE o_orderkey % 101 = 0
+UNION ALL
+SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey, 'update'
+FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 97 <> 0
+""",
+    doc="Row-level snapshot diff (the Delta/Iceberg table_changes "
+    "primitive): two deterministic snapshots of orders — deletes "
+    "(key%97=0), price updates (key%53=0), inserts (key%101=0 cloned "
+    "to offset keys) — diffed by snapshot_diff's key+xxhash64 "
+    "full-outer join, so the shuffle carries (key, 8-byte hash), never "
+    "full rows.  FULLY value-oracled: DuckDB derives the same change "
+    "set from the construction arithmetic, an independent path that "
+    "never touches the hash comparison.",
+)
+def snapshot_diff_orders(spark, sf_dir):
+    from crick_spark.operators.relational import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    new = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 53 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    return snapshot_diff(o, new, ["o_orderkey"])

@@ -258,3 +258,72 @@ def test_fuzzy_join_matches_bruteforce_within_blocks(spark):
         if lev(x, y) <= 2
     }
     assert got == want
+
+
+def test_snapshot_diff_change_types_and_null_swaps(spark):
+    """insert/delete/update classification, unchanged rows excluded, and
+    the null-placement regression: (NULL,'x') -> ('x',NULL) IS an update
+    (a naive multi-arg xxhash64 would chain past the NULL and miss it)."""
+    from crick_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "b", "y"),       # updated in new
+            (3, "c", "z"),       # deleted in new
+            (4, None, "x"),      # null-swap update in new
+            (5, None, None),     # unchanged with nulls
+        ],
+        "k long, v1 string, v2 string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "b", "y2"),
+            (4, "x", None),
+            (5, None, None),
+            (6, "f", "g"),       # inserted
+        ],
+        "k long, v1 string, v2 string",
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "delete", 4: "update", 6: "insert"}
+
+
+def test_build_vocab_and_bpe_candidates(spark):
+    """Vocab ranking/coverage and first BPE merge against hand counts."""
+    from crick_spark.pipeline.text import bpe_merge_candidates, build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb aa cc"), (3, "aa")],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: (r["rank"], r["freq"], r["cum_coverage"])
+             for r in build_vocab(docs, vocab_size=10).collect()}
+    assert vocab["aa"] == (1, 4, round(4 / 7, 6))
+    assert vocab["bb"] == (2, 2, round(6 / 7, 6))
+    assert vocab["cc"][0] == 3
+    # pairs: 'aa' word freq 4 -> pair 'aa' x4; 'bb' x2 -> 'bb' x2; 'cc' x1
+    pairs = {r["pair"]: r["freq"] for r in bpe_merge_candidates(docs).collect()}
+    assert pairs == {"aa": 4, "bb": 2, "cc": 1}
+
+
+def test_mixture_epoch_plan_caps_and_shortfall(spark):
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.sampling import mixture_epoch_plan
+
+    df = spark.createDataFrame(
+        [("big", 100), ("big", 100), ("tiny", 10)],
+        "domain string, toks long",
+    )
+    share = F.when(F.col("domain") == "big", 0.5).otherwise(0.5)
+    out = {r["domain"]: r for r in mixture_epoch_plan(
+        df, "domain", share, F.col("toks"), budget_tokens=400, max_epochs=4.0
+    ).collect()}
+    big, tiny = out["big"], out["tiny"]
+    assert big["epochs_needed"] == 1.0 and not big["capped"]
+    assert big["shortfall_tokens"] == 0.0
+    # tiny: target 200 over 10 avail = 20 epochs -> capped at 4 -> 40 eff
+    assert tiny["capped"] and tiny["epochs_needed"] == 20.0
+    assert tiny["effective_tokens"] == 40.0 and tiny["shortfall_tokens"] == 160.0
