@@ -112,6 +112,9 @@ R4_EXTRA = [
     "build_vocab_documents",
     "bpe_merge_candidates_documents",
     "snapshot_diff_orders",
+    "mixture_epoch_plan_documents",
+    "twap_daily_by_event_type",
+    "quality_threshold_sweep",
 ]
 
 

@@ -1892,3 +1892,60 @@ def mixture_epoch_plan_documents(spark, sf_dir):
         budget_tokens=2_000_000,
         max_epochs=4.0,
     )
+
+
+_SWEEP_THRESHOLDS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+@register(
+    "quality_threshold_sweep",
+    oracle="""
+WITH scored AS (
+  SELECT 0.5 * least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0)
+       + 0.5 * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                AS DOUBLE)
+                / len(string_split_regex(trim(text), '\\s+'))) AS score
+  FROM documents
+), n AS (SELECT count(*) AS total FROM scored)
+SELECT t.threshold,
+       CAST(sum(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       round(sum(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END)
+             / CAST(n.total AS DOUBLE), 6) AS survival_rate
+FROM scored s, n, unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS t(threshold)
+GROUP BY t.threshold, n.total
+""",
+    doc="Quality-filter threshold calibration: survival rate of the "
+    "corpus at each candidate quality_score cutoff, computed in ONE "
+    "scan (per-doc score once, 7 conditional-sum aggregate columns, "
+    "unpivoted to rows) — the curve a curator reads before committing "
+    "a filter, without 7 passes over 100 TB.  FULLY value-oracled: "
+    "both engines build the identical [0,1] composite score "
+    "(0.5·min(n/64,1) + 0.5·TTR) with the same IEEE arithmetic, so "
+    "boundary comparisons agree bit-for-bit.",
+)
+def quality_threshold_sweep(spark, sf_dir):
+    from crick_spark.pipeline.text import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(quality_score_expr(F.col("text")).alias("score"))
+    agg = scored.agg(
+        F.count("*").alias("__total__"),
+        *[
+            F.sum((F.col("score") >= F.lit(t)).cast("long")).alias(f"__s{i}__")
+            for i, t in enumerate(_SWEEP_THRESHOLDS)
+        ],
+    )
+    stack_args = ", ".join(
+        f"cast({t} as double), __s{i}__" for i, t in enumerate(_SWEEP_THRESHOLDS)
+    )
+    return agg.selectExpr(
+        f"stack({len(_SWEEP_THRESHOLDS)}, {stack_args}) AS (threshold, n_surviving)",
+        "__total__",
+    ).select(
+        "threshold",
+        "n_surviving",
+        F.round(F.col("n_surviving") / F.col("__total__"), 6).alias(
+            "survival_rate"
+        ),
+    )

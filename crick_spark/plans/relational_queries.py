@@ -2025,3 +2025,54 @@ def snapshot_diff_orders(spark, sf_dir):
         )
     )
     return snapshot_diff(o, new, ["o_orderkey"])
+
+
+@register(
+    "twap_daily_by_event_type",
+    oracle="""
+WITH s AS (
+  SELECT event_type, date_trunc('day', ts) AS d, value,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type, d, count(*) AS n_samples,
+       round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM s GROUP BY event_type, d
+""",
+    doc="Time-weighted average (TWAP, step interpolation: each sample "
+    "holds until the next) per (event_type, day) — the telemetry/"
+    "financial aggregate a plain avg() misstates under irregular "
+    "sampling.  FULLY value-oracled (identical lead/epoch arithmetic in "
+    "DuckDB; single-sample days yield NULL twap on both engines).  "
+    "Scale shape: the window is keyed (event_type, day), so partition "
+    "state is one day of one type — bounded at any corpus size — "
+    "instead of a per-type global sort; the (ts, event_id) tie-break "
+    "keeps the step sequence deterministic.",
+)
+def twap_daily_by_event_type(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.date_trunc("day", F.col("ts"))
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("event_type", d).orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        d.alias("d"),
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    )
+    return s.groupBy("event_type", "d").agg(
+        F.count("*").alias("n_samples"),
+        F.round(
+            F.sum(F.col("value") * (F.col("nxt") - F.col("us")))
+            / F.sum(F.col("nxt") - F.col("us")),
+            6,
+        ).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
