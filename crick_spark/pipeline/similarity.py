@@ -255,15 +255,36 @@ def train_ivf_centroids(
     the update shuffles only (cluster, partial-sum, count) per partition —
     k×d doubles cross the wire per iteration, never the vectors.  The
     centroid matrix (k×d — KBs) lives driver-side between iterations,
-    exactly like MLlib's implementation.  Deterministic init: the k
-    hash-smallest ids."""
-    seed_rows = (
+    exactly like MLlib's implementation.
+
+    Deterministic init (r5): farthest-first traversal (Gonzalez) over a
+    hash-ordered sample — first seed is the hash-smallest id, each next
+    seed the sample vector farthest (cosine) from all chosen so far,
+    ties by id.  Spreads seeds like k-means++ without RNG (results must
+    be reproducible for the oracle gates); measured on the recall panel
+    it lifted IVF mean recall@10 vs the old hash-smallest-k seeding (the
+    k smallest hashes can land in one neighborhood).  Sample size
+    max(64·k, 2048) rows — k·d and sample·d both driver-trivial."""
+    n_sample = max(64 * k, 2048)
+    sample_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(k)
+        .limit(n_sample)
         .collect()
     )
-    centroids = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    smat = np.asarray([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
+    sn = smat / np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-30)
+    chosen = [0]  # hash-smallest id
+    # min cosine similarity to any chosen seed, per sample row (lower =
+    # farther); maximin picks the row whose best similarity is worst
+    best_sim = sn @ sn[0]
+    for _ in range(1, min(k, len(sn))):
+        nxt = int(np.argmin(np.round(best_sim, 12)))  # ties → smallest index
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, sn @ sn[nxt])
+    centroids = smat[chosen].copy()
+    if len(centroids) < k:  # degenerate corpus smaller than k
+        centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
 
     sum_schema = f"cluster int, psum array<double>, pcount long"
 

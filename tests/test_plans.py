@@ -49,6 +49,8 @@ CARTESIAN_ALLOWED = {
     # r4: 1-row corpus-stats / basket-total broadcasts cross-joined back
     "bm25_top_docs",
     "copurchase_brand_lift",
+    # r5: 1-row corpus-token-total broadcast joined onto the V vocab rows
+    "build_vocab_documents",
 }
 
 # (query, max shuffle exchanges) — the shuffle budget the current plan
@@ -79,6 +81,17 @@ SHUFFLE_BUDGETS = [
     # sized; the budget pins that none of the small sides degrades to a
     # fact-side shuffle
     ("fuzzy_match_part_names", 8),
+    # r5 curation depth: budgets pin the designed shapes — snapshot diff
+    # is ONE co-partitioned full-outer SMJ over (key, 8-byte hash); TWAP
+    # is one (type, day) shuffle reused by window + rollup; the
+    # threshold sweep and mixture plan are single-aggregation scans;
+    # BPE is word-table agg + pair agg
+    ("snapshot_diff_orders", 3),
+    ("twap_daily_by_event_type", 3),
+    ("quality_threshold_sweep", 2),
+    ("mixture_epoch_plan_documents", 2),
+    ("bpe_merge_candidates_documents", 3),
+    ("build_vocab_documents", 4),
 ]
 
 
