@@ -115,6 +115,7 @@ R4_EXTRA = [
     "mixture_epoch_plan_documents",
     "twap_daily_by_event_type",
     "quality_threshold_sweep",
+    "weighted_sample_orders_per_priority",
 ]
 
 

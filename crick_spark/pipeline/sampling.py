@@ -125,3 +125,38 @@ def mixture_epoch_plan(
         F.round(effective, 2).alias("effective_tokens"),
         F.round(target - effective, 2).alias("shortfall_tokens"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis reservoir rule (each row scores u^(1/w), keep
+    the k largest) with the repo's deterministic md5 coin for u, so the
+    sample is reproducible and SQL-oracle-able.  P(row in sample) is
+    proportionally weight-biased exactly as the ES scheme guarantees.
+
+    100 TB shape: one scan computes the score expression in codegen, one
+    shuffle on the group key ranks it; only rank ≤ k rows survive the
+    window — this is how you draw a weighted eval slice per domain from
+    a full corpus in one pass.  Non-positive weights are excluded (their
+    ES score is undefined), matching the reference samplers.
+    """
+    from pyspark.sql import Window as W
+
+    u = md5_uniform(F.col(key_col))
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = W.partitionBy(*group_cols).orderBy(
+        F.desc("__score__"), F.col(key_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__score__", score)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(k))
+        .drop("__score__")
+    )

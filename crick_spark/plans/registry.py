@@ -115,11 +115,20 @@ _GATE_WINDOW = [
     # driver-visible, not just tested
     "knn_lsh_recall_vs_exact",
     "weighted_moments_price",
-    "equidepth_histogram_value",
+    # r5: equidepth_histogram_value rotated out (third histogram variant
+    # in-window; still oracle-checked outside) for the sketch
+    # materialized-view proof — persisted t-digest+HLL state merged with
+    # a delta batch, mass/rank-error/HLL-losslessness booleans
+    "incremental_sketch_merge",
     # sketch surface (SURVEY §2.1-2.3): oracle-backed regimes + invariants
     "spacesaving_topk_event_types",
     "spacesaving_topk_users",
-    "spacesaving_topk_types_by_nation",
+    # r5: spacesaving_topk_types_by_nation rotated out (third exact-regime
+    # Space-Saving form in-window; still oracle-checked outside) for the
+    # round-5 semantic-dedup family — embedding-space dedup becomes
+    # driver-visible, each invariant re-verified via an independent
+    # JVM-expression path
+    "semantic_dedup_embeddings",
     "spacesaving_weighted_topk_parts",
     "spacesaving_persist_roundtrip",
     "moments_sketch_extendedprice",

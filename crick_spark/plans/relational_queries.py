@@ -2076,3 +2076,46 @@ def twap_daily_by_event_type(spark, sf_dir):
         ).alias("twap"),
         F.round(F.avg("value"), 6).alias("plain_avg"),
     )
+
+
+@register(
+    "weighted_sample_orders_per_priority",
+    oracle="""
+WITH scored AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY pow((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+                         / 16777216.0),
+                        1.0 / o_totalprice) DESC,
+                    o_orderkey
+         ) AS sample_rank
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       sample_rank
+FROM scored WHERE sample_rank <= 5
+""",
+    doc="Weighted sampling without replacement, 5 orders per priority "
+    "class, weight = order value — the Efraimidis–Spirakis u^(1/w) "
+    "reservoir rule with the repo's deterministic md5 coin, so the draw "
+    "is reproducible and FULLY value-oracled (DuckDB computes the "
+    "identical score; key spacings are ~1e-9 while cross-engine pow "
+    "differs at ~1e-16, so the ranking is stable).  One codegen scan + "
+    "one group-key shuffle; only rank ≤ k rows survive.",
+)
+def weighted_sample_orders_per_priority(spark, sf_dir):
+    from crick_spark.pipeline.sampling import weighted_sample_per_group
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    s = weighted_sample_per_group(
+        o, ["o_orderpriority"], "o_orderkey", "o_totalprice", 5
+    )
+    return s.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "sample_rank",
+    )

@@ -327,3 +327,30 @@ def test_mixture_epoch_plan_caps_and_shortfall(spark):
     # tiny: target 200 over 10 avail = 20 epochs -> capped at 4 -> 40 eff
     assert tiny["capped"] and tiny["epochs_needed"] == 20.0
     assert tiny["effective_tokens"] == 40.0 and tiny["shortfall_tokens"] == 160.0
+
+
+def test_weighted_sample_es_rule_and_bias(spark):
+    """Ranks match a numpy recompute of u^(1/w); an overwhelming-weight
+    row is always drawn; non-positive weights are excluded."""
+    import hashlib
+
+    from crick_spark.pipeline.sampling import weighted_sample_per_group
+
+    rows = [(i, "g", float(1 + (i % 7)), ) for i in range(200)]
+    rows.append((900, "g", 1e9))   # overwhelming weight -> P(draw) ~ 1
+    rows.append((901, "g", 0.0))   # excluded
+    rows.append((902, "g", -3.0))  # excluded
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = weighted_sample_per_group(df, ["grp"], "id", "w", 10).collect()
+    picked = {r["id"]: r["sample_rank"] for r in got}
+    assert 900 in picked and 901 not in picked and 902 not in picked
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) / 16777216.0
+
+    scored = sorted(
+        ((u(i) ** (1.0 / w), i) for i, g, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = {i: rk + 1 for rk, (_, i) in enumerate(scored[:10])}
+    assert picked == expect
