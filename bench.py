@@ -116,6 +116,7 @@ R4_EXTRA = [
     "twap_daily_by_event_type",
     "quality_threshold_sweep",
     "weighted_sample_orders_per_priority",
+    "curation_pipeline_v2",
 ]
 
 

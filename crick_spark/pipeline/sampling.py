@@ -105,6 +105,10 @@ def mixture_epoch_plan(
 
     One tiny per-stratum aggregate (counts + token sums), arithmetic on
     the ≤|domains| result — nothing corpus-sized moves after the scan.
+
+    ``target_share`` must be a deterministic function of ``stratum_col``
+    alone (it is read with ``first()`` per group); a row-varying share
+    has no meaning in a per-domain plan.
     """
     per = df.groupBy(stratum_col).agg(
         F.count("*").alias("n_docs"),

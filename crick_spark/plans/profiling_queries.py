@@ -257,3 +257,112 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.round(F.avg("q"), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, text, lang, source,
+         0.5 * least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+       + 0.5 * (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\s+'))) AS q
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE q >= 0.5),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+uniq AS (SELECT k.* FROM kept k JOIN canonical c USING (doc_id)),
+sh AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+    END AS s
+  FROM uniq
+),
+removed AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+final AS (SELECT u.* FROM uniq u ANTI JOIN removed r ON u.doc_id = r.doc_id)
+SELECT d.source,
+       count(*) AS n_input,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(sum(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_final,
+       round(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM final), 6)
+         AS realized_share
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN uniq u ON d.doc_id = u.doc_id
+LEFT JOIN final f ON d.doc_id = f.doc_id
+GROUP BY d.source
+""",
+    doc="The full curation funnel a training-data pipeline runs, composed "
+    "from the repo's own stages and rolled up per source: quality filter "
+    "(composite score ≥ 0.5, pure codegen) → exact content dedup (min "
+    "doc_id per md5) → near-dup removal (exact 3-gram Jaccard ≥ 0.5 "
+    "within language blocks — the oracle-able configuration of the "
+    "MinHash path; keep-smaller-id rule) → per-source survivor counts "
+    "and realized corpus shares.  FULLY value-oracled end-to-end: every "
+    "stage is deterministic, so DuckDB reproduces the whole funnel.  At "
+    "100 TB the same composition swaps the exact pair stage for the "
+    "banded-LSH candidate join (identical interface, sub-quadratic) and "
+    "feeds realized_share into mixture_epoch_plan.",
+)
+def curation_pipeline_v2(spark, sf_dir):
+    from crick_spark.pipeline.dedup import jaccard_ngram_pairs
+    from crick_spark.pipeline.text import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    kept = docs.withColumn("q", quality_score_expr(F.col("text"))).where(
+        F.col("q") >= 0.5
+    )
+    canonical = (
+        kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = kept.join(canonical, "doc_id")
+    pairs = jaccard_ngram_pairs(
+        uniq, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    )
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = uniq.join(removed, "doc_id", "left_anti")
+    total_final = final.agg(F.count("*").cast("double").alias("__tf__"))
+    marks = (
+        docs.join(kept.select("doc_id", F.lit(1).alias("__k__")), "doc_id", "left")
+        .join(uniq.select("doc_id", F.lit(1).alias("__u__")), "doc_id", "left")
+        .join(final.select("doc_id", F.lit(1).alias("__f__")), "doc_id", "left")
+    )
+    return (
+        marks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.sum(F.coalesce(F.col("__k__"), F.lit(0))).alias("n_quality"),
+            F.sum(F.coalesce(F.col("__u__"), F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__f__"), F.lit(0))).alias("n_final"),
+        )
+        .crossJoin(F.broadcast(total_final))
+        .select(
+            "source",
+            "n_input",
+            "n_quality",
+            "n_exact",
+            "n_final",
+            F.round(F.col("n_final") / F.col("__tf__"), 6).alias(
+                "realized_share"
+            ),
+        )
+    )
