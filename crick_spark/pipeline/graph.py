@@ -69,7 +69,9 @@ def pagerank(
     materialized (``localCheckpoint``) and both caches are released
     before returning — use this in long-lived sessions that run many
     queries; the default lazy mode leaves the caches alive for the
-    lifetime of the returned plan (compose further, then unpersist).
+    lifetime of the returned plan (compose further, then release them
+    via the ``crick_cache_handles`` attribute on the returned
+    DataFrame: ``for h in out.crick_cache_handles: h.unpersist()``).
     """
     if dangling not in ("redistribute", "assume_none"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
@@ -168,4 +170,15 @@ def pagerank(
         nodes.unpersist()
         if dang is not None:
             dang.unpersist()
+    else:
+        # lazy mode: the returned plan still depends on these cached
+        # relations, so they cannot be unpersisted here — expose the
+        # handles so a caller composing further can release them after
+        # its own materialization (repeat lazy calls in a long-lived
+        # session should prefer eager=True, which leaks nothing)
+        ranks.crick_cache_handles = (
+            list(live_caches)
+            + [norm, nodes]
+            + ([dang] if dang is not None else [])
+        )
     return ranks

@@ -116,16 +116,24 @@ def mixture_epoch_plan(
         F.first(target_share).alias("__share__"),
     )
     target = F.col("__share__") * F.lit(float(budget_tokens))
-    epochs = target / F.col("avail_tokens")
+    # try_divide: a stratum with zero available tokens (all-empty docs)
+    # has undefined epochs (NULL) and must not abort the plan under ANSI
+    # mode — it is exactly the domain that needs 100% external sourcing,
+    # so capped=true, effective=0, shortfall=target
+    epochs = F.try_divide(target, F.col("avail_tokens"))
     eff_epochs = F.least(epochs, F.lit(float(max_epochs)))
-    effective = eff_epochs * F.col("avail_tokens")
+    effective = F.coalesce(
+        eff_epochs * F.col("avail_tokens"), F.lit(0.0)
+    )
     return per.select(
         stratum_col,
         "n_docs",
         "avail_tokens",
         F.round(target, 2).alias("target_tokens"),
         F.round(epochs, 6).alias("epochs_needed"),
-        (epochs > F.lit(float(max_epochs))).alias("capped"),
+        (
+            epochs.isNull() | (epochs > F.lit(float(max_epochs)))
+        ).alias("capped"),
         F.round(effective, 2).alias("effective_tokens"),
         F.round(target - effective, 2).alias("shortfall_tokens"),
     )

@@ -489,7 +489,10 @@ def semantic_dedup(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
     )
     indexed = ivf_index(embeddings.select(id_col, vec_col), centroids, vec_col)
-    out_schema = f"{id_col} long, " + SEMANTIC_DEDUP_SCHEMA_SUFFIX
+    # id dtype follows the input column (string corpus keys are normal
+    # for embedding tables), not a hardcoded long
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + SEMANTIC_DEDUP_SCHEMA_SUFFIX
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         cl = int(pdf["ivf_cluster"].iloc[0])

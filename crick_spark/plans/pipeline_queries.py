@@ -1858,13 +1858,13 @@ WITH per AS (
 )
 SELECT source, n_docs, avail_tokens,
        round(share * 2000000, 2) AS target_tokens,
-       round(share * 2000000 / avail_tokens, 6) AS epochs_needed,
-       share * 2000000 / avail_tokens > 4.0 AS capped,
-       round(least(share * 2000000 / avail_tokens, 4.0) * avail_tokens, 2)
-         AS effective_tokens,
+       round(share * 2000000 / nullif(avail_tokens, 0), 6) AS epochs_needed,
+       coalesce(share * 2000000 / nullif(avail_tokens, 0) > 4.0, TRUE) AS capped,
+       round(coalesce(least(share * 2000000 / nullif(avail_tokens, 0), 4.0)
+                      * avail_tokens, 0.0), 2) AS effective_tokens,
        round(share * 2000000
-             - least(share * 2000000 / avail_tokens, 4.0) * avail_tokens, 2)
-         AS shortfall_tokens
+             - coalesce(least(share * 2000000 / nullif(avail_tokens, 0), 4.0)
+                        * avail_tokens, 0.0), 2) AS shortfall_tokens
 FROM per
 """,
     doc="Epoch-aware mixture planning — the UPSAMPLING complement of "

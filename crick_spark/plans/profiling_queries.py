@@ -340,29 +340,32 @@ def curation_pipeline_v2(spark, sf_dir):
     )
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = uniq.join(removed, "doc_id", "left_anti")
-    total_final = final.agg(F.count("*").cast("double").alias("__tf__"))
     marks = (
         docs.join(kept.select("doc_id", F.lit(1).alias("__k__")), "doc_id", "left")
         .join(uniq.select("doc_id", F.lit(1).alias("__u__")), "doc_id", "left")
         .join(final.select("doc_id", F.lit(1).alias("__f__")), "doc_id", "left")
     )
-    return (
-        marks.groupBy("source")
-        .agg(
-            F.count("*").alias("n_input"),
-            F.sum(F.coalesce(F.col("__k__"), F.lit(0))).alias("n_quality"),
-            F.sum(F.coalesce(F.col("__u__"), F.lit(0))).alias("n_exact"),
-            F.sum(F.coalesce(F.col("__f__"), F.lit(0))).alias("n_final"),
-        )
-        .crossJoin(F.broadcast(total_final))
-        .select(
-            "source",
-            "n_input",
-            "n_quality",
-            "n_exact",
-            "n_final",
-            F.round(F.col("n_final") / F.col("__tf__"), 6).alias(
-                "realized_share"
-            ),
-        )
+    # realized_share's denominator comes from a window sum over the
+    # |sources|-row grouped result — NOT a separate final.count() branch,
+    # which would replay the dominant posting-join shuffle (Catalyst does
+    # not reuse exchanges across branches; same rationale as the r5
+    # copurchase/chisq localCheckpoint conversion)
+    from pyspark.sql import Window as W
+
+    grouped = marks.groupBy("source").agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.coalesce(F.col("__k__"), F.lit(0))).alias("n_quality"),
+        F.sum(F.coalesce(F.col("__u__"), F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__f__"), F.lit(0))).alias("n_final"),
+    )
+    total = F.sum("n_final").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return grouped.select(
+        "source",
+        "n_input",
+        "n_quality",
+        "n_exact",
+        "n_final",
+        F.round(F.col("n_final") / total, 6).alias("realized_share"),
     )

@@ -2039,7 +2039,7 @@ WITH s AS (
   FROM events
 )
 SELECT event_type, d, count(*) AS n_samples,
-       round(sum(value * (nxt - us)) / sum(nxt - us), 6) AS twap,
+       round(sum(value * (nxt - us)) / nullif(sum(nxt - us), 0), 6) AS twap,
        round(avg(value), 6) AS plain_avg
 FROM s GROUP BY event_type, d
 """,
@@ -2067,11 +2067,16 @@ def twap_daily_by_event_type(spark, sf_dir):
         us.alias("us"),
         F.lead(us).over(w).alias("nxt"),
     )
+    # try_divide: a group whose samples all share one timestamp has
+    # Σdur = 0 — twap is undefined (NULL), it must not abort the plan
+    # under ANSI mode (oracle's NULLIF matches)
     return s.groupBy("event_type", "d").agg(
         F.count("*").alias("n_samples"),
         F.round(
-            F.sum(F.col("value") * (F.col("nxt") - F.col("us")))
-            / F.sum(F.col("nxt") - F.col("us")),
+            F.try_divide(
+                F.sum(F.col("value") * (F.col("nxt") - F.col("us"))),
+                F.sum(F.col("nxt") - F.col("us")),
+            ),
             6,
         ).alias("twap"),
         F.round(F.avg("value"), 6).alias("plain_avg"),

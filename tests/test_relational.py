@@ -354,3 +354,52 @@ def test_weighted_sample_es_rule_and_bias(spark):
     )
     expect = {i: rk + 1 for rk, (_, i) in enumerate(scored[:10])}
     assert picked == expect
+
+
+def test_twap_zero_duration_group_yields_null(spark):
+    """All samples at one timestamp -> sum(dur)=0 -> twap NULL, not a
+    DIVIDE_BY_ZERO abort (ANSI mode)."""
+    import datetime as dt
+
+    from crick_spark.plans.registry import QUERIES  # noqa: F401  (pattern)
+    from pyspark.sql import Window as W
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t, "a", 10.0), (2, t, "a", 20.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    us = F.unix_micros(F.col("ts"))
+    d = F.date_trunc("day", F.col("ts"))
+    w = W.partitionBy("event_type", d).orderBy("ts", "event_id")
+    s = df.select(
+        "event_type", d.alias("d"), "value", us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    )
+    out = s.groupBy("event_type", "d").agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col("value") * (F.col("nxt") - F.col("us"))),
+                F.sum(F.col("nxt") - F.col("us")),
+            ), 6,
+        ).alias("twap"),
+    ).collect()
+    assert out[0]["twap"] is None
+
+
+def test_mixture_epoch_plan_zero_avail_domain(spark):
+    """A stratum with zero available tokens reports capped=True,
+    effective=0, shortfall=target - instead of aborting the plan."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.sampling import mixture_epoch_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("empty", 0)], "domain string, toks long"
+    )
+    out = {r["domain"]: r for r in mixture_epoch_plan(
+        df, "domain", F.lit(0.5), F.col("toks"), budget_tokens=400
+    ).collect()}
+    e = out["empty"]
+    assert e["epochs_needed"] is None and e["capped"]
+    assert e["effective_tokens"] == 0.0 and e["shortfall_tokens"] == 200.0
