@@ -152,23 +152,34 @@ def weighted_sample_per_group(
     sample is reproducible and SQL-oracle-able.  P(row in sample) is
     proportionally weight-biased exactly as the ES scheme guarantees.
 
-    100 TB shape: one scan computes the score expression in codegen, one
-    shuffle on the group key ranks it; only rank ≤ k rows survive the
-    window — this is how you draw a weighted eval slice per domain from
-    a full corpus in one pass.  Non-positive weights are excluded (their
-    ES score is undefined), matching the reference samplers.
+    100 TB shape: top-k is associative, so the rank runs in TWO phases —
+    a salted partial top-k (window keyed (group, hash(key) mod S), so no
+    partition ever holds more than ~|group|/S rows even when one domain
+    is the whole corpus) followed by the exact top-k over the ≤ S·k
+    survivors per group.  Identical result to a single window, without
+    the one-partition-per-group funnel.  Non-positive weights are
+    excluded (their ES score is undefined), matching the reference
+    samplers.
     """
     from pyspark.sql import Window as W
 
+    n_salt = 64
     u = md5_uniform(F.col(key_col))
     score = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = W.partitionBy(*group_cols).orderBy(
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt))
+    w_partial = W.partitionBy(*group_cols, "__salt__").orderBy(
+        F.desc("__score__"), F.col(key_col)
+    )
+    w_final = W.partitionBy(*group_cols).orderBy(
         F.desc("__score__"), F.col(key_col)
     )
     return (
         df.where(F.col(weight_col) > 0)
         .withColumn("__score__", score)
-        .withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("__salt__", salt)
+        .withColumn("__prank__", F.row_number().over(w_partial))
+        .where(F.col("__prank__") <= int(k))
+        .withColumn("sample_rank", F.row_number().over(w_final))
         .where(F.col("sample_rank") <= int(k))
-        .drop("__score__")
+        .drop("__score__", "__salt__", "__prank__")
     )
