@@ -174,13 +174,18 @@ def default_fuzzy_blocks(c: Column, max_dist: int) -> Column:
     edits destroy ≤ 3k of the |s|−2 grams; if |s| ≥ 3k+3 some gram
     survives untouched and — being a contiguous unchanged run — appears
     verbatim among the other string's grams: shared key.  If |s| < 3k+3
-    the string emits ``#short``, and any string within k edits has
-    length < 4k+3 so it emits ``#short`` too (the emit threshold is
-    deliberately 4k+3, not 3k+3, to make both sides of a short pair
-    overlap).  Hence every pair with distance ≤ k shares ≥1 key —
-    measured at recall=1.0 by the ``fuzzy_match_recall`` oracle, which
-    injects first-token typos (the failure mode of naive first-token
-    blocking).
+    the string emits LENGTH-BUCKETED short keys ``#short:<n>`` for n in
+    [len, len+k] (emit threshold deliberately 4k+3, not 3k+3, so both
+    sides of a short pair emit).  Edits change length by ≤1 each, so a
+    short pair within k edits has |Δlen| ≤ k and the longer length lands
+    in the shorter string's emitted range: shared key.  Bucketing by
+    length keeps short-string dictionaries from collapsing into ONE hot
+    ``#short`` block (a 1M-row short-SKU dictionary would otherwise
+    funnel through a single join key as an all-pairs DP); each bucket
+    holds only strings of one de-spaced length.  Hence every pair with
+    distance ≤ k shares ≥1 key — measured at recall=1.0 by the
+    ``fuzzy_match_recall`` oracle, which injects first-token typos (the
+    failure mode of naive first-token blocking).
 
     Precision/scale: common grams make bigger blocks than a first-token
     scheme — the price of guaranteed recall.  Candidates are pruned by a
@@ -199,7 +204,11 @@ def default_fuzzy_blocks(c: Column, max_dist: int) -> Column:
         lambda g: F.length(g) == 3,
     )
     short = F.when(
-        n < F.lit(4 * max_dist + 3), F.array(F.lit("#short"))
+        n < F.lit(4 * max_dist + 3),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(max_dist)),
+            lambda j: F.concat(F.lit("#short:"), (n + j).cast("string")),
+        ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(F.concat(grams, short))
 
@@ -295,13 +304,29 @@ def snapshot_diff(
     per-column updates and a NULL leaves the state untouched, so
     (NULL,'x') and ('x',NULL) collide — to_json(struct(...)) keeps the
     field names, making NULL placement part of the hashed bytes.
-    """
-    val_cols = [c for c in old.columns if c not in keys]
-    def _h(alias: str):
-        return F.xxhash64(F.to_json(F.struct(*val_cols))).alias(alias)
 
-    oh = old.select(*keys, _h("__h_old__"))
-    nh = new.select(*keys, _h("__h_new__"))
+    Schema evolution: the compared column set is the UNION of both
+    snapshots' non-key columns — a column present on one side only is
+    read as NULL on the other (to_json drops null fields, so adding an
+    all-NULL column flags nothing, while populated values in an added
+    column correctly surface as updates).  Deriving from ``old`` alone
+    would silently ignore changes confined to added columns.
+    """
+    old_vals = [c for c in old.columns if c not in keys]
+    new_vals = [c for c in new.columns if c not in keys]
+    val_cols = old_vals + [c for c in new_vals if c not in old_vals]
+
+    def _h(df: DataFrame, have: list[str], alias: str):
+        fields = [
+            F.col(c).alias(c) if c in have else F.lit(None).alias(c)
+            for c in val_cols
+        ]
+        return df.select(
+            *keys, F.xxhash64(F.to_json(F.struct(*fields))).alias(alias)
+        )
+
+    oh = _h(old, old_vals, "__h_old__")
+    nh = _h(new, new_vals, "__h_new__")
     j = oh.join(nh, keys, "full_outer")
     change = (
         F.when(F.col("__h_old__").isNull(), F.lit("insert"))

@@ -152,6 +152,13 @@ def weighted_sample_per_group(
     sample is reproducible and SQL-oracle-able.  P(row in sample) is
     proportionally weight-biased exactly as the ES scheme guarantees.
 
+    ``key_col`` must uniquely identify rows — the contract of every
+    md5-coin sampler in this repo (train/val/test split, stratified
+    sample, negative sampling).  Duplicate keys would draw the SAME
+    coin (correlated, not independent uniforms) and tie-break by
+    physical order, breaking both reproducibility and the ES
+    inclusion probabilities.
+
     100 TB shape: top-k is associative, so the rank runs in TWO phases —
     a salted partial top-k (window keyed (group, hash(key) mod S), so no
     partition ever holds more than ~|group|/S rows even when one domain

@@ -316,6 +316,16 @@ def boilerplate_ngram_stats(
 # ---------------------------------------------------------------------------
 # Tokenizer training: vocabulary selection + BPE merge candidates
 # ---------------------------------------------------------------------------
+def lower_tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the tokenizer-
+    training view of the ONE corpus token contract (case-preserved forms:
+    ``retrieval.tokens_expr`` / ``dedup.words_expr``).  Changing the
+    contract (e.g. unicode whitespace) has exactly one site per casing."""
+    from crick_spark.pipeline.retrieval import tokens_expr
+
+    return tokens_expr(F.lower(text))
+
+
 def build_vocab(
     docs: DataFrame,
     vocab_size: int = 500,
@@ -338,10 +348,8 @@ def build_vocab(
 
     v = int(vocab_size)
     toks = docs.select(
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("token")
-    ).where(F.col("token") != "")
+        F.explode(lower_tokens_expr(F.col(text_col))).alias("token")
+    )
     counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
     total = counts.agg(F.sum("freq").alias("__total__"))
     top = (
@@ -383,9 +391,7 @@ def bpe_merge_candidates(
     n = int(top_n)
     words = (
         docs.select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("word")
+            F.explode(lower_tokens_expr(F.col(text_col))).alias("word")
         )
         .where(F.length("word") >= 2)
         .groupBy("word")

@@ -403,3 +403,17 @@ def test_mixture_epoch_plan_zero_avail_domain(spark):
     e = out["empty"]
     assert e["epochs_needed"] is None and e["capped"]
     assert e["effective_tokens"] == 0.0 and e["shortfall_tokens"] == 200.0
+
+
+def test_snapshot_diff_schema_evolution_added_column(spark):
+    """Changes confined to a column ADDED in the new snapshot must surface
+    as updates (regression: val_cols from old alone silently ignored
+    them); adding an all-NULL column flags nothing."""
+    from crick_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a", "extra"), (2, "b", None)], "k long, v string, v2 string"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "update"}  # k=2's added column is NULL -> unchanged
