@@ -117,6 +117,7 @@ R4_EXTRA = [
     "quality_threshold_sweep",
     "weighted_sample_orders_per_priority",
     "curation_pipeline_v2",
+    "cms_join_size_orders_lineitem",
 ]
 
 

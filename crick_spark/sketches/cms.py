@@ -126,3 +126,20 @@ class CountMinSketch:
             out.table += o.table
             out.n += o.n
         return out
+
+    # -- join-size estimation ----------------------------------------------
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimated inner product of the two frequency vectors — the
+        equi-join SIZE estimate |A ⋈ B| (Cormode & Muthukrishnan 2005,
+        §4.2): per row, Σ_j a_row[j]·b_row[j] overestimates a·b by at
+        most (e/w)·N_a·N_b w.p. ≥ 1−e^(−d); min over rows tightens it.
+        Never underestimates.  Both sketches must share (width, depth)
+        — and therefore the hash family."""
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot inner-product CMS with different shapes")
+        per_row = (self.table.astype(np.float64) * other.table).sum(axis=1)
+        return int(per_row.min())
+
+    def inner_product_error_bound(self, other: "CountMinSketch") -> float:
+        """Additive ceiling (e/w)·N_a·N_b w.p. ≥ 1 − e^(−depth)."""
+        return float(np.e / self.width * self.n * other.n)

@@ -367,3 +367,32 @@ def test_tdigest_cdf_subnormal_span_regression():
     c = d.cdf(probes)
     assert np.all(c >= 0.0) and np.all(c <= 1.0)
     assert np.all(np.diff(c) >= -1e-12)
+
+
+def test_cms_inner_product_join_size_guarantees():
+    """Join-size estimate: never underestimates, within (e/w)*Na*Nb, and
+    partition-invariant under merge (build split vs whole)."""
+    import numpy as np
+
+    from crick_spark.sketches.cms import CountMinSketch
+
+    rng = np.random.default_rng(42)
+    a_keys = rng.integers(0, 300, 15000)
+    b_keys = rng.integers(0, 300, 25000)
+    exact = int(
+        (np.bincount(a_keys, minlength=300) * np.bincount(b_keys, minlength=300)).sum()
+    )
+    A = CountMinSketch.from_batch(a_keys, width=4096, depth=4)
+    B = CountMinSketch.from_batch(b_keys, width=4096, depth=4)
+    est = A.inner_product(B)
+    assert exact <= est <= exact + A.inner_product_error_bound(B)
+    # merge invariance: sketch built in halves == whole, bit-for-bit
+    A2 = CountMinSketch.from_batch(a_keys[:7000], width=4096, depth=4).merge(
+        CountMinSketch.from_batch(a_keys[7000:], width=4096, depth=4)
+    )
+    assert (A2.table == A.table).all() and A2.inner_product(B) == est
+    # shape mismatch refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        A.inner_product(CountMinSketch.from_batch(b_keys, width=8192, depth=4))
