@@ -118,6 +118,7 @@ R4_EXTRA = [
     "weighted_sample_orders_per_priority",
     "curation_pipeline_v2",
     "cms_join_size_orders_lineitem",
+    "drift_ks_events_base_delta",
 ]
 
 
