@@ -412,3 +412,97 @@ def bpe_merge_candidates(
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(n)
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges iteratively — the full trainer loop
+    ``bpe_merge_candidates`` shows one step of: represent each distinct
+    word as a symbol array (chars to start), and per iteration (1) count
+    adjacent symbol pairs weighted by word frequency, (2) take the most
+    frequent pair (ties by pair — deterministic), (3) merge that pair
+    left-to-right in every word's symbol stream.  Returns
+    [(left, right, freq), …] in merge order.
+
+    Scale shape per iteration: one explode + partial-combine hash agg
+    over the WORD table (vocab-sized, Heaps' law ≪ corpus) for the pair
+    counts, a 1-row driver fetch of the winner, and a codegen-free
+    Arrow-batched transform applying the merge.  The word table is
+    localCheckpoint-ed each iteration so plan depth stays bounded at any
+    n_merges (the pagerank/dedup lineage-control pattern).  Verified
+    against a pure-Python reference trainer in tests.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    words = (
+        docs.select(F.explode(lower_tokens_expr(F.col(text_col))).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+        .select(F.split("word", "").alias("syms"), "wfreq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        # guard: fully-merged single-symbol words have size-1 = 0 and
+        # Spark's sequence(1, 0) counts DOWN (the shingles_expr pitfall)
+        pairs = words.where(F.size("syms") >= 2).select(
+            "wfreq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", (i + 1).cast("int")).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wfreq").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+        merges.append((l, r, freq))
+
+        def apply_merge(pdfs, _l=l, _r=r):
+            for pdf in pdfs:
+                out = []
+                for syms, wf in zip(pdf["syms"], pdf["wfreq"]):
+                    s = list(syms)
+                    merged, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            merged.append(_l + _r)
+                            i += 2
+                        else:
+                            merged.append(s[i])
+                            i += 1
+                    out.append({"syms": merged, "wfreq": int(wf)})
+                yield pd.DataFrame(out, columns=["syms", "wfreq"])
+
+        schema = StructType(
+            [
+                StructField("syms", ArrayType(StringType())),
+                StructField("wfreq", LongType()),
+            ]
+        )
+        words = words.mapInPandas(apply_merge, schema=schema).localCheckpoint(
+            eager=True
+        )
+    return merges

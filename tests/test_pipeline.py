@@ -1071,3 +1071,45 @@ def test_semantic_dedup_removes_planted_paraphrase_clones(spark):
     # each clone family keeps exactly one representative
     assert len(kept_clones) == 4
     assert out[out["vec_id"] >= 20]["keep"].all()
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE trainer == pure-Python reference on the same word
+    counts: identical merge sequence (pair + frequency, tie-determinism)."""
+    from collections import Counter
+
+    from crick_spark.pipeline.text import bpe_train
+
+    texts = [
+        "low lower lowest", "low low newer", "newer newest new",
+        "wider wide wide", "low newer",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=6)
+
+    # pure-Python reference (classic Sennrich et al. trainer loop)
+    wc = Counter(w for t in texts for w in t.lower().split() if len(w) >= 2)
+    vocab = {w: list(w) for w in wc}
+    expect = []
+    for _ in range(6):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        (l, r), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((l, r, freq))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r); i += 2
+                else:
+                    merged.append(syms[i]); i += 1
+            vocab[w] = merged
+    assert got == expect, f"{got} != {expect}"
