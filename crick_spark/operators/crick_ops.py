@@ -340,6 +340,20 @@ def moments_agg(df: DataFrame, col: str, by: list[str] | None = None) -> DataFra
 # ---------------------------------------------------------------------------
 # Count-Min Sketch (family extension — not in crick; same contract)
 # ---------------------------------------------------------------------------
+def _cms_ops(width: int, depth: int, count_col: str | None = None) -> SketchOps:
+    """Kernel adapter shared by every CMS entry point (the _tdigest_ops
+    pattern): builds from the JVM-hashed ``__cms_key__`` column."""
+    from crick_spark.sketches.cms import CountMinSketch
+
+    def build(pdf: pd.DataFrame) -> "CountMinSketch":
+        counts = pdf[count_col].to_numpy(np.int64) if count_col else None
+        return CountMinSketch.from_batch(
+            pdf["__cms_key__"].to_numpy(np.int64), counts, width=width, depth=depth
+        )
+
+    return SketchOps(build=build, merge=lambda a, b: a.merge(b))
+
+
 def cms_frequencies(
     df: DataFrame,
     col: str,
@@ -376,14 +390,7 @@ def cms_frequencies(
     item_keys = np.array([r["key"] for r in hashed_items], dtype=np.int64)
 
     keyed = df.withColumn("__cms_key__", F.xxhash64(col))
-
-    def build(pdf: pd.DataFrame) -> CountMinSketch:
-        counts = pdf[count_col].to_numpy(np.int64) if count_col else None
-        return CountMinSketch.from_batch(
-            pdf["__cms_key__"].to_numpy(np.int64), counts, width=width, depth=depth
-        )
-
-    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+    ops = _cms_ops(width, depth, count_col)
 
     def finalize(sk: CountMinSketch) -> pd.DataFrame:
         ests = sk.query(item_keys)
@@ -429,14 +436,15 @@ def cms_join_size(
     blob_schema = StructType([StructField("sketch", BinaryType())])
 
     def side(df: DataFrame, col: str, tag: str) -> DataFrame:
-        keyed = df.select(F.xxhash64(col).alias("__cms_key__"))
-
-        def build(pdf: pd.DataFrame) -> CountMinSketch:
-            return CountMinSketch.from_batch(
-                pdf["__cms_key__"].to_numpy(np.int64), width=width, depth=depth
-            )
-
-        ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+        # NULLs never match an equi-join — hashing them (xxhash64(NULL)
+        # is the constant 42) would add phantom NULLxNULL pairs the
+        # error ceiling does not cover.  Cast to string before hashing:
+        # xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash apart), and
+        # int-keyed dims joining bigint-keyed facts is routine
+        keyed = df.where(F.col(col).isNotNull()).select(
+            F.xxhash64(F.col(col).cast("string")).alias("__cms_key__")
+        )
+        ops = _cms_ops(width, depth)
         partials = partial_sketches(keyed, ops, ["__cms_key__"], [])
         merged = merge_sketches(
             partials,

@@ -2142,8 +2142,8 @@ n AS (
 ),
 cdf AS (
   SELECT t.event_type,
-         sum(t.is_base) OVER w / CAST(n.n_base AS DOUBLE) AS f_base,
-         sum(1 - t.is_base) OVER w / CAST(n.n_delta AS DOUBLE) AS f_delta
+         sum(t.is_base) OVER w / CAST(nullif(n.n_base, 0) AS DOUBLE) AS f_base,
+         sum(1 - t.is_base) OVER w / CAST(nullif(n.n_delta, 0) AS DOUBLE) AS f_delta
   FROM tagged t JOIN n USING (event_type)
   WINDOW w AS (PARTITION BY t.event_type ORDER BY t.value
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2184,13 +2184,16 @@ def drift_ks_events_base_delta(spark, sf_dir):
         .orderBy("value")
         .rangeBetween(W.unboundedPreceding, W.currentRow)
     )
+    # try_divide: a type whose rows are all one parity has an empty side
+    # (n=0) — its KS is undefined (NULL), it must not abort the whole
+    # monitoring job under ANSI mode
     cdf = tagged.join(n, "event_type").select(
         "event_type",
         "n_base",
         "n_delta",
-        (F.sum("is_base").over(w) / F.col("n_base")).alias("f_base"),
-        (
-            F.sum(F.lit(1) - F.col("is_base")).over(w) / F.col("n_delta")
+        F.try_divide(F.sum("is_base").over(w), F.col("n_base")).alias("f_base"),
+        F.try_divide(
+            F.sum(F.lit(1) - F.col("is_base")).over(w), F.col("n_delta")
         ).alias("f_delta"),
     )
     return cdf.groupBy("event_type", "n_base", "n_delta").agg(

@@ -137,8 +137,15 @@ class CountMinSketch:
         — and therefore the hash family."""
         if (other.width, other.depth) != (self.width, self.depth):
             raise ValueError("cannot inner-product CMS with different shapes")
-        per_row = (self.table.astype(np.float64) * other.table).sum(axis=1)
-        return int(per_row.min())
+        # exact integer accumulation (Python ints), NOT float64: at
+        # ~10^9-row sides the per-row dot product exceeds 2^53 and float
+        # rounding can land BELOW the true value, silently breaking the
+        # never-underestimates guarantee
+        per_row = [
+            sum(int(x) * int(y) for x, y in zip(ra, rb) if x and y)
+            for ra, rb in zip(self.table, other.table)
+        ]
+        return min(per_row)
 
     def inner_product_error_bound(self, other: "CountMinSketch") -> float:
         """Additive ceiling (e/w)·N_a·N_b w.p. ≥ 1 − e^(−depth)."""

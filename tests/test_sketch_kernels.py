@@ -396,3 +396,19 @@ def test_cms_inner_product_join_size_guarantees():
 
     with _pytest.raises(ValueError):
         A.inner_product(CountMinSketch.from_batch(b_keys, width=8192, depth=4))
+
+
+def test_cms_inner_product_exact_beyond_float53():
+    """Integer accumulation: per-row dot products past 2^53 must stay
+    exact (float64 would round below the true value and break the
+    never-underestimates guarantee)."""
+    import numpy as np
+
+    from crick_spark.sketches.cms import CountMinSketch
+
+    a = CountMinSketch(width=4, depth=1)
+    b = CountMinSketch(width=4, depth=1)
+    big = 3**34  # ~1.67e16 > 2^53
+    a.table[0, 0] = big
+    b.table[0, 0] = big + 1
+    assert a.inner_product(b) == big * (big + 1)
