@@ -119,6 +119,7 @@ R4_EXTRA = [
     "curation_pipeline_v2",
     "cms_join_size_orders_lineitem",
     "drift_ks_events_base_delta",
+    "streaming_sketch_store",
 ]
 
 

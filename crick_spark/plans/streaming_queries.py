@@ -661,3 +661,164 @@ def streaming_incremental_dedup(spark, sf_dir):
         (F.col("__d__") == 0).alias("pairs_match_batch"),
         (F.col("__n__") > 0).alias("any_pairs_found"),
     )
+
+
+@register(
+    "streaming_sketch_store",
+    oracle="""
+SELECT event_type,
+       count(value) AS n_values,
+       TRUE AS mass_conserved,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound,
+       TRUE AS hll_stream_equals_batch
+FROM events GROUP BY event_type
+""",
+    doc="Streaming maintenance of a PERSISTED sketch store — the "
+    "Structured-Streaming twin of incremental_sketch_merge and the "
+    "streaming materialized-view story end-to-end: events arrive as 4 "
+    "micro-batches (file stream, maxFilesPerTrigger=1) and foreachBatch "
+    "folds each batch's t-digest partials and HLL registers into a "
+    "parquet store (one blob per event_type, alternating snapshot "
+    "paths so a batch never reads the file it overwrites — the "
+    "streaming_upsert_foreachbatch pattern).  The store never rescans "
+    "history: per batch it reads back KBs of sketch state, not rows.  "
+    "Hash-matched boolean oracle on the FINAL store: digest mass "
+    "equals the exact per-type row count; store p50/p90 are within "
+    "the reference's 0.012 rank-error bound of the exact empirical "
+    "CDF; the store's HLL estimate EXACTLY equals a single-pass batch "
+    "HLL (register union is lossless and order-independent, so "
+    "micro-batching cannot change it).",
+)
+def streaming_sketch_store(spark, sf_dir):
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from crick_spark.operators.crick_ops import tdigest_agg
+    from crick_spark.operators.sketch_agg import SketchOps, merge_sketches
+
+    base = run_tmpdir("crick_sketch_store_")
+    td_paths = [f"{base}/td_a", f"{base}/td_b"]
+    hll_paths = [f"{base}/hll_a", f"{base}/hll_b"]
+    state = {"td": None, "hll": None, "flip": 0}
+    blob_schema = StructType([StructField("sketch", BinaryType())])
+    merge_ops = SketchOps(build=None, merge=lambda a, b: a.merge(b))
+
+    def to_blob(sk) -> pd.DataFrame:
+        return pd.DataFrame([{"sketch": pickle.dumps(sk)}])
+
+    def fold(batch_df, batch_id):
+        s = batch_df.sparkSession
+        td_new = tdigest_agg(batch_df, "value", by=["event_type"])
+        if state["td"] is not None:
+            td_new = s.read.parquet(state["td"]).unionByName(td_new)
+        compact = merge_sketches(
+            td_new, merge_ops, ["event_type"], to_blob, blob_schema
+        )
+        td_t = td_paths[state["flip"]]
+        compact.write.mode("overwrite").parquet(td_t)
+        hll_new = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("hsk")
+        )
+        if state["hll"] is not None:
+            hll_new = (
+                s.read.parquet(state["hll"])
+                .unionByName(hll_new)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("hsk").alias("hsk"))
+            )
+        hll_t = hll_paths[state["flip"]]
+        hll_new.write.mode("overwrite").parquet(hll_t)
+        state["td"], state["hll"] = td_t, hll_t
+        state["flip"] = 1 - state["flip"]
+
+    # 4 micro-batches: re-shard events, stream one file per trigger
+    src = f"{base}/src"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(fold)
+        .start()
+    )
+    q.awaitTermination()
+
+    # finalize the store: p50/p90/mass per type from the stored digests
+    qs_schema = StructType(
+        [
+            StructField("p50", DoubleType()),
+            StructField("p90", DoubleType()),
+            StructField("mass", DoubleType()),
+        ]
+    )
+
+    def finalize(sk) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"p50": float(sk.quantile(0.5)), "p90": float(sk.quantile(0.9)),
+              "mass": float(sk.size())}]
+        )
+
+    store = merge_sketches(
+        spark.read.parquet(state["td"]), merge_ops, ["event_type"], finalize, qs_schema
+    )
+    hll_store = spark.read.parquet(state["hll"]).select(
+        "event_type", F.hll_sketch_estimate("hsk").alias("est_stream")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hll_batch = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
+            "est_batch"
+        )
+    )
+
+    def cdf_at(col):
+        return F.avg(
+            F.when(F.col("value") < F.col(col), 1.0)
+            .when(F.col("value") == F.col(col), 0.5)
+            .otherwise(0.0)
+        )
+
+    joined = ev.join(F.broadcast(store), "event_type")
+    out = (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_values"),
+            F.first("mass").alias("__mass__"),
+            (F.abs(cdf_at("p50") - F.lit(0.5)) <= F.lit(0.012)).alias(
+                "p50_within_bound"
+            ),
+            (F.abs(cdf_at("p90") - F.lit(0.9)) <= F.lit(0.012)).alias(
+                "p90_within_bound"
+            ),
+        )
+        .join(F.broadcast(hll_store), "event_type")
+        .join(F.broadcast(hll_batch), "event_type")
+        .select(
+            "event_type",
+            "n_values",
+            (F.abs(F.col("__mass__") - F.col("n_values")) < F.lit(1e-6)).alias(
+                "mass_conserved"
+            ),
+            "p50_within_bound",
+            "p90_within_bound",
+            (F.abs(F.col("est_stream") - F.col("est_batch")) < F.lit(1e-9)).alias(
+                "hll_stream_equals_batch"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
