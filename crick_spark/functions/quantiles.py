@@ -97,3 +97,16 @@ def histogram(
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
         )
     )
+
+
+def empirical_cdf_at(value_col: Column, point) -> Column:
+    """Aggregate expression: the exact empirical CDF of ``value_col``
+    evaluated at ``point`` (a Column or literal) with the reference's
+    midpoint-at-ties convention (crick/tests/test_tdigest.py:52-56):
+    values below count 1, ties count ½.  THE one definition every
+    accuracy oracle shares — quantile/cdf/histogram accuracy gates and
+    the sketch-store verifications all call this."""
+    p = point if isinstance(point, Column) else F.lit(point)
+    return F.avg(
+        F.when(value_col < p, 1.0).when(value_col == p, 0.5).otherwise(0.0)
+    )

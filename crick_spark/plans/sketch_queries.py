@@ -24,6 +24,7 @@ from crick_spark.operators import (
     tdigest_histogram,
     tdigest_quantiles,
 )
+from crick_spark.functions.quantiles import empirical_cdf_at
 from crick_spark.plans.registry import register
 from crick_spark.sources.tables import load_table
 from crick_spark.tmpdirs import run_tmpdir
@@ -84,11 +85,7 @@ def tdigest_histogram_quantity(spark, sf_dir):
     exact = li.agg(
         F.count("l_quantity").alias("__n__"),
         *[
-            F.avg(
-                F.when(F.col("l_quantity") < F.lit(e), 1.0)
-                .when(F.col("l_quantity") == F.lit(e), 0.5)
-                .otherwise(0.0)
-            ).alias(f"__cdf_{i}__")
+            empirical_cdf_at(F.col("l_quantity"), e).alias(f"__cdf_{i}__")
             for i, e in enumerate(edges)
         ],
     )
@@ -435,11 +432,7 @@ def tdigest_quantile_accuracy(spark, sf_dir):
     checks = []
     for q in qs:
         p = f"p{str(q).replace('.', '_')}"
-        cdf = F.avg(
-            F.when(F.col("value") < F.col(p), 1.0)
-            .when(F.col("value") == F.col(p), 0.5)
-            .otherwise(0.0)
-        )
+        cdf = empirical_cdf_at(F.col("value"), F.col(p))
         checks.append(
             (F.abs(cdf - F.lit(q)) <= F.lit(0.012)).alias(f"ok_{str(q).replace('.', '_')}")
         )
@@ -817,11 +810,7 @@ def tdigest_cdf_accuracy(spark, sf_dir):
     est = tdigest_cdf(ev, "value", xs)  # 1 row of cdf_* estimates
     exact = ev.agg(
         *[
-            F.avg(
-                F.when(F.col("value") < F.lit(x), 1.0)
-                .when(F.col("value") == F.lit(x), 0.5)
-                .otherwise(0.0)
-            ).alias(f"exact_{i}")
+            empirical_cdf_at(F.col("value"), x).alias(f"exact_{i}")
             for i, x in enumerate(xs)
         ]
     )
@@ -845,7 +834,7 @@ SELECT event_type,
        TRUE AS mass_conserved,
        TRUE AS p50_within_bound,
        TRUE AS p90_within_bound,
-       TRUE AS hll_merge_lossless
+       TRUE AS hll_union_consistent
 FROM events GROUP BY event_type
 """,
     doc="Incremental maintenance for SKETCH rollups — the crick merge "
@@ -863,8 +852,12 @@ FROM events GROUP BY event_type
     "0.012 rank-error bound of the exact empirical CDF (crick/tests/"
     "test_tdigest.py:99-102) — the same bound the full-recompute path "
     "meets, so incremental refresh costs no accuracy; (3) the merged "
-    "HLL estimate equals the full-recompute HLL estimate EXACTLY — "
-    "register-wise union is lossless, merge(sk(A), sk(B)) ≡ sk(A∪B).",
+    "HLL estimate agrees with the full-recompute estimate within "
+    "estimator-mode tolerance — register union is lossless "
+    "(merge(sk(A), sk(B)) has sk(A∪B)'s registers), but above sparse "
+    "mode Datasketches reports HIP on single-pass sketches vs the "
+    "composite estimator post-union, so estimates can differ slightly "
+    "at high cardinality; 2% covers both modes (SE at lgK=14: 0.81%).",
 )
 def incremental_sketch_merge(spark, sf_dir):
     import shutil
@@ -929,11 +922,7 @@ def incremental_sketch_merge(spark, sf_dir):
     joined = ev.join(est_b, "event_type")
 
     def cdf_at(col):
-        return F.avg(
-            F.when(F.col("value") < F.col(col), 1.0)
-            .when(F.col("value") == F.col(col), 0.5)
-            .otherwise(0.0)
-        )
+        return empirical_cdf_at(F.col("value"), F.col(col))
 
     out = joined.groupBy("event_type").agg(
         F.count("value").alias("n_values"),
@@ -952,9 +941,10 @@ def incremental_sketch_merge(spark, sf_dir):
             ),
             "p50_within_bound",
             "p90_within_bound",
-            (F.abs(F.col("est_inc") - F.col("est_full")) < F.lit(1e-9)).alias(
-                "hll_merge_lossless"
-            ),
+            (
+                F.abs(F.col("est_inc") - F.col("est_full"))
+                <= F.greatest(F.lit(2.0), F.lit(0.02) * F.col("est_full"))
+            ).alias("hll_union_consistent"),
         )
     )
     # materialize off the temp state files so they can be deleted now

@@ -13,6 +13,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from crick_spark.functions.quantiles import empirical_cdf_at
 from crick_spark.plans.registry import register
 from crick_spark.streaming.windows import session_rollup_batch, stream_events
 from crick_spark.streaming.sketch_state import tdigest_stream_quantiles
@@ -114,11 +115,7 @@ def tdigest_stream_quantiles_q(spark, sf_dir):
     aggs = [F.max("n").alias("n")]
     for qq in (0.5, 0.9, 0.99):
         p = f"p{str(qq).replace('.', '_')}"
-        cdf = F.avg(
-            F.when(F.col("value") < F.col(p), 1.0)
-            .when(F.col("value") == F.col(p), 0.5)
-            .otherwise(0.0)
-        )
+        cdf = empirical_cdf_at(F.col("value"), F.col(p))
         aggs.append(
             (F.abs(cdf - F.lit(qq)) <= F.lit(0.02)).alias(
                 f"ok_{str(qq).replace('.', '_')}"
@@ -671,7 +668,7 @@ SELECT event_type,
        TRUE AS mass_conserved,
        TRUE AS p50_within_bound,
        TRUE AS p90_within_bound,
-       TRUE AS hll_stream_equals_batch
+       TRUE AS hll_union_consistent
 FROM events GROUP BY event_type
 """,
     doc="Streaming maintenance of a PERSISTED sketch store — the "
@@ -686,9 +683,13 @@ FROM events GROUP BY event_type
     "Hash-matched boolean oracle on the FINAL store: digest mass "
     "equals the exact per-type row count; store p50/p90 are within "
     "the reference's 0.012 rank-error bound of the exact empirical "
-    "CDF; the store's HLL estimate EXACTLY equals a single-pass batch "
-    "HLL (register union is lossless and order-independent, so "
-    "micro-batching cannot change it).",
+    "CDF; the store's HLL estimate agrees with a single-pass batch "
+    "HLL within estimator-mode tolerance (register union is lossless "
+    "and order-independent, but above sparse mode Datasketches reports "
+    "the order-dependent HIP estimator on a single-pass sketch vs the "
+    "composite estimator post-union — identical registers, slightly "
+    "different estimates; the 2% bound covers both modes at lgK=14's "
+    "0.81% standard error).",
 )
 def streaming_sketch_store(spark, sf_dir):
     import pickle
@@ -707,37 +708,63 @@ def streaming_sketch_store(spark, sf_dir):
     base = run_tmpdir("crick_sketch_store_")
     td_paths = [f"{base}/td_a", f"{base}/td_b"]
     hll_paths = [f"{base}/hll_a", f"{base}/hll_b"]
-    state = {"td": None, "hll": None, "flip": 0}
+    meta_path = f"{base}/meta"
     blob_schema = StructType([StructField("sketch", BinaryType())])
     merge_ops = SketchOps(build=None, merge=lambda a, b: a.merge(b))
 
     def to_blob(sk) -> pd.DataFrame:
         return pd.DataFrame([{"sketch": pickle.dumps(sk)}])
 
+    def read_meta(s):
+        # all store coordinates live ON DISK (not in process state), so a
+        # restarted query resumes from the checkpoint correctly
+        try:
+            rows = s.read.parquet(meta_path).collect()
+            if rows:
+                r = rows[0]
+                return int(r["batch_id"]), r["td"], r["hll"]
+        except Exception:
+            pass
+        return -1, None, None
+
     def fold(batch_df, batch_id):
         s = batch_df.sparkSession
+        last_id, td_cur, hll_cur = read_meta(s)
+        if int(batch_id) <= last_id:
+            # foreachBatch re-executes batches after failures — an
+            # already-folded id is a replay and must be a no-op, or the
+            # digest would ingest the batch twice (mass > row count)
+            return
+        flip = int(batch_id) % 2
         td_new = tdigest_agg(batch_df, "value", by=["event_type"])
-        if state["td"] is not None:
-            td_new = s.read.parquet(state["td"]).unionByName(td_new)
+        if td_cur is not None:
+            td_new = s.read.parquet(td_cur).unionByName(td_new)
         compact = merge_sketches(
             td_new, merge_ops, ["event_type"], to_blob, blob_schema
         )
-        td_t = td_paths[state["flip"]]
+        td_t = td_paths[flip]
         compact.write.mode("overwrite").parquet(td_t)
         hll_new = batch_df.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id", F.lit(14)).alias("hsk")
         )
-        if state["hll"] is not None:
+        if hll_cur is not None:
             hll_new = (
-                s.read.parquet(state["hll"])
+                s.read.parquet(hll_cur)
                 .unionByName(hll_new)
                 .groupBy("event_type")
                 .agg(F.hll_union_agg("hsk").alias("hsk"))
             )
-        hll_t = hll_paths[state["flip"]]
+        hll_t = hll_paths[flip]
         hll_new.write.mode("overwrite").parquet(hll_t)
-        state["td"], state["hll"] = td_t, hll_t
-        state["flip"] = 1 - state["flip"]
+        # meta write is the COMMIT POINT: a crash before it leaves meta on
+        # the previous snapshots and the replay re-folds cleanly (writes
+        # land on the same flip path).  Production swaps this file-flip
+        # protocol for a transactional table format; the batch-id fencing
+        # and read-state-from-disk shape is the pattern being proven.
+        s.createDataFrame(
+            [(int(batch_id), td_t, hll_t)],
+            "batch_id long, td string, hll string",
+        ).write.mode("overwrite").parquet(meta_path)
 
     # 4 micro-batches: re-shard events, stream one file per trigger
     src = f"{base}/src"
@@ -753,6 +780,7 @@ def streaming_sketch_store(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    _, td_final, hll_final = read_meta(spark)
 
     # finalize the store: p50/p90/mass per type from the stored digests
     qs_schema = StructType(
@@ -770,9 +798,9 @@ def streaming_sketch_store(spark, sf_dir):
         )
 
     store = merge_sketches(
-        spark.read.parquet(state["td"]), merge_ops, ["event_type"], finalize, qs_schema
+        spark.read.parquet(td_final), merge_ops, ["event_type"], finalize, qs_schema
     )
-    hll_store = spark.read.parquet(state["hll"]).select(
+    hll_store = spark.read.parquet(hll_final).select(
         "event_type", F.hll_sketch_estimate("hsk").alias("est_stream")
     )
     ev = load_table(spark, sf_dir, "events")
@@ -783,11 +811,7 @@ def streaming_sketch_store(spark, sf_dir):
     )
 
     def cdf_at(col):
-        return F.avg(
-            F.when(F.col("value") < F.col(col), 1.0)
-            .when(F.col("value") == F.col(col), 0.5)
-            .otherwise(0.0)
-        )
+        return empirical_cdf_at(F.col("value"), F.col(col))
 
     joined = ev.join(F.broadcast(store), "event_type")
     out = (
@@ -812,9 +836,10 @@ def streaming_sketch_store(spark, sf_dir):
             ),
             "p50_within_bound",
             "p90_within_bound",
-            (F.abs(F.col("est_stream") - F.col("est_batch")) < F.lit(1e-9)).alias(
-                "hll_stream_equals_batch"
-            ),
+            (
+                F.abs(F.col("est_stream") - F.col("est_batch"))
+                <= F.greatest(F.lit(2.0), F.lit(0.02) * F.col("est_batch"))
+            ).alias("hll_union_consistent"),
         )
     )
     out = out.localCheckpoint(eager=True)
