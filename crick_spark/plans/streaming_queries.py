@@ -692,79 +692,18 @@ FROM events GROUP BY event_type
     "0.81% standard error).",
 )
 def streaming_sketch_store(spark, sf_dir):
-    import pickle
+    import shutil
 
     import pandas as pd
-    from pyspark.sql.types import (
-        BinaryType,
-        DoubleType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from crick_spark.operators.crick_ops import tdigest_agg
-    from crick_spark.operators.sketch_agg import SketchOps, merge_sketches
+    from crick_spark.streaming.sketch_store import SketchStore
 
     base = run_tmpdir("crick_sketch_store_")
-    td_paths = [f"{base}/td_a", f"{base}/td_b"]
-    hll_paths = [f"{base}/hll_a", f"{base}/hll_b"]
-    meta_path = f"{base}/meta"
-    blob_schema = StructType([StructField("sketch", BinaryType())])
-    merge_ops = SketchOps(build=None, merge=lambda a, b: a.merge(b))
-
-    def to_blob(sk) -> pd.DataFrame:
-        return pd.DataFrame([{"sketch": pickle.dumps(sk)}])
-
-    def read_meta(s):
-        # all store coordinates live ON DISK (not in process state), so a
-        # restarted query resumes from the checkpoint correctly
-        try:
-            rows = s.read.parquet(meta_path).collect()
-            if rows:
-                r = rows[0]
-                return int(r["batch_id"]), r["td"], r["hll"]
-        except Exception:
-            pass
-        return -1, None, None
+    store = SketchStore(f"{base}/store")
 
     def fold(batch_df, batch_id):
-        s = batch_df.sparkSession
-        last_id, td_cur, hll_cur = read_meta(s)
-        if int(batch_id) <= last_id:
-            # foreachBatch re-executes batches after failures — an
-            # already-folded id is a replay and must be a no-op, or the
-            # digest would ingest the batch twice (mass > row count)
-            return
-        flip = int(batch_id) % 2
-        td_new = tdigest_agg(batch_df, "value", by=["event_type"])
-        if td_cur is not None:
-            td_new = s.read.parquet(td_cur).unionByName(td_new)
-        compact = merge_sketches(
-            td_new, merge_ops, ["event_type"], to_blob, blob_schema
-        )
-        td_t = td_paths[flip]
-        compact.write.mode("overwrite").parquet(td_t)
-        hll_new = batch_df.groupBy("event_type").agg(
-            F.hll_sketch_agg("user_id", F.lit(14)).alias("hsk")
-        )
-        if hll_cur is not None:
-            hll_new = (
-                s.read.parquet(hll_cur)
-                .unionByName(hll_new)
-                .groupBy("event_type")
-                .agg(F.hll_union_agg("hsk").alias("hsk"))
-            )
-        hll_t = hll_paths[flip]
-        hll_new.write.mode("overwrite").parquet(hll_t)
-        # meta write is the COMMIT POINT: a crash before it leaves meta on
-        # the previous snapshots and the replay re-folds cleanly (writes
-        # land on the same flip path).  Production swaps this file-flip
-        # protocol for a transactional table format; the batch-id fencing
-        # and read-state-from-disk shape is the pattern being proven.
-        s.createDataFrame(
-            [(int(batch_id), td_t, hll_t)],
-            "batch_id long, td string, hll string",
-        ).write.mode("overwrite").parquet(meta_path)
+        store.fold(batch_df, batch_id)
 
     # 4 micro-batches: re-shard events, stream one file per trigger
     src = f"{base}/src"
@@ -780,7 +719,6 @@ def streaming_sketch_store(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    _, td_final, hll_final = read_meta(spark)
 
     # finalize the store: p50/p90/mass per type from the stored digests
     qs_schema = StructType(
@@ -797,12 +735,8 @@ def streaming_sketch_store(spark, sf_dir):
               "mass": float(sk.size())}]
         )
 
-    store = merge_sketches(
-        spark.read.parquet(td_final), merge_ops, ["event_type"], finalize, qs_schema
-    )
-    hll_store = spark.read.parquet(hll_final).select(
-        "event_type", F.hll_sketch_estimate("hsk").alias("est_stream")
-    )
+    sstore = store.digests(spark, finalize, qs_schema)
+    hll_store = store.hll_estimates(spark)
     ev = load_table(spark, sf_dir, "events")
     hll_batch = ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
@@ -813,7 +747,7 @@ def streaming_sketch_store(spark, sf_dir):
     def cdf_at(col):
         return empirical_cdf_at(F.col("value"), F.col(col))
 
-    joined = ev.join(F.broadcast(store), "event_type")
+    joined = ev.join(F.broadcast(sstore), "event_type")
     out = (
         joined.groupBy("event_type")
         .agg(

@@ -1,0 +1,123 @@
+"""Persisted sketch store maintained by a micro-batch stream.
+
+The streaming materialized-view pattern for SKETCH state (the streaming
+twin of the batch ``incremental_sketch_merge`` contract,
+crick/tdigest.pyx:310-324): each micro-batch folds its t-digest partials
+and HLL registers into a parquet store — per batch the store reads back
+KBs of sketch state, never history rows.
+
+Restart/replay safety: foreachBatch re-executes batches after failures,
+so ``fold`` fences on batch_id (an already-folded id is a no-op — a
+second ingest would double the digest mass), and ALL store coordinates
+live on disk in a meta file written LAST (the commit point): a crash
+before the meta write leaves the store on the previous snapshots and the
+replay re-folds cleanly onto the same flip path.  Snapshots alternate
+between two paths so a batch never reads the file it is overwriting.
+Production swaps the file-flip protocol for a transactional table
+format; the batch-id fencing and read-state-from-disk shape is the
+pattern.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+from crick_spark.operators.crick_ops import tdigest_agg
+from crick_spark.operators.sketch_agg import SketchOps, merge_sketches
+
+_BLOB_SCHEMA = StructType([StructField("sketch", BinaryType())])
+_MERGE_OPS = SketchOps(build=None, merge=lambda a, b: a.merge(b))
+
+
+def _to_blob(sk) -> pd.DataFrame:
+    return pd.DataFrame([{"sketch": pickle.dumps(sk)}])
+
+
+class SketchStore:
+    """Per-group t-digest + HLL state under ``base_dir``, folded one
+    micro-batch at a time; see module docstring for the protocol."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        value_col: str = "value",
+        key_col: str = "user_id",
+        by: list[str] | None = None,
+        lg_k: int = 14,
+    ):
+        self.base = base_dir
+        self.value_col = value_col
+        self.key_col = key_col
+        self.by = by or ["event_type"]
+        self.lg_k = lg_k
+        self._td_paths = [f"{base_dir}/td_a", f"{base_dir}/td_b"]
+        self._hll_paths = [f"{base_dir}/hll_a", f"{base_dir}/hll_b"]
+        self._meta = f"{base_dir}/meta"
+
+    def read_meta(self, spark: SparkSession):
+        """(last_batch_id, td_path, hll_path) from disk; (-1, None, None)
+        for a fresh store."""
+        try:
+            rows = spark.read.parquet(self._meta).collect()
+            if rows:
+                r = rows[0]
+                return int(r["batch_id"]), r["td"], r["hll"]
+        except Exception:
+            pass
+        return -1, None, None
+
+    def fold(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Fold one micro-batch; returns False for a fenced replay."""
+        s = batch_df.sparkSession
+        last_id, td_cur, hll_cur = self.read_meta(s)
+        if int(batch_id) <= last_id:
+            return False
+        flip = int(batch_id) % 2
+        td_new = tdigest_agg(batch_df, self.value_col, by=self.by)
+        if td_cur is not None:
+            td_new = s.read.parquet(td_cur).unionByName(td_new)
+        compact = merge_sketches(
+            td_new, _MERGE_OPS, self.by, _to_blob, _BLOB_SCHEMA
+        )
+        td_t = self._td_paths[flip]
+        compact.write.mode("overwrite").parquet(td_t)
+        hll_new = batch_df.groupBy(*self.by).agg(
+            F.hll_sketch_agg(self.key_col, F.lit(self.lg_k)).alias("hsk")
+        )
+        if hll_cur is not None:
+            hll_new = (
+                s.read.parquet(hll_cur)
+                .unionByName(hll_new)
+                .groupBy(*self.by)
+                .agg(F.hll_union_agg("hsk").alias("hsk"))
+            )
+        hll_t = self._hll_paths[flip]
+        hll_new.write.mode("overwrite").parquet(hll_t)
+        s.createDataFrame(
+            [(int(batch_id), td_t, hll_t)],
+            "batch_id long, td string, hll string",
+        ).write.mode("overwrite").parquet(self._meta)
+        return True
+
+    def digests(self, spark: SparkSession, finalize, result_schema) -> DataFrame:
+        """Merge + finalize the stored digests (one row per group)."""
+        _, td_final, _ = self.read_meta(spark)
+        return merge_sketches(
+            spark.read.parquet(td_final),
+            _MERGE_OPS,
+            self.by,
+            finalize,
+            result_schema,
+        )
+
+    def hll_estimates(self, spark: SparkSession) -> DataFrame:
+        """(by…, est_stream) from the stored HLL registers."""
+        _, _, hll_final = self.read_meta(spark)
+        return spark.read.parquet(hll_final).select(
+            *self.by, F.hll_sketch_estimate("hsk").alias("est_stream")
+        )

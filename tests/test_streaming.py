@@ -389,3 +389,47 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     process_batch(spark, docs, "doc_id", "text", state, pairs, batch_id=0)
     assert spark.read.parquet(state).count() == once
     assert spark.read.parquet(pairs).count() == pairs_once
+
+
+def test_sketch_store_replay_fencing_and_mass(spark, tmp_path):
+    """SketchStore.fold is idempotent under batch replay (foreachBatch
+    re-executes batches after failures): a replayed id is a fenced no-op,
+    digest mass equals the exact row count after distinct batches, and
+    all state round-trips through disk (fresh SketchStore object —
+    nothing process-local)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from crick_spark.streaming.sketch_store import SketchStore
+
+    b0 = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 2.0, 11), ("b", 5.0, 12)],
+        "event_type string, value double, user_id long",
+    )
+    b1 = spark.createDataFrame(
+        [("a", 3.0, 10), ("b", 6.0, 13)],
+        "event_type string, value double, user_id long",
+    )
+    store = SketchStore(str(tmp_path / "store"))
+    assert store.fold(b0, 0) is True
+    assert store.fold(b1, 1) is True
+    # replays of both batches: fenced no-ops
+    assert store.fold(b0, 0) is False
+    assert store.fold(b1, 1) is False
+
+    schema = StructType([StructField("mass", DoubleType())])
+    # a FRESH handle proves the state lives on disk, not in the object
+    store2 = SketchStore(str(tmp_path / "store"))
+    mass = {
+        r["event_type"]: r["mass"]
+        for r in store2.digests(
+            spark, lambda sk: pd.DataFrame([{"mass": float(sk.size())}]), schema
+        ).collect()
+    }
+    assert mass == {"a": 3.0, "b": 2.0}  # replay did NOT double-ingest
+    est = {
+        r["event_type"]: r["est_stream"]
+        for r in store2.hll_estimates(spark).collect()
+    }
+    assert round(est["a"]) == 2 and round(est["b"]) == 2
