@@ -148,3 +148,25 @@ def test_cms_merge_exact_and_never_underestimates(keys, splits):
     assert (merged.table == whole.table).all()
     uniq, true = np.unique(keys, return_counts=True)
     assert (whole.query(uniq) >= true).all()
+
+
+@given(
+    a_keys=arrays(np.int64, st.integers(1, 300),
+                  elements=st.integers(-1000, 1000)),
+    b_keys=arrays(np.int64, st.integers(1, 300),
+                  elements=st.integers(-1000, 1000)),
+)
+@settings(max_examples=60, deadline=None)
+def test_cms_inner_product_bounds(a_keys, b_keys):
+    """Join-size estimate: exact ≤ estimate ≤ exact + (e/w)·Na·Nb for any
+    pair of key streams (narrow key range forces heavy collisions)."""
+    from collections import Counter
+
+    from crick_spark.sketches import CountMinSketch
+
+    A = CountMinSketch.from_batch(a_keys, width=256, depth=3)
+    B = CountMinSketch.from_batch(b_keys, width=256, depth=3)
+    ca, cb = Counter(a_keys.tolist()), Counter(b_keys.tolist())
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    est = A.inner_product(B)
+    assert exact <= est <= exact + A.inner_product_error_bound(B)
