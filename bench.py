@@ -120,6 +120,8 @@ R4_EXTRA = [
     "cms_join_size_orders_lineitem",
     "drift_ks_events_base_delta",
     "streaming_sketch_store",
+    "lateral_topk_orders_per_customer",
+    "recursive_cte_reachability",
 ]
 
 

@@ -622,3 +622,80 @@ def interpolate_hourly_gaps(spark, sf_dir):
         F.round("value", 6).alias("value"),
         "was_gap",
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice,
+       t.rk
+FROM customer c,
+     LATERAL (
+       SELECT o.o_orderkey, o.o_totalprice,
+              row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey)
+                AS rk
+       FROM orders o
+       WHERE o.o_custkey = c.c_custkey
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 2
+     ) t
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+@register(
+    "lateral_topk_orders_per_customer",
+    oracle=_LATERAL_SQL,
+    doc="Correlated LATERAL subquery (Spark 4 SQL surface): per customer, "
+    "the top-2 orders by value via a LATERAL ORDER BY … LIMIT — the "
+    "per-row-subquery idiom users port from Postgres/DuckDB; Catalyst "
+    "decorrelates it to a ranked window under the hood.  The SAME SQL "
+    "string runs verbatim on both engines (sql_text_interface pattern); "
+    "deterministic (o_totalprice, o_orderkey) tie-break.",
+)
+def lateral_topk_orders_per_customer(spark, sf_dir):
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+_REACH_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS STRING) AS src,
+         's:' || CAST(l.l_suppkey AS STRING) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+bi_edges AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+reach(node, depth) AS (
+  SELECT 'c:' || CAST(c_custkey AS STRING), 0
+  FROM customer WHERE c_custkey IN (1, 2, 3)
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN bi_edges e ON r.node = e.src
+  WHERE r.depth < 2
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS hops
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    oracle=_REACH_SQL.replace("|| CAST(", "|| CAST("),
+    doc="WITH RECURSIVE (Spark 4 SQL surface): bounded-depth BFS over "
+    "the bipartite customer↔supplier purchase graph — 'blast radius' "
+    "reachability from a 3-customer seed set in ≤2 hops, min-hop per "
+    "node via the final rollup (UNION ALL recursion + aggregate dedup; "
+    "Spark does not yet support UNION-distinct recursion, so the "
+    "termination bound is the explicit depth guard).  The SAME SQL "
+    "string runs verbatim on both engines.  At 100 TB each recursion "
+    "step is one equi-join of the frontier against the edge list — "
+    "identical cost shape to the label-propagation components loop in "
+    "pipeline/dedup.py, with the frontier bounded by the seed set's "
+    "neighborhood, not the graph.",
+)
+def recursive_cte_reachability(spark, sf_dir):
+    for t in ("orders", "lineitem", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REACH_SQL)
