@@ -682,7 +682,7 @@ FROM reach GROUP BY node
 
 @register(
     "recursive_cte_reachability",
-    oracle=_REACH_SQL.replace("|| CAST(", "|| CAST("),
+    oracle=_REACH_SQL,
     doc="WITH RECURSIVE (Spark 4 SQL surface): bounded-depth BFS over "
     "the bipartite customer↔supplier purchase graph — 'blast radius' "
     "reachability from a 3-customer seed set in ≤2 hops, min-hop per "

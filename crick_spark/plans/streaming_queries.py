@@ -692,8 +692,6 @@ FROM events GROUP BY event_type
     "0.81% standard error).",
 )
 def streaming_sketch_store(spark, sf_dir):
-    import shutil
-
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 

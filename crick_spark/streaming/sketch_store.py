@@ -61,14 +61,22 @@ class SketchStore:
 
     def read_meta(self, spark: SparkSession):
         """(last_batch_id, td_path, hll_path) from disk; (-1, None, None)
-        for a fresh store."""
+        for a fresh store.  ONLY a missing meta path means fresh — any
+        other read error (transient FS failure, corrupt file) must
+        propagate so foreachBatch retries the batch, because treating it
+        as fresh would silently discard all accumulated state AND disable
+        the replay fence."""
+        from pyspark.errors import AnalysisException
+
         try:
             rows = spark.read.parquet(self._meta).collect()
-            if rows:
-                r = rows[0]
-                return int(r["batch_id"]), r["td"], r["hll"]
-        except Exception:
-            pass
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return -1, None, None
+            raise
+        if rows:
+            r = rows[0]
+            return int(r["batch_id"]), r["td"], r["hll"]
         return -1, None, None
 
     def fold(self, batch_df: DataFrame, batch_id: int) -> bool:
@@ -77,7 +85,11 @@ class SketchStore:
         last_id, td_cur, hll_cur = self.read_meta(s)
         if int(batch_id) <= last_id:
             return False
-        flip = int(batch_id) % 2
+        # write to the path NOT currently referenced by meta — derived
+        # from the store state, not from batch-id parity, so batch ids
+        # need not be contiguous (fold(0) then fold(2) is fine); a
+        # crash-retry of the same batch re-targets the same free path
+        flip = 0 if td_cur != self._td_paths[0] else 1
         td_new = tdigest_agg(batch_df, self.value_col, by=self.by)
         if td_cur is not None:
             td_new = s.read.parquet(td_cur).unionByName(td_new)
@@ -107,6 +119,8 @@ class SketchStore:
     def digests(self, spark: SparkSession, finalize, result_schema) -> DataFrame:
         """Merge + finalize the stored digests (one row per group)."""
         _, td_final, _ = self.read_meta(spark)
+        if td_final is None:
+            raise ValueError("sketch store is empty: no committed batches")
         return merge_sketches(
             spark.read.parquet(td_final),
             _MERGE_OPS,
@@ -118,6 +132,8 @@ class SketchStore:
     def hll_estimates(self, spark: SparkSession) -> DataFrame:
         """(by…, est_stream) from the stored HLL registers."""
         _, _, hll_final = self.read_meta(spark)
+        if hll_final is None:
+            raise ValueError("sketch store is empty: no committed batches")
         return spark.read.parquet(hll_final).select(
             *self.by, F.hll_sketch_estimate("hsk").alias("est_stream")
         )

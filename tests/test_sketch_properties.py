@@ -157,9 +157,12 @@ def test_cms_merge_exact_and_never_underestimates(keys, splits):
                   elements=st.integers(-1000, 1000)),
 )
 @settings(max_examples=60, deadline=None)
-def test_cms_inner_product_bounds(a_keys, b_keys):
-    """Join-size estimate: exact ≤ estimate ≤ exact + (e/w)·Na·Nb for any
-    pair of key streams (narrow key range forces heavy collisions)."""
+def test_cms_inner_product_never_underestimates(a_keys, b_keys):
+    """Join-size estimate: exact ≤ estimate holds UNIVERSALLY (collisions
+    only add).  The (e/w)·Na·Nb ceiling is probabilistic (w.p. ≥ 1−e^−d
+    per sketch pair) — adversarial duplicate-heavy streams inside this
+    domain CAN exceed it, so the bound is asserted on representative
+    fixed inputs in test_sketch_kernels, not property-tested here."""
     from collections import Counter
 
     from crick_spark.sketches import CountMinSketch
@@ -168,5 +171,4 @@ def test_cms_inner_product_bounds(a_keys, b_keys):
     B = CountMinSketch.from_batch(b_keys, width=256, depth=3)
     ca, cb = Counter(a_keys.tolist()), Counter(b_keys.tolist())
     exact = sum(ca[k] * cb.get(k, 0) for k in ca)
-    est = A.inner_product(B)
-    assert exact <= est <= exact + A.inner_product_error_bound(B)
+    assert A.inner_product(B) >= exact

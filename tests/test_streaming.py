@@ -398,7 +398,6 @@ def test_sketch_store_replay_fencing_and_mass(spark, tmp_path):
     all state round-trips through disk (fresh SketchStore object —
     nothing process-local)."""
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     from crick_spark.streaming.sketch_store import SketchStore
@@ -433,3 +432,34 @@ def test_sketch_store_replay_fencing_and_mass(spark, tmp_path):
         for r in store2.hll_estimates(spark).collect()
     }
     assert round(est["a"]) == 2 and round(est["b"]) == 2
+
+
+def test_sketch_store_noncontiguous_ids_and_empty_store(spark, tmp_path):
+    """flip derives from store state, not batch-id parity: folding ids
+    0 then 2 (same parity) must not read-and-overwrite one path; a fresh
+    store raises a clear error instead of parquet(None)."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from crick_spark.streaming.sketch_store import SketchStore
+
+    store = SketchStore(str(tmp_path / "store"))
+    with _pytest.raises(ValueError, match="empty"):
+        store.digests(
+            spark,
+            lambda sk: pd.DataFrame([{"mass": float(sk.size())}]),
+            StructType([StructField("mass", DoubleType())]),
+        )
+    b = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, value double, user_id long"
+    )
+    assert store.fold(b([("a", 1.0, 1)]), 0)
+    assert store.fold(b([("a", 2.0, 2)]), 2)  # same parity as 0
+    assert store.fold(b([("a", 3.0, 3)]), 5)
+    mass = store.digests(
+        spark,
+        lambda sk: pd.DataFrame([{"mass": float(sk.size())}]),
+        StructType([StructField("mass", DoubleType())]),
+    ).collect()
+    assert mass[0]["mass"] == 3.0
