@@ -122,6 +122,7 @@ R4_EXTRA = [
     "streaming_sketch_store",
     "lateral_topk_orders_per_customer",
     "recursive_cte_reachability",
+    "kmv_setops_users",
 ]
 
 

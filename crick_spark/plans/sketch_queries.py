@@ -990,3 +990,121 @@ def cms_join_size_orders_lineitem(spark, sf_dir):
             <= F.col("exact_join_size") + F.col("err_bound")
         ).alias("within_bound"),
     )
+
+
+def _kmv_bottom(df, col, k):
+    """Bottom-k normalized hashes of the DISTINCT values of ``col`` — the
+    KMV/theta sketch as a plain DataFrame plan: distinct → hash to (0,1)
+    → TakeOrderedAndProject(k) → one row holding the sorted array.
+    Mergeable (union = bottom-k of array concat) and intersectable via
+    the shared-fraction estimator — the set-operation story HLL cannot
+    provide (registers union but do not intersect)."""
+    grid = float(2**40)
+    u = F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(2**40)) / F.lit(grid)
+    return (
+        df.select(col)
+        .distinct()
+        .select(u.alias("u"))
+        .orderBy("u")
+        .limit(k)
+        .agg(F.array_sort(F.collect_list("u")).alias("kmv"))
+    )
+
+
+_KMV_K = 512
+
+
+@register(
+    "kmv_setops_users",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT count(*) FROM a) AS exact_a,
+       (SELECT count(*) FROM b) AS exact_b,
+       (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+         AS exact_union,
+       (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+         AS exact_inter,
+       TRUE AS a_within_bound,
+       TRUE AS b_within_bound,
+       TRUE AS union_within_bound,
+       TRUE AS inter_within_bound
+""",
+    doc="KMV (theta-sketch-style) SET OPERATIONS — the fifth sketch "
+    "family member, covering what HLL cannot: estimated distinct "
+    "|A|, |B|, |A∪B| AND |A∩B| from two bottom-512 hash sketches, "
+    "entirely in JVM array expressions (no UDF).  Estimators: "
+    "n̂ = (k−1)/R_k (Beyer et al. 2007); union = bottom-k of the "
+    "merged arrays; intersection = shared-fraction ρ of the union "
+    "sketch × n̂_union.  Hash-matched boolean oracle beside the exact "
+    "counts: point/union estimates within 15% (SE = 1/√(k−2) ≈ 4.4%, "
+    "bound ≈ 3.4σ) and intersection within 15% of the UNION size "
+    "(ρ's binomial SE scales with the union estimate, not the "
+    "intersection).  Scale shape: one distinct + TakeOrdered per set — "
+    "sketch size k doubles cross the wire, never the sets.",
+)
+def kmv_setops_users(spark, sf_dir):
+    k = _KMV_K
+    ev = load_table(spark, sf_dir, "events")
+    a = _kmv_bottom(ev.where(F.col("event_type") == "click"), "user_id", k)
+    b = _kmv_bottom(ev.where(F.col("event_type") == "purchase"), "user_id", k)
+    pair = a.select(F.col("kmv").alias("ka")).crossJoin(
+        b.select(F.col("kmv").alias("kb"))
+    )
+
+    def est(arr):
+        n = F.size(arr)
+        return F.when(
+            n < F.lit(k), n.cast("double")
+        ).otherwise(F.lit(float(k - 1)) / F.element_at(arr, k))
+
+    merged_full = F.array_sort(F.array_union(F.col("ka"), F.col("kb")))
+    merged = F.slice(merged_full, 1, k)
+    shared = F.size(
+        F.array_intersect(F.array_intersect(merged, F.col("ka")), F.col("kb"))
+    )
+    kp = F.size(merged)
+    est_u = est(merged)
+    sk = pair.select(
+        est(F.col("ka")).alias("na"),
+        est(F.col("kb")).alias("nb"),
+        est_u.alias("nu"),
+        (shared.cast("double") / kp.cast("double") * est_u).alias("ni"),
+    )
+    A = ev.where(F.col("event_type") == "click").select("user_id")
+    B = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        A.agg(F.count_distinct("user_id").alias("exact_a"))
+        .crossJoin(B.agg(F.count_distinct("user_id").alias("exact_b")))
+        .crossJoin(
+            A.unionByName(B).agg(
+                F.count_distinct("user_id").alias("exact_union")
+            )
+        )
+        .crossJoin(
+            A.distinct()
+            .join(B.distinct(), "user_id", "left_semi")
+            .agg(F.count("*").alias("exact_inter"))
+        )
+    )
+
+    def ok(est_col, exact_col, scale_col, frac):
+        return (
+            F.abs(est_col - F.col(exact_col))
+            <= F.greatest(F.lit(5.0), F.lit(frac) * F.col(scale_col))
+        )
+
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        ok(F.col("na"), "exact_a", "exact_a", 0.15).alias("a_within_bound"),
+        ok(F.col("nb"), "exact_b", "exact_b", 0.15).alias("b_within_bound"),
+        ok(F.col("nu"), "exact_union", "exact_union", 0.15).alias(
+            "union_within_bound"
+        ),
+        ok(F.col("ni"), "exact_inter", "exact_union", 0.15).alias(
+            "inter_within_bound"
+        ),
+    )

@@ -472,3 +472,30 @@ def test_moments_persist_roundtrip_equals_direct(spark):
     )
     for c in want.columns:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_kmv_estimators_large_disjoint_and_overlapping_sets(spark):
+    """KMV set-op estimators in the |S| >> k regime: 20k-element sets with
+    50% overlap — point/union within 3.4 sigma (15%), intersection within
+    15% of union, and the shared-fraction Jaccard is sane."""
+    from crick_spark.plans.sketch_queries import _KMV_K, _kmv_bottom
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    A = spark.range(0, n).select(F.col("id").alias("user_id"))          # 0..20k
+    B = spark.range(n // 2, n + n // 2).select(F.col("id").alias("user_id"))
+    k = _KMV_K
+    ka = _kmv_bottom(A, "user_id", k).collect()[0]["kmv"]
+    kb = _kmv_bottom(B, "user_id", k).collect()[0]["kmv"]
+
+    def est(arr):
+        return len(arr) if len(arr) < k else (k - 1) / arr[k - 1]
+
+    assert abs(est(ka) - n) <= 0.15 * n
+    assert abs(est(kb) - n) <= 0.15 * n
+    merged = sorted(set(ka) | set(kb))[:k]
+    nu = est(merged)
+    assert abs(nu - 1.5 * n) <= 0.15 * 1.5 * n
+    shared = sum(1 for u in merged if u in set(ka) and u in set(kb))
+    ni = shared / len(merged) * nu
+    assert abs(ni - 0.5 * n) <= 0.15 * 1.5 * n
