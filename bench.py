@@ -123,6 +123,7 @@ R4_EXTRA = [
     "lateral_topk_orders_per_customer",
     "recursive_cte_reachability",
     "kmv_setops_users",
+    "entropy_mi_event_weekday",
 ]
 
 

@@ -2200,3 +2200,71 @@ def drift_ks_events_base_delta(spark, sf_dir):
         F.round(F.max(F.abs(F.col("f_base") - F.col("f_delta"))), 6).alias("ks"),
         (F.max(F.abs(F.col("f_base") - F.col("f_delta"))) > 0.1).alias("drifted"),
     )
+
+
+@register(
+    "entropy_mi_event_weekday",
+    oracle="""
+WITH joint AS (
+  SELECT event_type AS x, CAST(dayofweek(ts) AS BIGINT) AS y,
+         count(*) AS nxy
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint),
+mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY x),
+my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY y)
+SELECT round((SELECT -sum((nx / n) * ln(nx / n)) FROM mx, tot), 6) AS h_x,
+       round((SELECT -sum((ny / n) * ln(ny / n)) FROM my, tot), 6) AS h_y,
+       round((SELECT sum((nxy / n) * ln((nxy / n) / ((nx / n) * (ny / n))))
+              FROM joint JOIN mx USING (x) JOIN my USING (y), tot), 6)
+         AS mutual_info,
+       CAST((SELECT count(*) FROM joint) AS BIGINT) AS n_cells
+""",
+    doc="Information-theoretic dependence — Shannon entropies H(X), H(Y) "
+    "and mutual information I(X;Y) of (event_type, weekday), the "
+    "feature-relevance companion to chisq_event_type_weekday (MI = 0 "
+    "iff independent; unlike chi-square it is comparable across "
+    "cardinalities).  FULLY value-oracled: both engines compute the "
+    "same plug-in estimator from the same contingency rollup.  Scale "
+    "shape: ONE shuffle builds the joint contingency table "
+    "(|X|·|Y| rows); margins re-aggregate from it — the chisq plan "
+    "shape, fact table scanned once.",
+)
+def entropy_mi_event_weekday(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    joint = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            F.dayofweek("ts").cast("long").alias("y"),
+        )
+        .agg(F.count("*").alias("nxy"))
+        .localCheckpoint(eager=True)  # tiny; margins re-read it, not the scan
+    )
+    tot = joint.agg(F.sum("nxy").cast("double").alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    px = F.col("nx") / F.col("n")
+    py = F.col("ny") / F.col("n")
+    pxy = F.col("nxy") / F.col("n")
+    h_x = mx.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(px * F.log(px)), 6).alias("h_x")
+    )
+    h_y = my.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(py * F.log(py)), 6).alias("h_y")
+    )
+    mi = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(pxy * F.log(pxy / (px * py))), 6).alias(
+                "mutual_info"
+            ),
+            F.count("*").alias("n_cells"),
+        )
+    )
+    return (
+        h_x.crossJoin(F.broadcast(h_y))
+        .crossJoin(F.broadcast(mi))
+        .select("h_x", "h_y", "mutual_info", "n_cells")
+    )
