@@ -124,6 +124,7 @@ R4_EXTRA = [
     "recursive_cte_reachability",
     "kmv_setops_users",
     "entropy_mi_event_weekday",
+    "markov_transitions_events",
 ]
 
 

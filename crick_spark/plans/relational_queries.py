@@ -2268,3 +2268,51 @@ def entropy_mi_event_weekday(spark, sf_dir):
         .crossJoin(F.broadcast(mi))
         .select("h_x", "h_y", "mutual_info", "n_cells")
     )
+
+
+@register(
+    "markov_transitions_events",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type), 6)
+         AS p_transition
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the behavioral model behind next-event prediction and "
+    "anomalous-flow detection: counts and conditional probabilities "
+    "P(to|from) for consecutive event pairs within a user's timeline "
+    "((ts, event_id) tie-broken).  FULLY value-oracled.  Scale shape: "
+    "the lead() window is keyed by user_id (bounded per-user state, "
+    "co-partitioned with every other per-user query), and the "
+    "|types|² transition rollup + the row-normalizing window run on "
+    "the aggregated matrix, not the fact table.",
+)
+def markov_transitions_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wrow = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wrow), 6
+        ).alias("p_transition"),
+    )
