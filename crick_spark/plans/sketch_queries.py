@@ -1017,8 +1017,10 @@ _KMV_K = 512
 @register(
     "kmv_setops_users",
     oracle="""
-WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+     b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL)
 SELECT (SELECT count(*) FROM a) AS exact_a,
        (SELECT count(*) FROM b) AS exact_b,
        (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
@@ -1045,7 +1047,10 @@ SELECT (SELECT count(*) FROM a) AS exact_a,
 )
 def kmv_setops_users(spark, sf_dir):
     k = _KMV_K
-    ev = load_table(spark, sf_dir, "events")
+    # NULL keys excluded on every path: xxhash64(NULL) is the constant
+    # seed (42 -> u~4e-11, permanently occupying a bottom-k slot) while
+    # the exact counts skip NULLs - both sides must agree
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     a = _kmv_bottom(ev.where(F.col("event_type") == "click"), "user_id", k)
     b = _kmv_bottom(ev.where(F.col("event_type") == "purchase"), "user_id", k)
     pair = a.select(F.col("kmv").alias("ka")).crossJoin(
@@ -1069,23 +1074,30 @@ def kmv_setops_users(spark, sf_dir):
         est(F.col("ka")).alias("na"),
         est(F.col("kb")).alias("nb"),
         est_u.alias("nu"),
-        (shared.cast("double") / kp.cast("double") * est_u).alias("ni"),
+        # try_divide + coalesce: two empty sets give kp = 0 -> the
+        # intersection estimate is 0, not a NULL/ANSI abort
+        F.coalesce(
+            F.try_divide(shared.cast("double"), kp.cast("double")) * est_u,
+            F.lit(0.0),
+        ).alias("ni"),
     )
-    A = ev.where(F.col("event_type") == "click").select("user_id")
-    B = ev.where(F.col("event_type") == "purchase").select("user_id")
-    exact = (
-        A.agg(F.count_distinct("user_id").alias("exact_a"))
-        .crossJoin(B.agg(F.count_distinct("user_id").alias("exact_b")))
-        .crossJoin(
-            A.unionByName(B).agg(
-                F.count_distinct("user_id").alias("exact_union")
-            )
+    # all four exact counts from ONE scan + one shuffle: per-user
+    # membership flags, then conditional counts over the flag table
+    flags = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "in_b"
+            ),
         )
-        .crossJoin(
-            A.distinct()
-            .join(B.distinct(), "user_id", "left_semi")
-            .agg(F.count("*").alias("exact_inter"))
-        )
+    )
+    exact = flags.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
     )
 
     def ok(est_col, exact_col, scale_col, frac):

@@ -499,3 +499,11 @@ def test_kmv_estimators_large_disjoint_and_overlapping_sets(spark):
     shared = sum(1 for u in merged if u in set(ka) and u in set(kb))
     ni = shared / len(merged) * nu
     assert abs(ni - 0.5 * n) <= 0.15 * 1.5 * n
+
+    # DISJOINT sets: the shared-fraction path must report ~0, not noise
+    C = spark.range(10 * n, 11 * n).select(F.col("id").alias("user_id"))
+    kc = _kmv_bottom(C, "user_id", k).collect()[0]["kmv"]
+    merged_ac = sorted(set(ka) | set(kc))[:k]
+    shared_ac = sum(1 for u in merged_ac if u in set(ka) and u in set(kc))
+    ni_ac = (shared_ac / len(merged_ac)) * est(merged_ac)
+    assert ni_ac <= 0.02 * est(merged_ac)  # hash collisions only
