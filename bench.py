@@ -125,6 +125,8 @@ R4_EXTRA = [
     "kmv_setops_users",
     "entropy_mi_event_weekday",
     "markov_transitions_events",
+    "token_entropy_by_source",
+    "split_balance_check",
 ]
 
 

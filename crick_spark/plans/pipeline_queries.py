@@ -1949,3 +1949,151 @@ def quality_threshold_sweep(spark, sf_dir):
             "survival_rate"
         ),
     )
+
+
+@register(
+    "token_entropy_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT d.source, t.token
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                          x -> x <> '')) AS t(token)
+),
+counts AS (
+  SELECT source, token, count(*) AS c FROM toks GROUP BY source, token
+),
+tot AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n,
+               count(*) AS vocab FROM counts GROUP BY source)
+SELECT c.source, CAST(t.n AS BIGINT) AS n_tokens, t.vocab AS vocab_size,
+       round(-sum((c.c / t.n) * ln(c.c / t.n)), 6) AS token_entropy,
+       round(-sum((c.c / t.n) * ln(c.c / t.n)) / ln(t.vocab), 6)
+         AS normalized_entropy
+FROM counts c JOIN tot t USING (source)
+GROUP BY c.source, t.n, t.vocab
+""",
+    doc="Corpus diversity per source: Shannon entropy of the token "
+    "distribution and its normalized form (entropy / ln(vocab) ∈ [0,1] "
+    "— 1 = uniform vocabulary use, →0 = degenerate repetition), the "
+    "curation metric that catches template-generated or looping "
+    "sources that length/TTR heuristics miss.  FULLY value-oracled "
+    "(same lower-token contract as build_vocab).  Scale shape: "
+    "explode → (source, token) partial-combine agg; the entropy sums "
+    "run over the vocabulary-sized count table, not the corpus.",
+)
+def token_entropy_by_source(spark, sf_dir):
+    from crick_spark.pipeline.text import lower_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(lower_tokens_expr(F.col("text"))).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count("*").alias("vocab"),
+    )
+    p = F.col("c") / F.col("n")
+    # normalized entropy divides the UNROUNDED sum (the oracle does the
+    # same) - dividing the rounded value would shift the 6th decimal
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "n", "vocab")
+        .agg((-F.sum(p * F.log(p))).alias("__h__"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            F.round("__h__", 6).alias("token_entropy"),
+            F.round(
+                F.col("__h__") / F.log(F.col("vocab").cast("double")), 6
+            ).alias("normalized_entropy"),
+        )
+    )
+
+
+@register(
+    "split_balance_check",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+              THEN 'val' ELSE 'test' END AS split,
+         len(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+per AS (
+  SELECT split, lang, count(*) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS n_tokens
+  FROM s GROUP BY split, lang
+),
+tot AS (
+  SELECT split, sum(n_docs) AS split_docs FROM per GROUP BY split
+),
+gshare AS (
+  SELECT lang, sum(n_docs) * 1.0 / (SELECT count(*) FROM s) AS g_share
+  FROM per GROUP BY lang
+)
+SELECT p.split, p.lang, p.n_docs, p.n_tokens,
+       round(p.n_docs * 1.0 / t.split_docs, 6) AS split_share,
+       abs(p.n_docs * 1.0 / t.split_docs - g.g_share) <= 0.05
+         AS share_within_5pct
+FROM per p JOIN tot t USING (split) JOIN gshare g USING (lang)
+""",
+    doc="Split-balance QA: per (split, lang) doc/token counts, the "
+    "language share inside each split, and a boolean asserting every "
+    "in-split language share is within 5 percentage points of the "
+    "global share — the unbiasedness check a curator runs on the md5 "
+    "split before trusting eval numbers (a content-correlated split "
+    "key would skew it).  FULLY value-oracled, booleans hashed: a "
+    "regenerated fixture where the hash split went language-biased "
+    "breaks the driver hash.  Scale: one rollup shuffle; shares "
+    "computed on the |splits|×|langs| table.",
+)
+def split_balance_check(spark, sf_dir):
+    from crick_spark.pipeline.dedup import words_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    s = docs.select(
+        "lang",
+        split.alias("split"),
+        F.size(words_expr(F.col("text"))).alias("toks"),
+    )
+    per = s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens")
+    )
+    tot = per.groupBy("split").agg(F.sum("n_docs").alias("split_docs"))
+    n_all = s.agg(F.count("*").alias("__n__"))
+    glob = (
+        per.groupBy("lang")
+        .agg(F.sum("n_docs").alias("lang_docs"))
+        .crossJoin(F.broadcast(n_all))
+        .select("lang", (F.col("lang_docs") / F.col("__n__")).alias("g_share"))
+    )
+    share = F.col("n_docs") / F.col("split_docs")
+    return (
+        per.join(tot, "split")
+        .join(F.broadcast(glob), "lang")
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("split_share"),
+            (F.abs(share - F.col("g_share")) <= F.lit(0.05)).alias(
+                "share_within_5pct"
+            ),
+        )
+    )
