@@ -127,6 +127,7 @@ R4_EXTRA = [
     "markov_transitions_events",
     "token_entropy_by_source",
     "split_balance_check",
+    "conversion_latency_quantiles",
 ]
 
 

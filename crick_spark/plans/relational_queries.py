@@ -2316,3 +2316,60 @@ def markov_transitions_events(spark, sf_dir):
             F.col("n_transitions") / F.sum("n_transitions").over(wrow), 6
         ).alias("p_transition"),
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_buy
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT (t_buy - t_view) / 1000000.0 AS latency_s
+  FROM firsts WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+              AND t_buy >= t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_disc(latency_s, 0.5), 6) AS p50_latency_s,
+       round(quantile_disc(latency_s, 0.9), 6) AS p90_latency_s,
+       round(avg(latency_s), 6) AS avg_latency_s
+FROM lat
+""",
+    doc="Funnel conversion LATENCY: per user, first 'view' → first "
+    "'purchase' delay; p50/p90 via DISCRETE percentile (an actual "
+    "observed latency, exact and hash-matchable — quantile_disc / "
+    "percentile(…) on the sorted set agree bit-for-bit, unlike "
+    "interpolated forms) plus the mean.  The time-to-convert metric "
+    "beside funnel_conversion_users' rate metric.  Scale shape: one "
+    "user-keyed conditional-min rollup (co-partitioned with every "
+    "other per-user query), then quantiles over the converted-users "
+    "table — fact table scanned once; swap percentile for the "
+    "engine's t-digest at 100 TB per the winsorize family's documented "
+    "pattern.",
+)
+def conversion_latency_quantiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    lat = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(((F.col("t_buy") - F.col("t_view")) / 1e6).alias("latency_s"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s)"), 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s)"), 6).alias(
+            "p90_latency_s"
+        ),
+        F.round(F.avg("latency_s"), 6).alias("avg_latency_s"),
+    )
