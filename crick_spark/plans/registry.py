@@ -81,7 +81,11 @@ _GATE_WINDOW = [
     "histogram_quantity",
     "topk_event_types",
     "topk_users_by_events",
-    "topk_parts_per_brand",
+    # r5: topk_parts_per_brand rotated out (third exact top-k variant
+    # in-window; still oracle-checked outside) for the end-to-end
+    # curation funnel — quality→dedup→near-dup→shares, value-matched
+    # at every stage, becomes driver-visible
+    "curation_pipeline_v2",
     "revenue_by_nation",
     "events_hourly_rollup",
     "distinct_mktsegments_per_region",
