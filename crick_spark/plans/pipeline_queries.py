@@ -1967,8 +1967,9 @@ tot AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n,
                count(*) AS vocab FROM counts GROUP BY source)
 SELECT c.source, CAST(t.n AS BIGINT) AS n_tokens, t.vocab AS vocab_size,
        round(-sum((c.c / t.n) * ln(c.c / t.n)), 6) AS token_entropy,
-       round(-sum((c.c / t.n) * ln(c.c / t.n)) / ln(t.vocab), 6)
-         AS normalized_entropy
+       CASE WHEN t.vocab = 1 THEN 0.0
+            ELSE round(-sum((c.c / t.n) * ln(c.c / t.n)) / ln(t.vocab), 6)
+       END AS normalized_entropy
 FROM counts c JOIN tot t USING (source)
 GROUP BY c.source, t.n, t.vocab
 """,
@@ -1985,6 +1986,8 @@ def token_entropy_by_source(spark, sf_dir):
     from crick_spark.pipeline.text import lower_tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
     counts = (
         docs.select(
             "source", F.explode(lower_tokens_expr(F.col("text"))).alias("token")
@@ -1992,25 +1995,36 @@ def token_entropy_by_source(spark, sf_dir):
         .groupBy("source", "token")
         .agg(F.count("*").alias("c"))
     )
-    tot = counts.groupBy("source").agg(
-        F.sum("c").cast("double").alias("n"),
-        F.count("*").alias("vocab"),
+    # margins via windows over the vocab-sized count table — the corpus
+    # explode+aggregate runs ONCE (a join back to a rollup of counts
+    # would execute the expensive stage twice)
+    w = W.partitionBy("source")
+    enriched = counts.select(
+        "source",
+        "c",
+        F.sum("c").over(w).cast("double").alias("n"),
+        F.count("*").over(w).alias("vocab"),
     )
     p = F.col("c") / F.col("n")
     # normalized entropy divides the UNROUNDED sum (the oracle does the
-    # same) - dividing the rounded value would shift the 6th decimal
+    # same); a single-token vocabulary is DEFINED as 0 (maximally
+    # degenerate — the case the metric exists to flag; 0/ln(1) would be
+    # NULL and slip past a < threshold filter)
     return (
-        counts.join(tot, "source")
-        .groupBy("source", "n", "vocab")
+        enriched.groupBy("source", "n", "vocab")
         .agg((-F.sum(p * F.log(p))).alias("__h__"))
         .select(
             "source",
             F.col("n").cast("bigint").alias("n_tokens"),
             F.col("vocab").alias("vocab_size"),
             F.round("__h__", 6).alias("token_entropy"),
-            F.round(
-                F.col("__h__") / F.log(F.col("vocab").cast("double")), 6
-            ).alias("normalized_entropy"),
+            F.when(F.col("vocab") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("__h__") / F.log(F.col("vocab").cast("double")), 6
+                )
+            )
+            .alias("normalized_entropy"),
         )
     )
 
@@ -2071,29 +2085,25 @@ def split_balance_check(spark, sf_dir):
         split.alias("split"),
         F.size(words_expr(F.col("text"))).alias("toks"),
     )
+    from pyspark.sql import Window as W
+
+    # ONE corpus rollup; every margin (per-split totals, per-lang
+    # totals, grand total) comes from windows over the |splits|x|langs|
+    # result — re-aggregating `per` in separate branches would rescan
+    # and re-tokenize the documents table once per branch
     per = s.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens")
     )
-    tot = per.groupBy("split").agg(F.sum("n_docs").alias("split_docs"))
-    n_all = s.agg(F.count("*").alias("__n__"))
-    glob = (
-        per.groupBy("lang")
-        .agg(F.sum("n_docs").alias("lang_docs"))
-        .crossJoin(F.broadcast(n_all))
-        .select("lang", (F.col("lang_docs") / F.col("__n__")).alias("g_share"))
-    )
-    share = F.col("n_docs") / F.col("split_docs")
-    return (
-        per.join(tot, "split")
-        .join(F.broadcast(glob), "lang")
-        .select(
-            "split",
-            "lang",
-            "n_docs",
-            "n_tokens",
-            F.round(share, 6).alias("split_share"),
-            (F.abs(share - F.col("g_share")) <= F.lit(0.05)).alias(
-                "share_within_5pct"
-            ),
-        )
+    w_split = W.partitionBy("split")
+    w_lang = W.partitionBy("lang")
+    w_all = W.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w_split)
+    g_share = F.sum("n_docs").over(w_lang) / F.sum("n_docs").over(w_all)
+    return per.select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("split_share"),
+        (F.abs(share - g_share) <= F.lit(0.05)).alias("share_within_5pct"),
     )
