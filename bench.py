@@ -128,6 +128,7 @@ R4_EXTRA = [
     "token_entropy_by_source",
     "split_balance_check",
     "conversion_latency_quantiles",
+    "snapshot_roundtrip_orders",
 ]
 
 

@@ -336,3 +336,41 @@ def snapshot_diff(
     return j.select(*keys, change.alias("change_type")).where(
         F.col("change_type").isNotNull()
     )
+
+
+def snapshot_diff_with_payload(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """:func:`snapshot_diff` variant carrying the NEW-side payload for
+    insert/update rows (NULL payload for deletes) — the full change
+    feed ``apply_changes`` consumes.  Same key+hash comparison; the
+    payload join touches only changed keys."""
+    changes = snapshot_diff(old, new, keys)
+    return changes.join(new, keys, "left").select(
+        *keys,
+        "change_type",
+        *[c for c in new.columns if c not in keys],
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Apply a change feed (from :func:`snapshot_diff_with_payload`) to a
+    base snapshot — the MERGE INTO side of the CDC pair: deletes and
+    updates drop their base rows (one co-partitioned anti-join on the
+    key), then insert/update payloads union in.  ``apply_changes(old,
+    diff(old, new)) ≡ new`` by construction — the round-trip the
+    snapshot_roundtrip_orders oracle proves.  At 100 TB both legs
+    co-partition on the snapshot key; only changed keys move."""
+    val_cols = [c for c in base.columns if c not in keys]
+    touched = changes.select(*keys)
+    kept = base.join(touched, keys, "left_anti")
+    upserts = changes.where(
+        F.col("change_type").isin("insert", "update")
+    ).select(*keys, *val_cols)
+    return kept.unionByName(upserts)

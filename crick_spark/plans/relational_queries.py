@@ -2373,3 +2373,75 @@ def conversion_latency_quantiles(spark, sf_dir):
         ),
         F.round(F.avg("latency_s"), 6).alias("avg_latency_s"),
     )
+
+
+@register(
+    "snapshot_roundtrip_orders",
+    oracle="""
+WITH new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       TRUE AS roundtrip_equal
+FROM new
+""",
+    doc="CDC round trip — the MERGE INTO side of the versioning pair: "
+    "apply_changes(old, snapshot_diff_with_payload(old, new)) must "
+    "reproduce the new snapshot EXACTLY.  The same deterministic "
+    "delete/update/insert construction as snapshot_diff_orders; the "
+    "reconstructed table's aggregates hash-match DuckDB computing them "
+    "from the construction arithmetic directly, and roundtrip_equal "
+    "verifies row-level equality (key+value full-outer hash compare "
+    "between reconstructed and target finds ZERO differing rows).  "
+    "Scale: both legs co-partition on the key; only changed keys move.",
+)
+def snapshot_roundtrip_orders(spark, sf_dir):
+    from crick_spark.operators.relational import (
+        apply_changes,
+        snapshot_diff,
+        snapshot_diff_with_payload,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 53 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    feed = snapshot_diff_with_payload(o, new, ["o_orderkey"])
+    rebuilt = apply_changes(o, feed, ["o_orderkey"])
+    # row-level equality: a diff of (rebuilt, new) must be empty
+    residual = snapshot_diff(rebuilt, new, ["o_orderkey"]).agg(
+        F.count("*").alias("__n_diff__")
+    )
+    agg = rebuilt.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+    return agg.crossJoin(F.broadcast(residual)).select(
+        "n_rows",
+        "total_price",
+        "n_statuses",
+        (F.col("__n_diff__") == 0).alias("roundtrip_equal"),
+    )

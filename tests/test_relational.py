@@ -417,3 +417,26 @@ def test_snapshot_diff_schema_evolution_added_column(spark):
     )
     got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "update"}  # k=2's added column is NULL -> unchanged
+
+
+def test_apply_changes_roundtrip_with_nulls_and_schema(spark):
+    """apply_changes(old, diff_with_payload(old, new)) == new exactly,
+    including NULL payloads and delete/update/insert mixes."""
+    from crick_spark.operators.relational import (
+        apply_changes,
+        snapshot_diff_with_payload,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "y"), (3, None, "z"), (4, "d", "w")],
+        "k long, v1 string, v2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", "y"), (4, None, "w"), (5, "e", None)],
+        "k long, v1 string, v2 string",
+    )
+    feed = snapshot_diff_with_payload(old, new, ["k"])
+    rebuilt = apply_changes(old, feed, ["k"])
+    got = sorted(tuple(r) for r in rebuilt.collect())
+    want = sorted(tuple(r) for r in new.collect())
+    assert got == want
