@@ -305,6 +305,11 @@ def snapshot_diff(
     (NULL,'x') and ('x',NULL) collide — to_json(struct(...)) keeps the
     field names, making NULL placement part of the hashed bytes.
 
+    Key contract: ``keys`` must be non-NULL (the primary-key semantic
+    every CDC system assumes — Delta/Iceberg MERGE key equality never
+    matches NULLs).  NULL-keyed rows cannot pair across the full-outer
+    join and would surface as spurious delete+insert pairs.
+
     Schema evolution: the compared column set is the UNION of both
     snapshots' non-key columns — a column present on one side only is
     read as NULL on the other (to_json drops null fields, so adding an
@@ -366,10 +371,22 @@ def apply_changes(
     key), then insert/update payloads union in.  ``apply_changes(old,
     diff(old, new)) ≡ new`` by construction — the round-trip the
     snapshot_roundtrip_orders oracle proves.  At 100 TB both legs
-    co-partition on the snapshot key; only changed keys move."""
-    val_cols = [c for c in base.columns if c not in keys]
+    co-partition on the snapshot key; only changed keys move.
+
+    The rebuilt table takes the FEED'S schema (= the new snapshot's):
+    columns the new snapshot added read NULL from surviving base rows
+    (they were NULL in new for unchanged rows, else the row would be an
+    update); columns it dropped are dropped.  Keys must be non-NULL
+    (see :func:`snapshot_diff`)."""
+    val_cols = [c for c in changes.columns if c not in keys + ["change_type"]]
     touched = changes.select(*keys)
-    kept = base.join(touched, keys, "left_anti")
+    kept = base.join(touched, keys, "left_anti").select(
+        *keys,
+        *[
+            F.col(c) if c in base.columns else F.lit(None).alias(c)
+            for c in val_cols
+        ],
+    )
     upserts = changes.where(
         F.col("change_type").isin("insert", "update")
     ).select(*keys, *val_cols)

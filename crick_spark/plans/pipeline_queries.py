@@ -1959,6 +1959,7 @@ WITH toks AS (
   FROM documents d,
        unnest(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
                           x -> x <> '')) AS t(token)
+  WHERE d.source IS NOT NULL
 ),
 counts AS (
   SELECT source, token, count(*) AS c FROM toks GROUP BY source, token
@@ -2040,7 +2041,7 @@ WITH s AS (
               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
               THEN 'val' ELSE 'test' END AS split,
          len(string_split_regex(trim(text), '\\s+')) AS toks
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ),
 per AS (
   SELECT split, lang, count(*) AS n_docs,

@@ -1989,7 +1989,8 @@ def moving_median_revenue(spark, sf_dir):
 @register(
     "snapshot_diff_orders",
     oracle="""
-SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS change_type
+SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey,
+       'insert' AS change_type
 FROM orders WHERE o_orderkey % 101 = 0
 UNION ALL
 SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % 97 = 0
@@ -2000,7 +2001,7 @@ FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 97 <> 0
     doc="Row-level snapshot diff (the Delta/Iceberg table_changes "
     "primitive): two deterministic snapshots of orders — deletes "
     "(key%97=0), price updates (key%53=0), inserts (key%101=0 cloned "
-    "to offset keys) — diffed by snapshot_diff's key+xxhash64 "
+    "to max-key-offset keys) — diffed by snapshot_diff's key+xxhash64 "
     "full-outer join, so the shuffle carries (key, 8-byte hash), never "
     "full rows.  FULLY value-oracled: DuckDB derives the same change "
     "set from the construction arithmetic, an independent path that "
@@ -2019,9 +2020,12 @@ def snapshot_diff_orders(spark, sf_dir):
             ).otherwise(F.col("o_totalprice")),
         )
         .unionByName(
-            o.where(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            o.where(F.col("o_orderkey") % 101 == 0)
+            .crossJoin(
+                F.broadcast(o.agg((F.max("o_orderkey") + 1).alias("__maxk__")))
             )
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__maxk__"))
+            .drop("__maxk__")
         )
     )
     return snapshot_diff(o, new, ["o_orderkey"])
@@ -2385,7 +2389,8 @@ WITH new AS (
          o_orderstatus
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+         o_totalprice, o_orderstatus
   FROM orders WHERE o_orderkey % 101 = 0
 )
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2423,13 +2428,24 @@ def snapshot_roundtrip_orders(spark, sf_dir):
             ).otherwise(F.col("o_totalprice")),
         )
         .unionByName(
-            o.where(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            # insert keys offset by max(o_orderkey) — data-derived, so
+            # synthesized keys (k + max + 1) never collide with live keys at ANY sf
+            # (a fixed +10M constant would collide once sf ≳ 1.7)
+            o.where(F.col("o_orderkey") % 101 == 0)
+            .crossJoin(
+                F.broadcast(o.agg((F.max("o_orderkey") + 1).alias("__maxk__")))
             )
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__maxk__"))
+            .drop("__maxk__")
         )
     )
     feed = snapshot_diff_with_payload(o, new, ["o_orderkey"])
-    rebuilt = apply_changes(o, feed, ["o_orderkey"])
+    # materialize once: both the residual-diff branch and the aggregate
+    # branch read `rebuilt` — without this the full diff+apply pipeline
+    # (the expensive part) would execute twice in one plan
+    rebuilt = apply_changes(o, feed, ["o_orderkey"]).localCheckpoint(
+        eager=True
+    )
     # row-level equality: a diff of (rebuilt, new) must be empty
     residual = snapshot_diff(rebuilt, new, ["o_orderkey"]).agg(
         F.count("*").alias("__n_diff__")

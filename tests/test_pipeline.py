@@ -1115,41 +1115,22 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == expect, f"{got} != {expect}"
 
 
-def test_token_entropy_degenerate_single_token_source(spark):
+def test_token_entropy_degenerate_single_token_source(spark, tmp_path):
     """vocab=1 sources report normalized_entropy = 0 (maximally
-    degenerate), not NULL slipping past a < threshold filter."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from crick_spark.pipeline.text import lower_tokens_expr as lt
+    degenerate), not NULL slipping past a < threshold filter — asserted
+    against the PRODUCTION registered query via a synthetic sf_dir."""
+    from crick_spark.plans.registry import QUERIES
 
     docs = spark.createDataFrame(
         [(1, "spam spam spam spam", "s1"), (2, "a varied set of words", "s2")],
         "doc_id long, text string, source string",
     )
-
-    counts = (
-        docs.select("source", F.explode(lt(F.col("text"))).alias("token"))
-        .groupBy("source", "token").agg(F.count("*").alias("c"))
-    )
-    w = W.partitionBy("source")
-    enriched = counts.select(
-        "source", "c",
-        F.sum("c").over(w).cast("double").alias("n"),
-        F.count("*").over(w).alias("vocab"),
-    )
-    p = F.col("c") / F.col("n")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
     out = {
         r["source"]: r
-        for r in enriched.groupBy("source", "n", "vocab")
-        .agg((-F.sum(p * F.log(p))).alias("h"))
-        .select(
-            "source", "vocab",
-            F.when(F.col("vocab") == 1, F.lit(0.0))
-            .otherwise(F.col("h") / F.log(F.col("vocab").cast("double")))
-            .alias("ne"),
-        )
-        .collect()
+        for r in QUERIES["token_entropy_by_source"].fn(spark, str(tmp_path)).collect()
     }
-    assert out["s1"]["vocab"] == 1 and out["s1"]["ne"] == 0.0
-    assert out["s2"]["ne"] is not None and out["s2"]["ne"] > 0.9
+    assert out["s1"]["vocab_size"] == 1
+    assert out["s1"]["normalized_entropy"] == 0.0
+    assert out["s2"]["normalized_entropy"] is not None
+    assert out["s2"]["normalized_entropy"] > 0.9

@@ -440,3 +440,24 @@ def test_apply_changes_roundtrip_with_nulls_and_schema(spark):
     got = sorted(tuple(r) for r in rebuilt.collect())
     want = sorted(tuple(r) for r in new.collect())
     assert got == want
+
+
+def test_apply_changes_schema_evolution(spark):
+    """The rebuilt table takes the feed's (= new snapshot's) schema:
+    added columns survive, dropped columns drop, result == new."""
+    from crick_spark.operators.relational import (
+        apply_changes,
+        snapshot_diff_with_payload,
+    )
+
+    old = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")],
+                                "k long, v1 string, v2 string")
+    # new drops v2 and adds v3
+    new = spark.createDataFrame([(1, "a", None), (2, "B", "t3")],
+                                "k long, v1 string, v3 string")
+    feed = snapshot_diff_with_payload(old, new, ["k"])
+    rebuilt = apply_changes(old, feed, ["k"])
+    assert rebuilt.columns == new.columns
+    got = sorted(tuple(r) for r in rebuilt.collect())
+    want = sorted(tuple(r) for r in new.collect())
+    assert got == want
