@@ -51,6 +51,8 @@ CARTESIAN_ALLOWED = {
     "copurchase_brand_lift",
     # r5: 1-row corpus-token-total broadcast joined onto the V vocab rows
     "build_vocab_documents",
+    # r5: 1-row max-key broadcast for collision-free synthetic insert keys
+    "snapshot_diff_orders",
 }
 
 # (query, max shuffle exchanges) — the shuffle budget the current plan
