@@ -107,6 +107,13 @@ def empirical_cdf_at(value_col: Column, point) -> Column:
     accuracy oracle shares — quantile/cdf/histogram accuracy gates and
     the sketch-store verifications all call this."""
     p = point if isinstance(point, Column) else F.lit(point)
+    # NULL/NaN inputs must stay NULL (avg() then skips them) so the CDF
+    # denominator matches count(col) — mapping them to 0.0 would inflate
+    # the denominator by the missing-value fraction and bias every
+    # accuracy oracle that multiplies the CDF delta by count(col).
+    valid = value_col.isNotNull() & ~F.isnan(value_col.cast("double"))
     return F.avg(
-        F.when(value_col < p, 1.0).when(value_col == p, 0.5).otherwise(0.0)
+        F.when(valid & (value_col < p), 1.0)
+        .when(valid & (value_col == p), 0.5)
+        .when(valid, 0.0)
     )

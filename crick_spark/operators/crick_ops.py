@@ -453,6 +453,22 @@ def cms_join_size(
             lambda sk: pd.DataFrame([{"sketch": pickle.dumps(sk)}]),
             blob_schema,
         )
+        # An empty side (zero rows, or all-NULL key column) yields ZERO
+        # merged rows, which would annihilate the crossJoin below and
+        # return an empty frame instead of est_join_size=0.  Union a
+        # one-row EMPTY sketch (merge identity: all-zero table, n=0) and
+        # re-fold, so exactly one row always survives.
+        default = df.sparkSession.createDataFrame(
+            [(pickle.dumps(CountMinSketch(width=width, depth=depth)),)],
+            blob_schema,
+        )
+        merged = merge_sketches(
+            merged.unionByName(default),
+            SketchOps(build=None, merge=lambda a, b: a.merge(b)),
+            [],
+            lambda sk: pd.DataFrame([{"sketch": pickle.dumps(sk)}]),
+            blob_schema,
+        )
         return merged.select(F.col("sketch").alias(f"__sk_{tag}__"))
 
     pair = side(dfa, col_a, "a").crossJoin(side(dfb, col_b, "b"))

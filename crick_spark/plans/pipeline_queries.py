@@ -24,9 +24,11 @@ from crick_spark.pipeline.dedup import (
     simhash_near_dup_pairs,
 )
 from crick_spark.pipeline.similarity import (
+    bulk_cosine_topk,
     cosine_topk,
     embedding_near_dup_pairs,
     lsh_ann_topk,
+    lsh_bulk_topk,
 )
 from crick_spark.pipeline.text import (
     doc_fingerprint_expr,
@@ -618,6 +620,104 @@ def _ann_recall_gate(
     overall = full.agg(
         F.lit(-1).cast("bigint").alias("query_id"),
         (F.avg("recall") >= avg_min).alias("recall_ok"),
+    )
+    return per_query.unionByName(overall)
+
+
+_KNN_BULK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))),
+           6) AS cosine
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "knn_bulk_bruteforce",
+    oracle=_KNN_BULK_ORACLE,
+    doc="BULK exact cosine top-10 for a 5-query panel in ONE job "
+    "(round 6): broadcast query panel x corpus scan, per-query window "
+    "top-k — the exact baseline and recall oracle for the bulk LSH path. "
+    "Closes the one-job-per-query gap: every prior ANN entry point took "
+    "a single driver-side vector.",
+)
+def knn_bulk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return bulk_cosine_topk(queries, emb, k=10)
+
+
+@register(
+    "knn_lsh_bulk",
+    doc="Bulk LSH ANN (rows-only headline; hash path — seeded hyperplanes "
+    "aren't DuckDB-reproducible): the whole 5-query panel resolves in ONE "
+    "job via bucket equi-join on (table, bucket) + grouped Arrow rerank. "
+    "Quality twin: knn_lsh_bulk_recall; per-query-path equivalence "
+    "asserted in tests/test_pipeline.py on a 20-query panel.",
+)
+def knn_lsh_bulk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bulk_topk(queries, emb, k=10, nbits=6, num_tables=8)
+
+
+@register(
+    "knn_lsh_bulk_recall",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
+""",
+    doc="Bulk-ANN quality gate, hash-matched boolean oracle (same "
+    "promotion pattern as knn_lsh_recall_vs_exact, but with NO per-query "
+    "driver loop on either side): bulk LSH top-10 vs bulk exact top-10, "
+    "each ONE job.  Measured recall 0.92 at sf0.001; asserted >=0.5 per "
+    "query and >=0.7 on average — margins sized to survive testdata "
+    "regeneration.",
+)
+def knn_lsh_bulk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    exact = bulk_cosine_topk(queries, emb, k=10).select("query_id", "vec_id")
+    ann = lsh_bulk_topk(queries, emb, k=10, nbits=6, num_tables=8).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / 10.0).alias("recall"))
+    )
+    panel = queries.select("query_id")
+    full = panel.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+    per_query = full.select(
+        "query_id", (F.col("recall") >= 0.5).alias("recall_ok")
+    )
+    overall = full.agg(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        (F.avg("recall") >= 0.7).alias("recall_ok"),
     )
     return per_query.unionByName(overall)
 

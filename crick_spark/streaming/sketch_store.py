@@ -65,11 +65,23 @@ class SketchStore:
         other read error (transient FS failure, corrupt file) must
         propagate so foreachBatch retries the batch, because treating it
         as fresh would silently discard all accumulated state AND disable
-        the replay fence."""
+        the replay fence.
+
+        The meta log is APPEND-ONLY (one row per committed batch); the
+        current generation is the row with max(batch_id).  An
+        overwrite-in-place meta would delete the old commit before the
+        new one lands — a crash in that window would read as 'fresh
+        store' and silently drop all state; append never deletes, so
+        every crash point leaves either the old max row or the new one."""
         from pyspark.errors import AnalysisException
 
         try:
-            rows = spark.read.parquet(self._meta).collect()
+            rows = (
+                spark.read.parquet(self._meta)
+                .orderBy(F.col("batch_id").desc())
+                .limit(1)
+                .collect()
+            )
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
                 return -1, None, None
@@ -110,10 +122,14 @@ class SketchStore:
             )
         hll_t = self._hll_paths[flip]
         hll_new.write.mode("overwrite").parquet(hll_t)
+        # append-only commit marker: the new row lands (or doesn't) via
+        # parquet's rename-at-commit; the previous generation's row is
+        # never deleted, so a crash mid-commit can only re-surface the
+        # old max(batch_id) row — never an empty 'fresh' store
         s.createDataFrame(
             [(int(batch_id), td_t, hll_t)],
             "batch_id long, td string, hll string",
-        ).write.mode("overwrite").parquet(self._meta)
+        ).coalesce(1).write.mode("append").parquet(self._meta)
         return True
 
     def digests(self, spark: SparkSession, finalize, result_schema) -> DataFrame:

@@ -1134,3 +1134,55 @@ def test_token_entropy_degenerate_single_token_source(spark, tmp_path):
     assert out["s1"]["normalized_entropy"] == 0.0
     assert out["s2"]["normalized_entropy"] is not None
     assert out["s2"]["normalized_entropy"] > 0.9
+
+
+def test_lsh_bulk_matches_per_query_on_panel(spark):
+    """Bulk LSH (one job) must return EXACTLY the per-query path's top-k
+    for every query on a 20-query panel — same candidate predicate
+    ("any table's bucket in probes"), same rerank tie-break (cosine
+    desc, id asc).  Round-6 bulk-ANN equivalence gate."""
+    from crick_spark.pipeline.similarity import lsh_bulk_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_queries, k = 20, 10
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bulk = lsh_bulk_topk(queries, emb, k=k, nbits=6, num_tables=8).collect()
+    by_q = {}
+    for r in sorted(bulk, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < n_queries).collect()
+    }
+    assert set(by_q) == set(qvecs)
+    for qid, qv in qvecs.items():
+        per = [
+            r["vec_id"]
+            for r in lsh_ann_topk(emb, qv, k=k, nbits=6, num_tables=8).collect()
+        ]
+        assert by_q[qid] == per, f"query {qid}: bulk {by_q[qid]} != per {per}"
+
+
+def test_bulk_cosine_topk_matches_numpy(spark):
+    """Exact bulk baseline vs a numpy oracle for 5 queries (same oracle
+    style as test_cosine_topk_matches_numpy, panel form)."""
+    from crick_spark.pipeline.similarity import bulk_cosine_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in bulk_cosine_topk(queries, emb, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(5):
+        q = mat[ids == qid][0]
+        cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, -np.round(cos, 12)))
+        expected = list(ids[order][:10])
+        assert [v for _, v in sorted(got[qid])] == expected, qid

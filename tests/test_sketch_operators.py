@@ -507,3 +507,38 @@ def test_kmv_estimators_large_disjoint_and_overlapping_sets(spark):
     shared_ac = sum(1 for u in merged_ac if u in set(ka) and u in set(kc))
     ni_ac = (shared_ac / len(merged_ac)) * est(merged_ac)
     assert ni_ac <= 0.02 * est(merged_ac)  # hash collisions only
+
+
+def test_cms_join_size_empty_sides(spark):
+    """An empty side (zero rows or all-NULL key) must yield ONE row with
+    est_join_size=0 — not an empty frame that silently annihilates a
+    caller's crossJoin (round-6 advice fix: the empty side's merged
+    sketch frame had zero rows before the empty-sketch union)."""
+    from crick_spark.operators.crick_ops import cms_join_size
+
+    a = spark.createDataFrame([(1,), (2,), (2,)], "k int")
+    b_empty = spark.createDataFrame([], "k int")
+    b_null = spark.createDataFrame([(None,)], "k int")
+
+    r = cms_join_size(a, "k", b_empty, "k").collect()
+    assert len(r) == 1 and r[0]["est_join_size"] == 0 and r[0]["n_b"] == 0
+    r = cms_join_size(b_null, "k", a, "k").collect()
+    assert len(r) == 1 and r[0]["est_join_size"] == 0 and r[0]["n_a"] == 0
+    # non-empty baseline unchanged: |{2,2} x {2}| = 2, never underestimates
+    r = cms_join_size(a, "k", spark.createDataFrame([(2,), (3,)], "k int"), "k").collect()[0]
+    assert r["est_join_size"] >= 2 and r["n_a"] == 3 and r["n_b"] == 2
+
+
+def test_empirical_cdf_skips_null_and_nan(spark):
+    """NULL/NaN inputs must not inflate the CDF denominator (round-6
+    advice fix): on [1,2,3,NULL,NaN] the CDF at 2 is 1.5/3 = 0.5, not
+    1.5/5 = 0.3."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.functions.quantiles import empirical_cdf_at
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (float("nan"),)], "v double"
+    )
+    got = df.agg(empirical_cdf_at(F.col("v"), 2.0).alias("c")).collect()[0]["c"]
+    assert got == 0.5

@@ -463,3 +463,30 @@ def test_sketch_store_noncontiguous_ids_and_empty_store(spark, tmp_path):
         StructType([StructField("mass", DoubleType())]),
     ).collect()
     assert mass[0]["mass"] == 3.0
+
+
+def test_sketch_store_meta_is_append_only(spark, tmp_path):
+    """The commit marker must be append-only (round-6 advice fix): an
+    overwrite-in-place meta deletes the previous commit before the new
+    one lands, so a crash in that window reads as a fresh store and
+    silently drops all state.  After N folds the meta log holds N rows
+    and read_meta picks max(batch_id)."""
+    from crick_spark.streaming.sketch_store import SketchStore
+
+    store = SketchStore(str(tmp_path / "store"))
+    b = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, value double, user_id long"
+    )
+    assert store.fold(b([("a", 1.0, 1)]), 0)
+    assert store.fold(b([("a", 2.0, 2)]), 1)
+    assert store.fold(b([("a", 3.0, 3)]), 2)
+    log = spark.read.parquet(str(tmp_path / "store" / "meta"))
+    assert log.count() == 3  # every generation retained, none overwritten
+    bid, td, hll = store.read_meta(spark)
+    assert bid == 2 and td is not None and hll is not None
+    # deleting the NEWEST row (≈ crash before its commit landed) must
+    # fall back to the previous generation, never to 'fresh'
+    import pyspark.sql.functions as F
+
+    rows = log.where(F.col("batch_id") < 2).collect()
+    assert {r["batch_id"] for r in rows} == {0, 1}
