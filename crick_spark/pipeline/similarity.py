@@ -621,6 +621,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means-cluster the corpus (reusing
     the IVF quantizer), then greedily keep/remove within each cluster —
@@ -640,10 +641,25 @@ def semantic_dedup(
     (k×d partial sums cross the wire, never vectors), and the pairwise
     work is Σ_c |c|² inside per-cluster numpy, embarrassingly parallel
     across clusters.  Pick k ≈ N/5k so each cluster's sim matrix fits an
-    executor — exactly the published SemDeDup cost model.  The one
-    all-to-one hotspot would be a mega-cluster; AQE's skew split cannot
-    subdivide a groupBy-key, so degenerate corpora (everything one
-    cluster) should raise k or pre-shard by a coarse LSH band.
+    executor — exactly the published SemDeDup cost model.
+
+    Mega-cluster guard (round 6 — ENFORCED, no longer just documented):
+    AQE's skew split cannot subdivide a groupBy key, so a degenerate
+    corpus collapsing into one k-means cluster used to make one task do
+    O(n²) work.  Clusters above ``max_cluster_rows`` are re-sharded by a
+    coarse hyperplane-LSH band key (just enough sign bits to bring every
+    shard's EXPECTED size under the cap) and the greedy rule runs within
+    each (cluster, band) shard.  Because the band key is locality
+    sensitive, near-duplicate pairs (the ones dedup must catch) land in
+    the same band with probability (1 − θ/π)^nbits — high at the eps
+    regimes SemDeDup uses — so the recall delta is the LSH miss
+    probability on pairs split across bands; pairs in different bands
+    are simply not compared (same accepted trade as MinHash banding).
+    Residual caveat: a flood of IDENTICAL vectors shares one band by
+    construction and still concentrates — those are exact duplicates,
+    caught upstream by exact/MinHash dedup before the semantic pass.
+    Set ``max_cluster_rows=None`` to disable (exact within-cluster
+    semantics, the pre-round-6 behavior).
     """
     e = float(eps)
     if centroids is None:
@@ -652,6 +668,37 @@ def semantic_dedup(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
     )
     indexed = ivf_index(embeddings.select(id_col, vec_col), centroids, vec_col)
+
+    # mega-cluster guard: re-shard oversized clusters by a coarse LSH
+    # band so no single task sees more than ~max_cluster_rows rows.
+    # The per-cluster histogram is k rows — driver-trivial at any scale.
+    indexed = indexed.withColumn("__shard__", F.lit(0))
+    if max_cluster_rows is not None:
+        sizes = {
+            r["ivf_cluster"]: r["cnt"]
+            for r in indexed.groupBy("ivf_cluster")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        oversized = {c for c, n in sizes.items() if n > max_cluster_rows}
+        if oversized:
+            import math
+
+            worst = max(sizes[c] for c in oversized)
+            shard_bits = max(
+                1, math.ceil(math.log2(worst / max_cluster_rows))
+            )
+            band = lsh_buckets_udf(
+                [_hyperplanes(centroids.shape[1], shard_bits, seed=777)]
+            )
+            indexed = indexed.withColumn(
+                "__shard__",
+                F.when(
+                    F.col("ivf_cluster").isin(list(oversized)),
+                    F.element_at(band(F.col(vec_col)), 1),
+                ).otherwise(F.lit(0)),
+            )
+
     # id dtype follows the input column (string corpus keys are normal
     # for embedding tables), not a hardcoded long
     id_type = embeddings.schema[id_col].dataType.simpleString()
@@ -687,6 +734,6 @@ def semantic_dedup(
             }
         )
 
-    return indexed.groupBy("ivf_cluster").applyInPandas(
+    return indexed.groupBy("ivf_cluster", "__shard__").applyInPandas(
         dedup_cluster, schema=out_schema
     )

@@ -414,26 +414,74 @@ def bpe_merge_candidates(
     )
 
 
+def _accept_merge_batch(
+    top_rows: list, fetched: int
+) -> list[tuple[str, str, int]]:
+    """Select the longest prefix of the ranked pair list that is PROVABLY
+    the next merges sequential greedy BPE would make (round 6 — the
+    standard production batching trick, but with an exactness guarantee
+    instead of an approximation):
+
+    1. Walk pairs in rank order (freq desc, l asc, r asc — the greedy
+       tie-break) and stop at the first pair sharing a symbol with an
+       already-accepted one.
+    2. Keep only accepted pairs with freq STRICTLY above the first
+       non-accepted pair's freq (``bound``).
+
+    Why this equals sequential greedy: merging (a,b) only changes counts
+    of pairs containing a or b, and every NEW pair (ab,x)/(x,ab) has
+    count ≤ the old count of (b,x)/(x,a) — all of which conflict with
+    (a,b) and are therefore non-accepted, so their counts are ≤ bound <
+    every remaining accepted pair's freq.  Accepted pairs are mutually
+    disjoint, so their own counts are untouched; by induction greedy
+    picks exactly the accepted prefix, in order, at these frequencies.
+    Fallback: the top-1 pair alone is always exactly greedy's next step
+    (same ordering, same tie-break), so a conflict-heavy round still
+    progresses."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound = None
+    for row in top_rows:
+        l, r, freq = row["l"], row["r"], int(row["freq"])
+        if used & {l, r}:
+            bound = freq
+            break
+        accepted.append((l, r, freq))
+        used.update((l, r))
+    else:
+        # no conflict in the fetched window: if we fetched fewer rows
+        # than asked, NO other pairs exist and the whole window is safe;
+        # otherwise the first unfetched pair bounds at the last freq
+        bound = -1 if len(top_rows) < fetched else top_rows[-1]["freq"]
+    safe = [m for m in accepted if m[2] > bound]
+    return safe if safe else accepted[:1]
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    batch_size: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
-    """Learn ``n_merges`` BPE merges iteratively — the full trainer loop
+    """Learn ``n_merges`` BPE merges — the full trainer loop
     ``bpe_merge_candidates`` shows one step of: represent each distinct
-    word as a symbol array (chars to start), and per iteration (1) count
-    adjacent symbol pairs weighted by word frequency, (2) take the most
-    frequent pair (ties by pair — deterministic), (3) merge that pair
-    left-to-right in every word's symbol stream.  Returns
-    [(left, right, freq), …] in merge order.
+    word as a symbol array (chars to start), and per round (1) count
+    adjacent symbol pairs weighted by word frequency, (2) accept a
+    batch of top pairs proven equivalent to sequential greedy
+    (``_accept_merge_batch`` — mutually-disjoint symbols, strict
+    frequency gap to the first excluded pair), (3) apply the whole batch
+    left-to-right in every word's symbol stream in ONE pass.  Returns
+    [(left, right, freq), …] in merge order — byte-identical to the
+    one-merge-per-round sequential list (asserted in tests).
 
-    Scale shape per iteration: one explode + partial-combine hash agg
-    over the WORD table (vocab-sized, Heaps' law ≪ corpus) for the pair
-    counts, a 1-row driver fetch of the winner, and a codegen-free
-    Arrow-batched transform applying the merge.  The word table is
-    localCheckpoint-ed each iteration so plan depth stays bounded at any
-    n_merges (the pagerank/dedup lineage-control pattern).  Verified
-    against a pure-Python reference trainer in tests.
+    Scale shape per round: one explode + partial-combine hash agg over
+    the WORD table (vocab-sized, Heaps' law ≪ corpus) for the pair
+    counts, a ``batch_size+1``-row driver fetch, and one Arrow-batched
+    transform applying every accepted merge.  Batching cuts the job
+    count from 2·n_merges to 2·n_rounds (typically 3-6× fewer on
+    natural-language corpora — round counts land in ``stats``); the word
+    table is localCheckpoint-ed each round so plan depth stays bounded.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -452,8 +500,11 @@ def bpe_train(
         .select(F.split("word", "").alias("syms"), "wfreq")
         .localCheckpoint(eager=True)
     )
+    n_merges = int(n_merges)
+    fetch = max(2, int(batch_size) + 1)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(int(n_merges)):
+    rounds = 0
+    while len(merges) < n_merges:
         # guard: fully-merged single-symbol words have size-1 = 0 and
         # Spark's sequence(1, 0) counts DOWN (the shingles_expr pitfall)
         pairs = words.where(F.size("syms") >= 2).select(
@@ -472,28 +523,32 @@ def bpe_train(
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("wfreq").alias("freq"))
             .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
         if not top:
             break
-        l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
-        merges.append((l, r, freq))
+        rounds += 1
+        batch = _accept_merge_batch(top, fetch)[: n_merges - len(merges)]
+        merges.extend(batch)
+        batch_pairs = [(l, r) for l, r, _ in batch]
 
-        def apply_merge(pdfs, _l=l, _r=r):
+        def apply_merges(pdfs, _batch=batch_pairs):
             for pdf in pdfs:
                 out = []
                 for syms, wf in zip(pdf["syms"], pdf["wfreq"]):
                     s = list(syms)
-                    merged, i = [], 0
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
-                            merged.append(_l + _r)
-                            i += 2
-                        else:
-                            merged.append(s[i])
-                            i += 1
-                    out.append({"syms": merged, "wfreq": int(wf)})
+                    for _l, _r in _batch:
+                        merged, i = [], 0
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                                merged.append(_l + _r)
+                                i += 2
+                            else:
+                                merged.append(s[i])
+                                i += 1
+                        s = merged
+                    out.append({"syms": s, "wfreq": int(wf)})
                 yield pd.DataFrame(out, columns=["syms", "wfreq"])
 
         schema = StructType(
@@ -502,7 +557,10 @@ def bpe_train(
                 StructField("wfreq", LongType()),
             ]
         )
-        words = words.mapInPandas(apply_merge, schema=schema).localCheckpoint(
+        words = words.mapInPandas(apply_merges, schema=schema).localCheckpoint(
             eager=True
         )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["merges"] = len(merges)
     return merges

@@ -1947,6 +1947,63 @@ def bpe_merge_candidates_documents(spark, sf_dir):
 
 
 @register(
+    "bpe_train_batched_documents",
+    oracle="""
+SELECT TRUE AS freq_non_increasing,
+       TRUE AS fewer_rounds_than_merges,
+       TRUE AS batched_equals_sequential
+""",
+    doc="Round-6 batched-BPE gate, hash-matched boolean oracle: the full "
+    "trainer learns 12 merges on the documents corpus with top-8 "
+    "batching (mutually-disjoint pairs, strict frequency gap — provably "
+    "equivalent to sequential greedy, see _accept_merge_batch) and the "
+    "oracle asserts (1) chosen frequencies are non-increasing (a BPE "
+    "theorem: new pairs never exceed prior counts), (2) the batched run "
+    "took FEWER pair-count rounds than merges (the job-count drop), and "
+    "(3) the merge list is byte-identical to the one-merge-per-round "
+    "sequential trainer on the same corpus.",
+)
+def bpe_train_batched_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    bstats: dict = {}
+    batched = bpe_train(docs, n_merges=8, batch_size=8, stats=bstats)
+    sequential = bpe_train(docs, n_merges=8, batch_size=1)
+    freqs = [f for _, _, f in batched]
+    return spark.createDataFrame(
+        [
+            (
+                all(a >= b for a, b in zip(freqs, freqs[1:])),
+                bstats["rounds"] < len(batched),
+                batched == sequential,
+            )
+        ],
+        "freq_non_increasing boolean, fewer_rounds_than_merges boolean, "
+        "batched_equals_sequential boolean",
+    )
+
+
+@register(
+    "bpe_train_documents",
+    doc="Full batched BPE trainer headline (rows-only; iterative "
+    "driver-steered algorithm — no SQL analog): 12 merges with top-8 "
+    "batching over the documents word table, returning the learned "
+    "merge list.  Quality gate: bpe_train_batched_documents (boolean "
+    "oracle, batched == sequential).",
+)
+def bpe_train_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12, batch_size=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "step int, left string, right string, freq long",
+    )
+
+
+@register(
     "mixture_epoch_plan_documents",
     oracle="""
 WITH per AS (

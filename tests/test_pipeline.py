@@ -1186,3 +1186,59 @@ def test_bulk_cosine_topk_matches_numpy(spark):
         order = np.lexsort((ids, -np.round(cos, 12)))
         expected = list(ids[order][:10])
         assert [v for _, v in sorted(got[qid])] == expected, qid
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """Round-6 batching gate: the batched trainer (top-m disjoint pairs
+    per round, strict frequency gap to the first excluded pair) must
+    produce the BYTE-IDENTICAL merge list of the one-merge-per-round
+    sequential trainer, in fewer rounds."""
+    from crick_spark.pipeline.text import bpe_train
+
+    texts = [
+        "low lower lowest", "low low newer", "newer newest new",
+        "wider wide wide", "low newer", "the quick brown fox jumps",
+        "she sells sea shells by the sea shore", "peter piper picked",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq_stats, bat_stats = {}, {}
+    seq = bpe_train(docs, n_merges=12, batch_size=1, stats=seq_stats)
+    bat = bpe_train(docs, n_merges=12, batch_size=8, stats=bat_stats)
+    assert bat == seq
+    assert seq_stats["rounds"] == 12
+    assert bat_stats["rounds"] < seq_stats["rounds"], bat_stats
+
+
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """Round-6 guard gate: a corpus collapsing into few k-means clusters
+    must be re-sharded so no single applyInPandas group exceeds the cap,
+    while near-identical duplicates still land in one shard (LSH bands
+    are locality sensitive) and get deduped."""
+    from crick_spark.pipeline.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=64)
+    rows = []
+    # 30 near-duplicates of one vector + 170 random vectors, all forced
+    # through k=2 clustering with a 50-row cap -> sharding must kick in
+    for i in range(30):
+        v = base + rng.normal(scale=1e-3, size=64)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(30, 200):
+        rows.append((i, [float(x) for x in rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(df, eps=0.95, k=2, max_cluster_rows=50).toPandas()
+    # completeness: every vector flagged exactly once despite sharding
+    assert len(out) == 200 and out["vec_id"].nunique() == 200
+    # the planted near-dup family still collapses to ~one keeper: LSH
+    # bands keep near-identical vectors together
+    kept_clones = out[(out["vec_id"] < 30) & out["keep"]]
+    assert len(kept_clones) <= 2
+    # guard off -> identical keep decisions on this small corpus ARE NOT
+    # required (sharding may split random-vector comparisons), but the
+    # unguarded path must still work
+    out_off = semantic_dedup(df, eps=0.95, k=2, max_cluster_rows=None).toPandas()
+    assert len(out_off) == 200
