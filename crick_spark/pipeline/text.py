@@ -564,3 +564,196 @@ def bpe_train(
         stats["rounds"] = rounds
         stats["merges"] = len(merges)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — round 6.  The other
+# tokenizer family every training pipeline ships beside BPE (Kudo 2018):
+# seed a large candidate vocabulary from frequent substrings, fit piece
+# probabilities by EM over the corpus, prune to size by likelihood loss.
+# ---------------------------------------------------------------------------
+def _viterbi(word: str, logp: dict, max_len: int):
+    """Best unigram segmentation of ``word`` under piece log-probs.
+    Returns (pieces, score).  Deterministic: candidate lengths scan
+    ascending with a strict-improvement rule, so exact ties keep the
+    shortest-piece path.  Single chars are always in the vocab, so every
+    word segments."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    best[0] = 0.0
+    back: list = [None] * (n + 1)
+    for i in range(1, n + 1):
+        for length in range(1, min(max_len, i) + 1):
+            piece = word[i - length : i]
+            lp = logp.get(piece)
+            if lp is None or best[i - length] == NEG:
+                continue
+            s = best[i - length] + lp
+            if s > best[i]:
+                best[i] = s
+                back[i] = length
+    pieces = []
+    i = n
+    while i > 0:
+        length = back[i]
+        pieces.append(word[i - length : i])
+        i -= length
+    pieces.reverse()
+    return pieces, best[n]
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    vocab_size: int = 400,
+    seed_size: int = 2000,
+    max_piece_len: int = 6,
+    em_rounds: int = 4,
+    text_col: str = "text",
+    stats: dict | None = None,
+) -> list[tuple[str, float]]:
+    """SentencePiece-style unigram-LM trainer: (1) seed candidates from
+    the ``seed_size`` most frequent substrings (length ≤ max_piece_len)
+    of the corpus WORD table plus every single character (coverage
+    guarantee), (2) hard (Viterbi) EM — E-step segments each distinct
+    word under current piece probabilities, M-step re-normalizes piece
+    counts, a coordinate ascent whose corpus log-likelihood is
+    non-decreasing (asserted in tests), (3) prune to ``vocab_size`` by
+    likelihood LOSS — a piece's loss is its usage count times the gap
+    between its own log-prob and its best re-segmentation without
+    itself (pieces whose removal costs nothing go first, SentencePiece's
+    rule), then (4) one final EM pass on the pruned vocab.  Returns
+    [(piece, logprob), …] sorted by (logprob desc, piece asc) —
+    deterministic end-to-end: no RNG anywhere, all ties broken
+    lexically.
+
+    Scale shape (Heaps-bounded like ``bpe_train``): substring seeding is
+    one explode + partial-combine hash agg over the WORD table with a
+    TakeOrderedAndProject top-S; each E-step is one Arrow-batched pass
+    over the word table with the piece table (≤ seed_size rows, KBs)
+    shipped in the task closure; only vocab-sized count rows ever reach
+    the driver — the corpus itself is touched once, to build the word
+    table."""
+    import math
+
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(lower_tokens_expr(F.col(text_col))).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+        .localCheckpoint(eager=True)
+    )
+    # candidate substrings: all (start, len<=max_piece_len) windows of
+    # every distinct word, weighted by word frequency — flatten of a
+    # nested transform, pure codegen
+    subs = words.select(
+        "wfreq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(int(max_piece_len)),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda l: F.col("word").substr(i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    pc = subs.groupBy("piece").agg(F.sum("wfreq").alias("freq"))
+    seed_rows = (
+        pc.orderBy(F.desc("freq"), F.asc("piece")).limit(int(seed_size)).collect()
+    )
+    char_rows = pc.where(F.length("piece") == 1).collect()
+    freqs: dict[str, int] = {r["piece"]: int(r["freq"]) for r in char_rows}
+    for r in seed_rows:
+        freqs.setdefault(r["piece"], int(r["freq"]))
+    chars = {p for p in freqs if len(p) == 1}
+
+    def normalize(fr: dict) -> dict:
+        total = float(sum(fr.values()))
+        return {p: math.log(c / total) for p, c in fr.items() if c > 0}
+
+    logp = normalize(freqs)
+    loglik_trace: list[float] = []
+
+    def em_pass(logp_in: dict) -> tuple[dict, float]:
+        """One hard-EM iteration over the distributed word table:
+        returns (new counts, corpus log-likelihood under logp_in)."""
+        lp = dict(logp_in)
+        ml = int(max_piece_len)
+
+        def estep(pdfs):
+            for pdf in pdfs:
+                counts: dict[str, int] = {}
+                ll = 0.0
+                for w, wf in zip(pdf["word"], pdf["wfreq"]):
+                    pieces, score = _viterbi(w, lp, ml)
+                    ll += float(wf) * score
+                    for p in pieces:
+                        counts[p] = counts.get(p, 0) + int(wf)
+                yield pd.DataFrame(
+                    {
+                        "piece": list(counts) + ["\x00ll"],
+                        "cnt": list(counts.values()) + [0],
+                        "ll": [0.0] * len(counts) + [ll],
+                    }
+                )
+
+        agg = (
+            words.mapInPandas(estep, "piece string, cnt long, ll double")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("ll").alias("ll"))
+            .collect()
+        )
+        new_counts: dict[str, int] = {}
+        total_ll = 0.0
+        for r in agg:
+            if r["piece"] == "\x00ll":
+                total_ll = float(r["ll"])
+            else:
+                new_counts[r["piece"]] = int(r["cnt"])
+        # coverage floor: characters never leave the vocabulary, even at
+        # zero count (they anchor segmentation of unseen words)
+        for c in chars:
+            new_counts.setdefault(c, 1)
+        return new_counts, total_ll
+
+    for _ in range(int(em_rounds)):
+        counts, ll = em_pass(logp)
+        loglik_trace.append(ll)
+        logp = normalize(counts)
+
+    # prune multi-char pieces by likelihood loss: usage * (own logprob -
+    # best alternative segmentation without self); chars are kept
+    # unconditionally.  Driver-side over the vocab table only.
+    multi = [p for p in logp if len(p) > 1]
+    losses = []
+    for p in multi:
+        without = {q: v for q, v in logp.items() if q != p}
+        _, alt = _viterbi(p, without, int(max_piece_len))
+        used = counts.get(p, 0)
+        losses.append((used * (logp[p] - alt), p))
+    losses.sort(key=lambda t: (-t[0], t[1]))
+    keep_multi = {p for _, p in losses[: max(0, int(vocab_size) - len(chars))]}
+    pruned = {
+        p: c for p, c in counts.items() if p in keep_multi or len(p) == 1
+    }
+    logp = normalize(pruned)
+    counts, ll = em_pass(logp)
+    loglik_trace.append(ll)
+    logp = normalize(counts)
+
+    if stats is not None:
+        stats["loglik_trace"] = loglik_trace
+        stats["n_pieces"] = len(logp)
+        stats["n_chars"] = len(chars)
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -2004,6 +2004,81 @@ def bpe_train_documents(spark, sf_dir):
 
 
 @register(
+    "unigram_lm_vocab_documents",
+    doc="Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer vocab "
+    "headline (rows-only; iterative EM — no SQL analog): substring-"
+    "seeded candidates, 3 hard-EM rounds over the distributed word "
+    "table, likelihood-loss pruning to 300 pieces, final EM refit.  "
+    "Deterministic end-to-end (no RNG, lexical tie-breaks).  Quality "
+    "gate: unigram_lm_invariants.",
+)
+def unigram_lm_vocab_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_lm_train(docs, vocab_size=300, seed_size=1500, em_rounds=3)
+    return spark.createDataFrame(
+        [(i + 1, p, round(lp, 6)) for i, (p, lp) in enumerate(vocab)],
+        "rank int, piece string, logprob double",
+    )
+
+
+@register(
+    "unigram_lm_invariants",
+    oracle="""
+SELECT TRUE AS probs_normalized,
+       TRUE AS em_loglik_monotone,
+       TRUE AS chars_covered,
+       TRUE AS deterministic_rerun
+""",
+    doc="Round-6 unigram-LM gate, hash-matched boolean oracle: piece "
+    "probabilities sum to 1; the hard-EM corpus log-likelihood trace is "
+    "non-decreasing (coordinate ascent theorem for Viterbi EM); every "
+    "single character of the corpus word table is in the vocabulary "
+    "(coverage guarantee — any word segments); and an independent "
+    "second training run reproduces the identical (piece, logprob) "
+    "table (determinism — the property that makes the headline "
+    "rows-only entry meaningful).",
+)
+def unigram_lm_invariants(spark, sf_dir):
+    import math
+
+    from crick_spark.pipeline.text import unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats: dict = {}
+    v1 = unigram_lm_train(
+        docs, vocab_size=300, seed_size=1500, em_rounds=3, stats=stats
+    )
+    v2 = unigram_lm_train(docs, vocab_size=300, seed_size=1500, em_rounds=3)
+    trace = stats["loglik_trace"]
+    pieces = {p for p, _ in v1}
+    corpus_chars = {
+        r["c"]
+        for r in docs.select(
+            F.explode(
+                F.split(F.lower(F.regexp_replace("text", r"\s+", "")), "")
+            ).alias("c")
+        )
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                abs(sum(math.exp(lp) for _, lp in v1) - 1.0) < 1e-9,
+                all(b >= a - 1e-9 for a, b in zip(trace, trace[1:])),
+                corpus_chars <= pieces,
+                v1 == v2,
+            )
+        ],
+        "probs_normalized boolean, em_loglik_monotone boolean, "
+        "chars_covered boolean, deterministic_rerun boolean",
+    )
+
+
+@register(
     "mixture_epoch_plan_documents",
     oracle="""
 WITH per AS (

@@ -1242,3 +1242,38 @@ def test_semantic_dedup_mega_cluster_guard(spark):
     # unguarded path must still work
     out_off = semantic_dedup(df, eps=0.95, k=2, max_cluster_rows=None).toPandas()
     assert len(out_off) == 200
+
+
+def test_unigram_lm_em_monotone_and_segmentation(spark):
+    """Round-6 unigram-LM trainer: hard-EM log-likelihood is
+    non-decreasing (coordinate ascent), training is deterministic, and
+    Viterbi segments with learned multi-char pieces where they help."""
+    import math
+
+    from crick_spark.pipeline.text import _viterbi, unigram_lm_train
+
+    texts = [
+        "the cat sat on the mat", "the cats sat", "a cat and a mat",
+        "the mat on the cat", "cats and mats", "the the the cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    stats = {}
+    vocab = unigram_lm_train(
+        docs, vocab_size=40, seed_size=200, em_rounds=4, stats=stats
+    )
+    trace = stats["loglik_trace"]
+    assert all(b >= a - 1e-9 for a, b in zip(trace, trace[1:])), trace
+    assert abs(sum(math.exp(lp) for _, lp in vocab) - 1.0) < 1e-9
+    assert vocab == unigram_lm_train(
+        docs, vocab_size=40, seed_size=200, em_rounds=4
+    )
+    logp = dict(vocab)
+    # 'the' and 'cat' are frequent -> must be single pieces, and Viterbi
+    # must prefer them over char-by-char segmentation
+    assert "the" in logp and "cat" in logp
+    pieces, score = _viterbi("thecat", logp, 6)
+    assert pieces == ["the", "cat"]
+    char_score = sum(logp[c] for c in "thecat")
+    assert score > char_score
