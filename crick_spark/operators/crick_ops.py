@@ -302,6 +302,99 @@ def spacesaving_topk(
     return sketch_aggregate(df, ops, cols, by, finalize, schema)
 
 
+def spacesaving_decayed_topk(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    k: int,
+    by: list[str] | None = None,
+    half_life_days: float = 7.0,
+    capacity: int = 20,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-decayed heavy hitters (round 6) — the SpaceSaving
+    analog of ``tdigest_decayed_quantiles`` (crick ``TDigest.scale``,
+    tdigest.pyx:326-340): per-day SpaceSaving partials, each scaled by
+    ``0.5^(age_days/half_life)`` at merge (count AND error scale — the
+    bound stays conservative), Cafaro-merged oldest-first, then top-k.
+    Recent items dominate the ranking; stale ones fade instead of
+    falling off a cliff.
+
+    Emits (by…, item, decayed_cnt, err_bound) with
+    ``actual_decayed ≤ decayed_cnt ≤ actual_decayed + err_bound`` —
+    verified against the exact decayed rollup in the registry gate.
+    Same 100 TB shape as the quantile twin: two-phase agg produces
+    groups × days sketch rows (KBs), the ref day comes from an in-plan
+    window over that tiny relation, and only capacity-bounded counters
+    ever reach the final fold."""
+    from pyspark.sql.window import Window
+
+    by = by or []
+    item_field = StructField("item", df.schema[col].dataType)
+    day = F.to_date(F.col(ts_col))
+
+    def build(pdf: pd.DataFrame) -> SpaceSaving:
+        counts = pdf[count_col].to_numpy(np.int64) if count_col else None
+        return SpaceSaving.from_batch(
+            pdf[col].to_numpy(), counts, capacity=capacity
+        )
+
+    ops = SketchOps(build=build, merge=lambda a, b: a.merge(b))
+    cols = [col] + ([count_col] if count_col else [])
+    partials = partial_sketches(
+        df.withColumn("__day__", day), ops, cols, by + ["__day__"]
+    )
+    partials = partials.withColumn(
+        "__ref_day__", F.max("__day__").over(Window.partitionBy(F.lit(1)))
+    )
+    schema = StructType(
+        [
+            item_field,
+            StructField("decayed_cnt", DoubleType()),
+            StructField("err_bound", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [partials.schema[kcol] for kcol in by] + list(schema.fields)
+    )
+    hl = float(half_life_days)
+
+    def merge_decayed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic fold order (cf. tdigest_decayed_quantiles)
+        pdf = pdf.assign(__blob__=pdf["sketch"].map(bytes)).sort_values(
+            ["__day__", "__blob__"], kind="stable"
+        )
+        merged = None
+        ref_day = pdf["__ref_day__"].iloc[0]
+        for _, r in pdf.iterrows():
+            age = (ref_day - r["__day__"]).days
+            sk = pickle.loads(bytes(r["sketch"])).scale(0.5 ** (age / hl))
+            merged = sk if merged is None else merged.merge(sk)
+        rows = merged.topk(k)
+        res = pd.DataFrame(rows, columns=["item", "decayed_cnt", "err_bound"])
+        for i, kname in enumerate(by):
+            res.insert(i, kname, pdf[kname].iloc[0])
+        return res
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge_decayed, out_schema)
+    from pyspark.sql.types import IntegerType
+
+    from crick_spark.operators.sketch_agg import GROUP_KEY
+
+    grouped = partials.withColumn(GROUP_KEY, F.lit(1)).groupBy(GROUP_KEY)
+    out_g = StructType(
+        [StructField(GROUP_KEY, IntegerType())] + list(schema.fields)
+    )
+
+    def merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = merge_decayed(pdf)
+        res.insert(0, GROUP_KEY, 1)
+        return res
+
+    return grouped.applyInPandas(merge_global, out_g).drop(GROUP_KEY)
+
+
 # ---------------------------------------------------------------------------
 # Moments (SummaryStats)
 # ---------------------------------------------------------------------------

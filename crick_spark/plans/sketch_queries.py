@@ -1120,3 +1120,90 @@ def kmv_setops_users(spark, sf_dir):
             "inter_within_bound"
         ),
     )
+
+
+@register(
+    "spacesaving_decayed_topk",
+    oracle="""
+SELECT TRUE AS exact_when_capacity_covers,
+       TRUE AS topk_within_bounds,
+       TRUE AS decay_downweights_old
+""",
+    doc="Round-6 decayed heavy hitters, hash-matched boolean oracle — "
+    "the SpaceSaving analog of tdigest_decayed_quantiles (crick "
+    "TDigest.scale, tdigest.pyx:326-340): per-day SpaceSaving partials "
+    "scaled by 0.5^(age/7d) at merge, Cafaro-folded, top-k.  Ground "
+    "truth is the EXACT decayed rollup computed in-plan (groupBy day, "
+    "in-plan max-day window, sum(cnt*0.5^(age/7)) — all JVM "
+    "expressions).  Booleans: with capacity covering the item domain "
+    "the estimate equals the exact decayed count (error 0); with a "
+    "deliberately tight capacity every recovered item still satisfies "
+    "exact <= cnt AND cnt <= exact + err_bound (the scaled "
+    "overestimate invariant); and total decayed mass is strictly below "
+    "the raw row count (decay actually applied).",
+)
+def spacesaving_decayed_topk_q(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from crick_spark.operators.crick_ops import spacesaving_decayed_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    byday = ev.groupBy(
+        F.col("event_type").alias("item"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(F.lit(1))
+    exact = (
+        byday.withColumn("ref", F.max("day").over(w))
+        .groupBy("item")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.pow(F.lit(0.5), F.datediff("ref", "day") / F.lit(7.0))
+            ).alias("exact_decayed")
+        )
+    )
+    wide = spacesaving_decayed_topk(
+        ev, "event_type", "ts", k=50, capacity=64, half_life_days=7.0
+    )
+    tight = spacesaving_decayed_topk(
+        ev, "event_type", "ts", k=3, capacity=4, half_life_days=7.0
+    )
+    tol = 1e-6
+    wide_ok = (
+        wide.join(exact, "item")
+        .agg(
+            F.bool_and(
+                (F.col("err_bound") < F.lit(tol))
+                & (
+                    F.abs(F.col("decayed_cnt") - F.col("exact_decayed"))
+                    <= F.lit(tol) * (F.col("exact_decayed") + 1.0)
+                )
+            ).alias("exact_when_capacity_covers")
+        )
+    )
+    tight_ok = (
+        tight.join(exact, "item")
+        .agg(
+            F.bool_and(
+                (F.col("exact_decayed") <= F.col("decayed_cnt") + F.lit(tol))
+                & (
+                    F.col("decayed_cnt")
+                    <= F.col("exact_decayed") + F.col("err_bound") + F.lit(tol)
+                )
+            ).alias("topk_within_bounds")
+        )
+    )
+    decayed_less = (
+        wide.agg(F.sum("decayed_cnt").alias("mass"))
+        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("n"))))
+        .select((F.col("mass") < F.col("n")).alias("decay_downweights_old"))
+    )
+    return (
+        wide_ok.crossJoin(F.broadcast(tight_ok))
+        .crossJoin(F.broadcast(decayed_less))
+        .select(
+            "exact_when_capacity_covers",
+            "topk_within_bounds",
+            "decay_downweights_old",
+        )
+    )

@@ -109,6 +109,27 @@ class SpaceSaving:
     def size(self) -> int:
         return len(self.counters)
 
+    # -- decay (family extension: the SpaceSaving analog of
+    # crick TDigest.scale, tdigest.pyx:326-340 'exponential decay of
+    # windows'; crick's SpaceSaving has no scale — ours completes the
+    # symmetry so decayed heavy hitters compose with the two-phase
+    # distributed merge exactly like decayed quantiles) -----------------
+    def scale(self, factor: float) -> "SpaceSaving":
+        """New sketch with every count AND error multiplied by
+        ``factor`` (0 < factor ≤ 1).  Counts become floats; the
+        overestimate invariant actual ≤ count ≤ actual + error is
+        preserved because both sides of each bound scale linearly, and
+        scaling before a Cafaro merge equals scaling the merged result
+        (the merge is linear in counts/errors)."""
+        f = float(factor)
+        if not 0.0 < f <= 1.0:
+            raise ValueError("scale factor must be in (0, 1]")
+        out = SpaceSaving(capacity=self.capacity)
+        out.counters = {
+            item: (c * f, e * f) for item, (c, e) in self.counters.items()
+        }
+        return out
+
 
 def _ord(item):
     """Deterministic tie-break key across item types."""

@@ -542,3 +542,73 @@ def test_empirical_cdf_skips_null_and_nan(spark):
     )
     got = df.agg(empirical_cdf_at(F.col("v"), 2.0).alias("c")).collect()[0]["c"]
     assert got == 0.5
+
+
+def test_spacesaving_scale_kernel():
+    """SpaceSaving.scale (round 6): counts and errors scale linearly,
+    the overestimate invariant survives, and scaling commutes with the
+    Cafaro merge when both sides share the factor."""
+    import pytest as _pytest
+
+    from crick_spark.sketches.spacesaving import SpaceSaving
+
+    a = SpaceSaving.from_batch(
+        np.array(["x"] * 6 + ["y"] * 3 + ["z"] * 2), capacity=2
+    )
+    half = a.scale(0.5)
+    for item, (c, e) in a.counters.items():
+        hc, he = half.counters[item]
+        assert hc == c * 0.5 and he == e * 0.5
+    b = SpaceSaving.from_batch(np.array(["x"] * 4 + ["w"] * 5), capacity=2)
+    lhs = a.scale(0.25).merge(b.scale(0.25)).counters
+    rhs = a.merge(b).scale(0.25).counters
+    assert lhs == rhs
+    with _pytest.raises(ValueError):
+        a.scale(0.0)
+    with _pytest.raises(ValueError):
+        a.scale(1.5)
+
+
+def test_spacesaving_decayed_topk_partition_invariance(spark):
+    """Decayed top-k is partition-invariant when capacity covers the
+    per-day item domain (partials are exact), and bound-respecting
+    under a tight capacity for every partitioning."""
+    import datetime
+
+    from crick_spark.operators.crick_ops import spacesaving_decayed_topk
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    i = 0
+    for day, spec in enumerate([("a", 30), ("b", 10), ("a", 5), ("c", 20)]):
+        item, n = spec
+        for _ in range(n):
+            rows.append((i, base + datetime.timedelta(days=day), item))
+            i += 1
+        rows.append((i, base + datetime.timedelta(days=day), "filler"))
+        i += 1
+    df = spark.createDataFrame(rows, "id long, ts timestamp, item string")
+
+    def run(parts, capacity, k=10):
+        out = spacesaving_decayed_topk(
+            df.repartition(parts), "item", "ts", k=k,
+            capacity=capacity, half_life_days=2.0,
+        ).collect()
+        return [(r["item"], round(r["decayed_cnt"], 9), round(r["err_bound"], 9)) for r in out]
+
+    assert run(1, 16) == run(13, 16)
+    # exact decayed ground truth with half-life 2d, ref day = day 3
+    exact = {
+        "a": 30 * 0.5 ** (3 / 2) + 5 * 0.5 ** (1 / 2),
+        "b": 10 * 0.5 ** (2 / 2),
+        "c": 20.0,
+        "filler": 0.5 ** 1.5 + 0.5 ** 1 + 0.5 ** 0.5 + 1,
+    }
+    got = dict((it, (c, e)) for it, c, e in run(1, 16))
+    for it, ex in exact.items():
+        c, e = got[it]
+        assert abs(c - ex) < 1e-6 and e < 1e-9, (it, c, ex)
+    # tight capacity: bounds hold under any partitioning
+    for parts in (1, 7):
+        for it, c, e in run(parts, 2, k=2):
+            assert exact[it] <= c + 1e-6 <= exact[it] + e + 2e-6, (it, c, e)
