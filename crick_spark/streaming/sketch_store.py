@@ -49,12 +49,24 @@ class SketchStore:
         key_col: str = "user_id",
         by: list[str] | None = None,
         lg_k: int = 14,
+        retention_days: int | None = None,
+        ts_col: str = "ts",
     ):
+        """``retention_days`` (round 6): when set, state is kept as
+        PER-DAY partials (day from ``ts_col``) and every fold drops days
+        older than ``max_day - retention_days + 1`` — the store's size
+        is bounded at groups × retention_days sketch rows no matter how
+        long the stream replays, and reads answer over the sliding
+        window.  When None (default) the store keeps one merged sketch
+        per group — the all-time aggregate, the pre-round-6 behavior.
+        Same per-day-partial layout as ``tdigest_decayed_quantiles``."""
         self.base = base_dir
         self.value_col = value_col
         self.key_col = key_col
         self.by = by or ["event_type"]
         self.lg_k = lg_k
+        self.retention_days = retention_days
+        self.ts_col = ts_col
         self._td_paths = [f"{base_dir}/td_a", f"{base_dir}/td_b"]
         self._hll_paths = [f"{base_dir}/hll_a", f"{base_dir}/hll_b"]
         self._meta = f"{base_dir}/meta"
@@ -102,24 +114,47 @@ class SketchStore:
         # need not be contiguous (fold(0) then fold(2) is fine); a
         # crash-retry of the same batch re-targets the same free path
         flip = 0 if td_cur != self._td_paths[0] else 1
-        td_new = tdigest_agg(batch_df, self.value_col, by=self.by)
+        retained = self.retention_days is not None
+        if retained:
+            batch_df = batch_df.withColumn(
+                "__day__", F.to_date(F.col(self.ts_col))
+            )
+        td_by = self.by + (["__day__"] if retained else [])
+        td_new = tdigest_agg(batch_df, self.value_col, by=td_by)
         if td_cur is not None:
             td_new = s.read.parquet(td_cur).unionByName(td_new)
         compact = merge_sketches(
-            td_new, _MERGE_OPS, self.by, _to_blob, _BLOB_SCHEMA
+            td_new, _MERGE_OPS, td_by, _to_blob, _BLOB_SCHEMA
         )
-        td_t = self._td_paths[flip]
-        compact.write.mode("overwrite").parquet(td_t)
-        hll_new = batch_df.groupBy(*self.by).agg(
+        hll_new = batch_df.groupBy(*td_by).agg(
             F.hll_sketch_agg(self.key_col, F.lit(self.lg_k)).alias("hsk")
         )
         if hll_cur is not None:
             hll_new = (
                 s.read.parquet(hll_cur)
                 .unionByName(hll_new)
-                .groupBy(*self.by)
+                .groupBy(*td_by)
                 .agg(F.hll_union_agg("hsk").alias("hsk"))
             )
+        if retained:
+            # sliding-window TTL: drop day-partials older than the newest
+            # retained day, via an in-plan max-day window over the tiny
+            # partial relation (groups × days rows) — no driver collect.
+            # State is bounded at groups × retention_days rows forever.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(F.lit(1))
+            keep = F.datediff(
+                F.max("__day__").over(w), F.col("__day__")
+            ) < F.lit(int(self.retention_days))
+            compact = compact.withColumn("__keep__", keep).where(
+                "__keep__"
+            ).drop("__keep__")
+            hll_new = hll_new.withColumn("__keep__", keep).where(
+                "__keep__"
+            ).drop("__keep__")
+        td_t = self._td_paths[flip]
+        compact.write.mode("overwrite").parquet(td_t)
         hll_t = self._hll_paths[flip]
         hll_new.write.mode("overwrite").parquet(hll_t)
         # append-only commit marker: the new row lands (or doesn't) via
@@ -146,10 +181,16 @@ class SketchStore:
         )
 
     def hll_estimates(self, spark: SparkSession) -> DataFrame:
-        """(by…, est_stream) from the stored HLL registers."""
+        """(by…, est_stream) from the stored HLL registers (per-day
+        partials union-agg per group first under retention — HLL union
+        is lossless, so the windowed estimate equals a direct HLL over
+        the retained days)."""
         _, _, hll_final = self.read_meta(spark)
         if hll_final is None:
             raise ValueError("sketch store is empty: no committed batches")
-        return spark.read.parquet(hll_final).select(
+        df = spark.read.parquet(hll_final)
+        if self.retention_days is not None:
+            df = df.groupBy(*self.by).agg(F.hll_union_agg("hsk").alias("hsk"))
+        return df.select(
             *self.by, F.hll_sketch_estimate("hsk").alias("est_stream")
         )

@@ -220,3 +220,53 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Star-join pruning at 100 TB: when the partition-column value set
+    comes from a FILTERED DIMENSION (not a literal), static pruning
+    can't fire — the fact scan must instead carry a
+    dynamicpruningexpression PartitionFilter fed by the dim's broadcast
+    (DPP).  Round-6 proof: the partitioned orders fact joined to a
+    3-row year dim filtered on a non-partition column."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from crick_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    base = str(tmp_path / "orders_by_year")
+    o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [(1995, "target"), (1996, "other"), (1997, "other")],
+        "d_year int, tag string",
+    )
+    j = (
+        fact.join(dim, fact["o_year"] == dim["d_year"])
+        .where(F.col("tag") == "target")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    text = buf.getvalue()
+    pf = [l for l in text.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruningexpression" in l for l in pf), (
+        "fact scan lost its dynamic partition filter:\n" + "\n".join(pf)
+    )
+    # and the pruned result is still correct vs a plain filter
+    expect = {
+        (r["o_orderpriority"], r["count"])
+        for r in o.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    got = {(r["o_orderpriority"], r["count"]) for r in j.collect()}
+    assert got == expect

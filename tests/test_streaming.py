@@ -490,3 +490,55 @@ def test_sketch_store_meta_is_append_only(spark, tmp_path):
 
     rows = log.where(F.col("batch_id") < 2).collect()
     assert {r["batch_id"] for r in rows} == {0, 1}
+
+
+def test_sketch_store_retention_bounds_state(spark, tmp_path):
+    """Round-6 sliding-window TTL: with retention_days=3 a 6-day replay
+    keeps at most groups x 3 day-partial rows on disk (state bounded
+    under arbitrarily long replays), and the final digests/HLL answer
+    EXACTLY over the retained window (digest mass = retained row count;
+    HLL union over day-partials = direct HLL — lossless)."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from crick_spark.streaming.sketch_store import SketchStore
+
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    store = SketchStore(
+        str(tmp_path / "store"), by=["event_type"], retention_days=3
+    )
+
+    def batch(day, rows):
+        return spark.createDataFrame(
+            [
+                ("a", float(v), uid, base + datetime.timedelta(days=day))
+                for v, uid in rows
+            ],
+            "event_type string, value double, user_id long, ts timestamp",
+        )
+
+    all_rows = {}
+    for day in range(6):
+        rows = [(day * 10 + i, 100 + day * 2 + (i % 2)) for i in range(day + 2)]
+        all_rows[day] = rows
+        assert store.fold(batch(day, rows), day) is True
+
+    bid, td_path, _ = store.read_meta(spark)
+    assert bid == 5
+    stored = spark.read.parquet(td_path)
+    days_on_disk = [r["__day__"] for r in stored.select("__day__").distinct().collect()]
+    assert len(days_on_disk) == 3  # days 3,4,5 only — state bounded
+    assert min(days_on_disk).day == 4  # 2024-05-01 + 3 days
+
+    retained = [v for day in (3, 4, 5) for v in all_rows[day]]
+    schema = StructType([StructField("mass", DoubleType())])
+    mass = store.digests(
+        spark, lambda sk: pd.DataFrame([{"mass": float(sk.size())}]), schema
+    ).collect()[0]["mass"]
+    assert mass == float(len(retained))
+    est = store.hll_estimates(spark).collect()[0]["est_stream"]
+    assert round(est) == len({uid for _, uid in retained})
+    # replay fencing still active under retention
+    assert store.fold(batch(5, all_rows[5]), 5) is False
