@@ -129,6 +129,16 @@ R4_EXTRA = [
     "split_balance_check",
     "conversion_latency_quantiles",
     "snapshot_roundtrip_orders",
+    # round-6 additions: bulk ANN (one job per PANEL, not per query),
+    # batched BPE + unigram-LM trainers, decayed heavy hitters.  The
+    # twin gate queries (recall/invariant booleans, batched-vs-
+    # sequential comparisons) run in the correctness harness, not here —
+    # bench times the production shapes.
+    "knn_bulk_bruteforce",
+    "knn_lsh_bulk",
+    "bpe_train_documents",
+    "unigram_lm_vocab_documents",
+    "spacesaving_decayed_topk",
 ]
 
 

@@ -350,6 +350,26 @@ def lsh_bulk_topk(
         .distinct()
     )
 
+    return _bulk_rerank(
+        cand, queries, corpus, k, query_id_col, id_col, vec_col,
+        broadcast_queries,
+    )
+
+
+def _bulk_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    vec_col: str,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Shared exact-rerank stage of every bulk ANN path: candidate
+    (query, id) pairs re-join the corpus for vectors and the query panel
+    for query vectors, then ONE grouped Arrow matmul per query id emits
+    top-k with the engine-wide tie-break (cosine desc, id asc)."""
     qpanel = queries.select(query_id_col, F.col(vec_col).alias("__qv__"))
     if broadcast_queries:
         qpanel = F.broadcast(qpanel)
@@ -383,6 +403,55 @@ def lsh_bulk_topk(
 
     return with_vecs.groupBy(query_id_col).applyInPandas(
         rerank, schema=out_schema
+    )
+
+
+def ivf_bulk_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Bulk IVF ANN (round 6): the whole query panel resolves in ONE job
+    — each query's ``nprobe`` nearest centroids come from one Arrow
+    matmul kernel (no driver-side per-query argsort loop), explode to
+    (query, cluster) probe rows, equi-join the cluster-indexed corpus,
+    grouped exact rerank.  The bulk twin of ``ivf_ann_topk`` exactly as
+    ``lsh_bulk_topk`` is of ``lsh_ann_topk``; at 100 TB the corpus side
+    is the write-time cluster-partitioned layout, so the probe join
+    reads only the probed clusters' files."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+    np_ = int(nprobe)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cn.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    query_probes = queries.select(
+        query_id_col, F.explode(probes(F.col(vec_col))).alias("ivf_cluster")
+    )
+    if broadcast_queries:
+        query_probes = F.broadcast(query_probes)
+    indexed = ivf_index(corpus.select(id_col, vec_col), centroids, vec_col)
+    cand = query_probes.join(indexed, "ivf_cluster").select(
+        query_id_col, id_col
+    )
+    return _bulk_rerank(
+        cand, queries, corpus, k, query_id_col, id_col, vec_col,
+        broadcast_queries,
     )
 
 

@@ -921,6 +921,81 @@ def knn_ivf_recall_vs_exact(spark, sf_dir):
 
 
 @register(
+    "knn_ivf_bulk_recall",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
+""",
+    doc="Bulk-IVF quality gate, hash-matched boolean oracle (round 6 — "
+    "the IVF twin of knn_lsh_bulk_recall, NO per-query driver loop): "
+    "each query's nprobe=6 nearest centroids come from one Arrow matmul "
+    "kernel, probes equi-join the cluster-indexed corpus, grouped exact "
+    "rerank; compared against the bulk exact panel.  Thresholds follow "
+    "knn_ivf_recall_vs_exact (>=0.2 per query, >=0.5 average); "
+    "per-query-path equivalence asserted in tests/test_pipeline.py.",
+)
+def knn_ivf_bulk_recall(spark, sf_dir):
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=16, n_iter=5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    exact = bulk_cosine_topk(queries, emb, k=10).select("query_id", "vec_id")
+    ann = ivf_bulk_topk(queries, emb, centroids, k=10, nprobe=6).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / 10.0).alias("recall"))
+    )
+    panel = queries.select("query_id")
+    full = panel.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+    per_query = full.select(
+        "query_id", (F.col("recall") >= 0.2).alias("recall_ok")
+    )
+    overall = full.agg(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        (F.avg("recall") >= 0.5).alias("recall_ok"),
+    )
+    return per_query.unionByName(overall)
+
+
+@register(
+    "knn_graph_embeddings",
+    doc="kNN graph over the whole embedding corpus (rows-only headline; "
+    "hash path): the corpus queries ITSELF through the bulk LSH join — "
+    "one job builds every vector's top-6 neighbor list (self-match "
+    "dropped in-plan), the primitive under semantic dedup, "
+    "decontamination, and graph-based curation.  At 100 TB the probe "
+    "side is the same corpus scan, so the join stays bucket-sparse "
+    "(candidates per vector ~ bucket occupancy x tables), never n^2.  "
+    "Quality twin: knn_lsh_bulk_recall (same bucket join + rerank "
+    "kernel).",
+)
+def knn_graph_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    g = lsh_bulk_topk(
+        queries, emb, k=7, nbits=6, num_tables=8, broadcast_queries=False
+    )
+    return (
+        g.where(F.col("query_id") != F.col("vec_id"))
+        .where(F.col("rank") <= 6)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+@register(
     "chunk_documents",
     oracle=r"""
 WITH w AS (

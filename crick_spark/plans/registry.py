@@ -76,10 +76,18 @@ _GATE_WINDOW = [
     "summary_stats_extendedprice",
     "summary_stats_by_returnflag",
     "percentile_events_value",
-    "percentile_quantity_by_returnflag",
+    # r6: percentile_quantity_by_returnflag rotated out (second exact
+    # percentile variant in-window; still oracle-checked outside) for the
+    # batched-BPE trainer gate — batched == sequential greedy, frequency
+    # monotonicity, and the job-count drop become driver-visible
+    "bpe_train_batched_documents",
     "cdf_events_value",
     "histogram_quantity",
-    "topk_event_types",
+    # r6: topk_event_types rotated out (second exact top-k in-window;
+    # still oracle-checked outside) for decayed heavy hitters — the
+    # SpaceSaving.scale analog of tdigest decay, bound-checked against
+    # the exact in-plan decayed rollup
+    "spacesaving_decayed_topk",
     "topk_users_by_events",
     # r5: topk_parts_per_brand rotated out (third exact top-k variant
     # in-window; still oracle-checked outside) for the end-to-end
@@ -110,14 +118,22 @@ _GATE_WINDOW = [
     "join_types_customer_orders",
     "bucketed_join_order_totals",
     "partition_pruned_scan",
-    "json_props_rollup",
+    # r6: json_props_rollup rotated out (second scalar-function rollup
+    # in-window; still oracle-checked outside) for the unigram-LM
+    # trainer gate — normalization/EM-monotonicity/coverage/determinism
+    # of the second tokenizer family become driver-visible
+    "unigram_lm_invariants",
     "moments_bias_corrected",
     "cube_orders_status_priority",
     # r4: histogram_value_by_event_type rotated out (third histogram
     # variant in-window; still oracle-checked outside) for the ANN
     # recall gate — quality of the approximate path becomes
     # driver-visible, not just tested
-    "knn_lsh_recall_vs_exact",
+    # r6: knn_lsh_recall_vs_exact rotated out for its BULK twin (same
+    # LSH quality gate, but the whole panel resolves in ONE job via the
+    # bucket equi-join — the per-query loop form stays oracle-checked
+    # outside the window)
+    "knn_lsh_bulk_recall",
     "weighted_moments_price",
     # r5: equidepth_histogram_value rotated out (third histogram variant
     # in-window; still oracle-checked outside) for the sketch
@@ -149,7 +165,10 @@ _GATE_WINDOW = [
     "dedup_exact_documents",
     "jaccard_ngram_dup_pairs",
     "lang_id_documents",
-    "knn_bruteforce_cosine",
+    # r6: knn_bruteforce_cosine rotated out for its BULK superset — the
+    # 5-query exact panel value-oracled per (query, rank) pair includes
+    # the old single-query result as query_id 0
+    "knn_bulk_bruteforce",
     # temporal joins (round-2 NTZ regression site — keep driver-visible)
     "asof_join_events_orders",
     "range_join_event_pairs",

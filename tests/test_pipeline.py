@@ -1277,3 +1277,35 @@ def test_unigram_lm_em_monotone_and_segmentation(spark):
     assert pieces == ["the", "cat"]
     char_score = sum(logp[c] for c in "thecat")
     assert score > char_score
+
+
+def test_ivf_bulk_matches_per_query_on_panel(spark):
+    """Bulk IVF (one job) must return EXACTLY the per-query IVF path's
+    top-k for every query on a 10-query panel — same centroids, same
+    probe count, same rerank tie-break."""
+    from crick_spark.pipeline.similarity import (
+        ivf_ann_topk,
+        ivf_bulk_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = train_ivf_centroids(emb, k=16, n_iter=5)
+    n_queries, k = 10, 10
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bulk = ivf_bulk_topk(queries, emb, centroids, k=k, nprobe=6).collect()
+    by_q = {}
+    for r in sorted(bulk, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < n_queries).collect()
+    }
+    for qid, qv in qvecs.items():
+        per = [
+            r["vec_id"]
+            for r in ivf_ann_topk(emb, qv, centroids, k=k, nprobe=6).collect()
+        ]
+        assert by_q[qid] == per, f"query {qid}: bulk {by_q[qid]} != per {per}"
