@@ -136,6 +136,8 @@ R4_EXTRA = [
     # bench times the production shapes.
     "knn_bulk_bruteforce",
     "knn_lsh_bulk",
+    "knn_graph_embeddings",
+    "semantic_decontaminate_embeddings",
     "bpe_train_documents",
     "unigram_lm_vocab_documents",
     "spacesaving_decayed_topk",

@@ -599,6 +599,12 @@ def ivf_ann_topk(
 # ---------------------------------------------------------------------------
 # Scalar (int8) quantization: the memory-scale path for 100 TB ANN
 # ---------------------------------------------------------------------------
+def _half_up(x: float) -> int:
+    """ROUND_HALF_UP (away from zero) — Spark's F.round semantics, so
+    driver-side query codes match JVM-side corpus codes exactly."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
 def quantization_params(emb: DataFrame, vec_col: str = "embedding") -> tuple[float, float]:
     """Global symmetric int8 range: one tiny aggregate over per-row
     min/max (array ops, codegen) — broadcast back as literals."""
@@ -638,7 +644,10 @@ def quantized_cosine_topk(
     pool; recall vs exact is asserted in tests."""
     lo, hi = quantization_params(emb, vec_col)
     mid, half = (hi + lo) / 2.0, (hi - lo) / 2.0 or 1.0
-    qcodes = [int(round((float(v) - mid) / half * 127)) for v in query_vec]
+    # HALF_UP to match quantize_expr's F.round (Python's round() is
+    # banker's/HALF_EVEN — boundary codes would differ from the
+    # corpus-side and bulk encodings)
+    qcodes = [_half_up((float(v) - mid) / half * 127) for v in query_vec]
     qlit = F.array(*[F.lit(c) for c in qcodes])
     coded = emb.select(
         id_col,
@@ -669,6 +678,102 @@ def quantized_cosine_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def quantized_bulk_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk int8-quantized ANN (round 6 — completes the bulk family):
+    ONE corpus scan scores every (query, row) pair on int8 codes (¼ the
+    scan bytes — the 100 TB memory play, amortized over the whole panel
+    instead of re-scanned per query), a per-query window keeps the
+    ``rerank_factor·k`` shortlist, and the shared ``_bulk_rerank``
+    finishes with exact cosine.  Query codes come from the same
+    ``quantize_expr`` as the corpus (one quantization contract, HALF_UP
+    rounding both sides).  Returns (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    lo, hi = quantization_params(corpus, vec_col)
+    qpanel = F.broadcast(
+        queries.select(
+            query_id_col,
+            quantize_expr(F.col(vec_col), lo, hi).alias("__qcodes__"),
+        )
+    )
+    coded = corpus.select(
+        id_col, quantize_expr(F.col(vec_col), lo, hi).alias("codes")
+    )
+    scored = coded.crossJoin(qpanel).select(
+        query_id_col,
+        id_col,
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("__qcodes__"), lambda x, y: (x * y).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qscore"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qscore"), F.col(id_col).asc()
+    )
+    pool = (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= int(rerank_factor) * int(k))
+        .select(query_id_col, id_col)
+    )
+    return _bulk_rerank(
+        pool, queries, corpus, k, query_id_col, id_col, vec_col, True
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (round 6) — the
+    semantic twin of ``dedup.decontaminate``: flag corpus items whose
+    max cosine to ANY eval/benchmark vector reaches ``threshold``,
+    catching paraphrased eval leakage that shares no n-grams.
+
+    Returns (id, max_eval_cosine, contaminated) for every corpus row.
+
+    100 TB shape: the eval side is benchmarks — tiny by construction —
+    so it BROADCASTS and the whole check is one corpus scan with
+    |eval| JVM dot products per row and a map-side max rollup; no
+    shuffle of the corpus, no UDF, fully SQL-oracle-able.  For huge eval
+    panels swap the scan for ``lsh_bulk_topk(eval, corpus)`` and flag
+    bucket-join survivors (the documented sub-quadratic path)."""
+    t = float(threshold)
+    ev = F.broadcast(
+        eval_embeddings.select(
+            F.col(vec_col).alias("__ev__"),
+            norm_expr(F.col(vec_col)).alias("__evn__"),
+        )
+    )
+    cos = dot_expr(F.col(vec_col), F.col("__ev__")) / (
+        norm_expr(F.col(vec_col)) * F.col("__evn__")
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(ev)
+        .groupBy(id_col)
+        .agg(F.max(cos).alias("max_eval_cosine"))
+        .select(
+            id_col,
+            F.round("max_eval_cosine", 6).alias("max_eval_cosine"),
+            (F.col("max_eval_cosine") >= t).alias("contaminated"),
+        )
     )
 
 

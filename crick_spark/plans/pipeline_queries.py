@@ -1209,6 +1209,83 @@ def knn_quantized_ann(spark, sf_dir):
 
 
 @register(
+    "knn_quantized_bulk_recall",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
+""",
+    doc="Bulk int8-quantized ANN gate (round 6 — completes the bulk "
+    "family: every ANN path now has a one-job panel form): ONE corpus "
+    "scan scores all (query, row) int8 dots, per-query window shortlist, "
+    "shared exact rerank; vs the bulk exact panel.  Per-query twin "
+    "measured 1.0 recall; asserted >=0.6 per query, >=0.8 average.",
+)
+def knn_quantized_bulk_recall(spark, sf_dir):
+    from crick_spark.pipeline.similarity import quantized_bulk_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    exact = bulk_cosine_topk(queries, emb, k=10).select("query_id", "vec_id")
+    ann = quantized_bulk_topk(queries, emb, k=10).select("query_id", "vec_id")
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / 10.0).alias("recall"))
+    )
+    panel = queries.select("query_id")
+    full = panel.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+    per_query = full.select(
+        "query_id", (F.col("recall") >= 0.6).alias("recall_ok")
+    )
+    overall = full.agg(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        (F.avg("recall") >= 0.8).alias("recall_ok"),
+    )
+    return per_query.unionByName(overall)
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    oracle="""
+WITH ev AS (SELECT embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT e.vec_id,
+         max(
+           list_sum(list_transform(list_zip(e.embedding, ev.qe),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(ev.qe, x -> CAST(x AS DOUBLE) * x))))
+         ) AS mx
+  FROM embeddings e, ev
+  GROUP BY e.vec_id
+)
+SELECT vec_id, round(mx, 6) AS max_eval_cosine, mx >= 0.8 AS contaminated
+FROM scored
+""",
+    doc="Embedding-space benchmark decontamination (round 6) — the "
+    "semantic twin of decontaminate_documents: max cosine of every "
+    "corpus vector to a broadcast 5-vector 'benchmark' panel, flagged "
+    "at 0.8.  Catches paraphrased eval leakage that shares no n-grams.  "
+    "FULLY value-oracled per corpus row (max cosine + flag reproduce "
+    "exactly in DuckDB).  100 TB shape: eval panels are tiny by "
+    "construction -> broadcast + map-side max rollup, one corpus scan, "
+    "no shuffle; huge panels swap in lsh_bulk_topk bucket joins.",
+)
+def semantic_decontaminate_embeddings(spark, sf_dir):
+    from crick_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") < 5)
+    return semantic_decontaminate(emb, ev, threshold=0.8)
+
+
+@register(
     "pii_redact_documents",
     oracle=r"""
 WITH enriched AS (

@@ -1309,3 +1309,54 @@ def test_ivf_bulk_matches_per_query_on_panel(spark):
             for r in ivf_ann_topk(emb, qv, centroids, k=k, nprobe=6).collect()
         ]
         assert by_q[qid] == per, f"query {qid}: bulk {by_q[qid]} != per {per}"
+
+
+def test_quantized_bulk_matches_per_query_on_panel(spark):
+    """Bulk quantized ANN (one corpus scan for the whole panel) must
+    return EXACTLY the per-query quantized path's top-k — same
+    quantization contract (HALF_UP both sides), same shortlist rule,
+    same rerank tie-break."""
+    from crick_spark.pipeline.similarity import (
+        quantized_bulk_topk,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_queries, k = 10, 10
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bulk = quantized_bulk_topk(queries, emb, k=k).collect()
+    by_q = {}
+    for r in sorted(bulk, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < n_queries).collect()
+    }
+    for qid, qv in qvecs.items():
+        per = [
+            r["vec_id"] for r in quantized_cosine_topk(emb, qv, k=k).collect()
+        ]
+        assert by_q[qid] == per, f"query {qid}: bulk {by_q[qid]} != per {per}"
+
+
+def test_semantic_decontaminate_flags_eval_members(spark):
+    """Every eval-panel member must flag itself (cosine 1.0 to itself);
+    max_eval_cosine must match a numpy oracle on the full corpus."""
+    from crick_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ev = emb.where(F.col("vec_id") < 5)
+    out = semantic_decontaminate(emb, ev, threshold=0.8).toPandas()
+    assert len(out) == emb.count()
+    flagged = set(out[out["contaminated"]]["vec_id"])
+    assert set(range(5)) <= flagged
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    evm = mn[ids < 5]
+    expect = (mn @ evm.T).max(axis=1)
+    got = out.set_index("vec_id").loc[ids]["max_eval_cosine"].to_numpy()
+    assert np.allclose(got, np.round(expect, 6), atol=2e-6)
