@@ -583,3 +583,135 @@ def cms_join_size(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return pair.mapInPandas(combine, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (family extension — not in crick; same contract)
+# ---------------------------------------------------------------------------
+def _bloom_ops(n_bits: int, n_hashes: int) -> SketchOps:
+    """Kernel adapter shared by every Bloom entry point (the _cms_ops
+    pattern): builds from the JVM-hashed ``__bloom_key__`` column."""
+    from crick_spark.sketches.bloom import BloomFilter
+
+    def build(pdf: pd.DataFrame) -> "BloomFilter":
+        return BloomFilter.from_batch(
+            pdf["__bloom_key__"].to_numpy(np.int64),
+            n_bits=n_bits,
+            n_hashes=n_hashes,
+        )
+
+    return SketchOps(build=build, merge=lambda a, b: a.merge(b))
+
+
+def _bloom_key(df: DataFrame, col: str):
+    # Normalize-then-hash, for the same reason as cms_join_size: xxhash64
+    # is TYPE-sensitive and the two join sides may carry the same key at
+    # different widths.  Numeric keys route through a double cast first —
+    # the coercion Spark itself applies to a mixed-width equi-join — so
+    # bigint 2 and double 2.0 hash identically (int-vs-float was a false
+    # NEGATIVE under a bare string cast: "2" vs "2.0"); any precision loss
+    # beyond 2^53 is identical on both sides, so it can only create false
+    # positives, which the exact rebuild removes.  NULL keys never match
+    # an equi-join, so callers filter them before hashing.
+    from pyspark.sql.types import NumericType
+
+    c = F.col(col)
+    if isinstance(df.schema[col].dataType, NumericType):
+        c = c.cast("double")
+    return F.xxhash64(c.cast("string"))
+
+
+def bloom_build_bytes(
+    df: DataFrame, col: str, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> bytes:
+    """Build ONE merged Bloom filter over ``df[col]`` and return its pickled
+    bytes — per-partition partial filters, bitwise-OR merge (exact, so the
+    result is partition-invariant bit-for-bit), one-row driver fetch of
+    n_bits/8 bytes (the bounded-collect pattern: the blob is the result,
+    KBs–MBs regardless of input rows)."""
+    keyed = df.where(F.col(col).isNotNull()).select(
+        _bloom_key(df, col).alias("__bloom_key__")
+    )
+    ops = _bloom_ops(n_bits, n_hashes)
+    partials = partial_sketches(keyed, ops, ["__bloom_key__"], [])
+    blob_schema = StructType([StructField("sketch", BinaryType())])
+    merged = merge_sketches(
+        partials,
+        ops,
+        [],
+        lambda sk: pd.DataFrame([{"sketch": pickle.dumps(sk)}]),
+        blob_schema,
+    )
+    rows = merged.collect()
+    if not rows:  # empty / all-NULL build side: the empty filter
+        from crick_spark.sketches.bloom import BloomFilter
+
+        return pickle.dumps(BloomFilter(n_bits=n_bits, n_hashes=n_hashes))
+    return bytes(rows[0]["sketch"])
+
+
+def bloom_probe_column(blob: bytes, df: DataFrame, col: str):
+    """Boolean membership Column for ``df[col]`` against a pickled filter.
+
+    Arrow-batched pandas_udf; the filter is unpickled ONCE per python
+    worker (closure cache), then every batch is a vectorized numpy probe.
+    The blob ships inside the task binary — broadcast once per stage by
+    Spark, never per row.  No false negatives: a True-membership miss is
+    impossible for any key that was added on the build side."""
+    from pyspark.sql.types import BooleanType
+
+    cache: dict = {}
+
+    @F.pandas_udf(BooleanType())
+    def probe(keys: pd.Series) -> pd.Series:
+        bf = cache.get("bf")
+        if bf is None:
+            bf = cache["bf"] = pickle.loads(blob)
+        return pd.Series(bf.contains_batch(keys.to_numpy(np.int64)))
+
+    return probe(_bloom_key(df, col))
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_col: str,
+    dim: DataFrame,
+    dim_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Runtime-filtered semi join: keep fact rows whose key appears in the
+    dimension — the 100 TB join-pruning primitive.
+
+    Plan shape: (1) one bounded-state pass over the dim keys builds a
+    merged Bloom filter (n_bits/8 bytes cross the wire, never key rows);
+    (2) the fact scan is prefiltered by a vectorized membership probe, so
+    only |true matches| + fpp·N rows survive to (3) the exact left-semi
+    join that removes the false positives.  Because the filter has no
+    false negatives, the result is EXACTLY the semi join — the sketch
+    changes the plan's intermediate volume, not its answer — so this
+    operator is fully value-oracled against ``WHERE key IN (...)``.
+
+    With ``exact=False`` step (3) is skipped: the approximate contains-
+    superset form for pipelines that tolerate fpp (e.g. candidate
+    pruning), saving the dim-side shuffle entirely.
+
+    At local scale the prefilter is overhead over a broadcast hash join;
+    at 100 TB with a large-but-filterable dim it replaces a full
+    fact-side shuffle with a scan-side drop — the same trick Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects when statistics
+    allow, made explicit and statistics-independent here.
+    """
+    blob = bloom_build_bytes(dim, dim_col, n_bits=n_bits, n_hashes=n_hashes)
+    survivors = fact.where(
+        F.col(fact_col).isNotNull() & bloom_probe_column(blob, fact, fact_col)
+    )
+    if not exact:
+        return survivors
+    dim_keys = dim.where(F.col(dim_col).isNotNull()).select(dim_col)
+    return survivors.join(
+        dim_keys,
+        survivors[fact_col] == dim_keys[dim_col],
+        "left_semi",
+    )

@@ -1207,3 +1207,110 @@ def spacesaving_decayed_topk_q(spark, sf_dir):
             "decay_downweights_old",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (5th family): runtime-filtered semi join + FPR guarantee
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_semi_join_urgent_revenue",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+""",
+    doc="Runtime-filtered semi join through the Bloom family "
+    "(sketches/bloom.py): dim keys -> per-partition partial filters -> "
+    "bitwise-OR merge (exact) -> vectorized fact-scan prefilter -> exact "
+    "left-semi rebuild.  No false negatives, so the sketch changes the "
+    "intermediate volume (|matches| + fpp*N rows instead of N), never "
+    "the answer -> FULLY value-oracled against WHERE key IN (...).  "
+    "The 100 TB join-pruning primitive, statistics-independent.",
+)
+def bloom_semi_join_urgent_revenue(spark, sf_dir):
+    from crick_spark.operators.crick_ops import bloom_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    kept = bloom_semi_join(
+        lineitem, "l_orderkey", urgent, "o_orderkey", n_bits=1 << 16, n_hashes=5
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "bloom_fpr_guarantee",
+    oracle="""
+SELECT TRUE AS no_false_negatives,
+       TRUE AS fpr_ok,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )) AS n_true_match
+""",
+    doc="Bloom one-sided-error guarantee, hash-matched boolean oracle: "
+    "every true member row is flagged (zero false negatives, the property "
+    "bloom_semi_join's exact rebuild relies on), and the measured "
+    "false-positive rate over non-member fact keys stays within 2.5x the "
+    "realised-fill estimate fill^k (+1% absolute floor, so the bound is "
+    "SF-independent).  n_true_match pins the exact member-row count.",
+)
+def bloom_fpr_guarantee(spark, sf_dir):
+    import pickle as _pickle
+
+    from crick_spark.operators.crick_ops import (
+        bloom_build_bytes,
+        bloom_probe_column,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    blob = bloom_build_bytes(urgent, "o_orderkey", n_bits=1 << 16, n_hashes=5)
+    fpp_est = _pickle.loads(blob).fpp()
+    bound = max(2.5 * fpp_est, 0.01)
+
+    keys = urgent.select(F.col("o_orderkey").alias("__dim_key__")).distinct()
+    flagged = lineitem.select(
+        "l_orderkey",
+        bloom_probe_column(blob, lineitem, "l_orderkey").alias("bloom_hit"),
+    ).join(keys, F.col("l_orderkey") == F.col("__dim_key__"), "left")
+    agg = flagged.agg(
+        F.sum(
+            F.when(F.col("__dim_key__").isNotNull() & ~F.col("bloom_hit"), 1)
+            .otherwise(0)
+        ).alias("false_negs"),
+        F.sum(
+            F.when(F.col("__dim_key__").isNull() & F.col("bloom_hit"), 1)
+            .otherwise(0)
+        ).alias("false_pos"),
+        F.sum(F.when(F.col("__dim_key__").isNull(), 1).otherwise(0)).alias(
+            "n_non_members"
+        ),
+        F.sum(F.when(F.col("__dim_key__").isNotNull(), 1).otherwise(0)).alias(
+            "n_members"
+        ),
+    )
+    return agg.select(
+        (F.col("false_negs") == 0).alias("no_false_negatives"),
+        (
+            F.col("false_pos")
+            <= F.greatest(
+                F.round(F.lit(bound) * F.col("n_non_members")), F.lit(0)
+            )
+        ).alias("fpr_ok"),
+        F.col("n_members").cast("long").alias("n_true_match"),
+    )

@@ -12,3 +12,4 @@ from crick_spark.sketches.moments import Moments  # noqa: F401
 from crick_spark.sketches.tdigest import TDigest  # noqa: F401
 from crick_spark.sketches.spacesaving import SpaceSaving  # noqa: F401
 from crick_spark.sketches.cms import CountMinSketch  # noqa: F401
+from crick_spark.sketches.bloom import BloomFilter  # noqa: F401

@@ -412,3 +412,90 @@ def test_cms_inner_product_exact_beyond_float53():
     a.table[0, 0] = big
     b.table[0, 0] = big + 1
     assert a.inner_product(b) == big * (big + 1)
+
+
+class TestBloomFilter:
+    """Bloom membership kernel (crick_spark/sketches/bloom.py): one-sided
+    error, exact OR-merge, state roundtrip."""
+
+    def test_no_false_negatives(self):
+        from crick_spark.sketches.bloom import BloomFilter
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**62), 2**62, size=5_000, dtype=np.int64)
+        bf = BloomFilter.from_batch(keys, n_bits=1 << 16, n_hashes=5)
+        assert bf.contains_batch(keys).all()
+
+    def test_fpp_bounded(self):
+        from crick_spark.sketches.bloom import BloomFilter
+
+        rng = np.random.default_rng(11)
+        members = rng.integers(0, 2**62, size=4_000, dtype=np.int64)
+        bf = BloomFilter.from_batch(members, n_bits=1 << 16, n_hashes=5)
+        # disjoint probe set (negative range)
+        probes = rng.integers(-(2**62), -1, size=20_000, dtype=np.int64)
+        measured = bf.contains_batch(probes).mean()
+        expected = BloomFilter.expected_fpp(4_000, 1 << 16, 5)
+        assert measured <= max(2.5 * expected, 0.01)
+        # the realised-fill estimate agrees with the a-priori one
+        assert abs(bf.fpp() - expected) <= max(0.5 * expected, 0.005)
+
+    def test_merge_exact_and_partition_invariant(self):
+        from crick_spark.sketches.bloom import BloomFilter
+
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 2**62, size=6_000, dtype=np.int64)
+        whole = BloomFilter.from_batch(keys, n_bits=1 << 15, n_hashes=4)
+        for n_parts in (2, 3, 7):
+            parts = [
+                BloomFilter.from_batch(c, n_bits=1 << 15, n_hashes=4)
+                for c in np.array_split(keys, n_parts)
+            ]
+            merged = parts[0].merge(*parts[1:])
+            assert np.array_equal(merged.words, whole.words)
+            assert merged.n_added == whole.n_added
+
+    def test_merge_shape_mismatch_rejected(self):
+        from crick_spark.sketches.bloom import BloomFilter
+
+        a = BloomFilter(n_bits=1 << 10, n_hashes=3)
+        b = BloomFilter(n_bits=1 << 11, n_hashes=3)
+        with pytest.raises(ValueError):
+            a.merge(b)
+
+    def test_ctor_validation(self):
+        from crick_spark.sketches.bloom import BloomFilter
+
+        with pytest.raises(ValueError):
+            BloomFilter(n_bits=1000)  # not a power of two
+        with pytest.raises(ValueError):
+            BloomFilter(n_bits=1 << 10, n_hashes=0)
+
+    def test_pickle_roundtrip(self):
+        import pickle
+
+        from crick_spark.sketches.bloom import BloomFilter
+
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 2**62, size=1_000, dtype=np.int64)
+        bf = BloomFilter.from_batch(keys, n_bits=1 << 12, n_hashes=6)
+        bf2 = pickle.loads(pickle.dumps(bf))
+        assert np.array_equal(bf.words, bf2.words)
+        assert (bf2.n_bits, bf2.n_hashes, bf2.n_added) == (
+            bf.n_bits,
+            bf.n_hashes,
+            bf.n_added,
+        )
+        assert bf2.contains_batch(keys).all()
+        # restored buffer is writable (frombuffer copy) — adding works
+        bf2.add_batch(np.array([123456789], dtype=np.int64))
+
+    def test_empty(self):
+        from crick_spark.sketches.bloom import BloomFilter
+
+        bf = BloomFilter(n_bits=1 << 10, n_hashes=4)
+        bf.add_batch(np.array([], dtype=np.int64))
+        assert bf.fill_ratio() == 0.0 and bf.fpp() == 0.0
+        assert not bf.contains_batch(
+            np.array([1, 2, 3], dtype=np.int64)
+        ).any()

@@ -612,3 +612,63 @@ def test_spacesaving_decayed_topk_partition_invariance(spark):
     for parts in (1, 7):
         for it, c, e in run(parts, 2, k=2):
             assert exact[it] <= c + 1e-6 <= exact[it] + e + 2e-6, (it, c, e)
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """bloom_semi_join ≡ plain left-semi (no false negatives → the exact
+    rebuild loses nothing), and the prefilter genuinely prunes: with a
+    tight filter the approximate survivor set is a strict subset of the
+    fact table yet a superset of the true matches."""
+    import pandas as pd
+
+    from crick_spark.operators.crick_ops import bloom_semi_join
+
+    rng = __import__("numpy").random.default_rng(13)
+    fact = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10_000, size=20_000),
+                "v": rng.normal(size=20_000),
+            }
+        )
+    ).repartition(7)
+    dim = spark.createDataFrame(
+        pd.DataFrame({"dk": rng.choice(10_000, size=300, replace=False)})
+    )
+
+    exact = bloom_semi_join(fact, "k", dim, "dk", n_bits=1 << 14, n_hashes=5)
+    expect = fact.join(dim, fact["k"] == dim["dk"], "left_semi")
+    assert (
+        sorted(map(tuple, exact.collect()))
+        == sorted(map(tuple, expect.collect()))
+    )
+
+    approx = bloom_semi_join(
+        fact, "k", dim, "dk", n_bits=1 << 14, n_hashes=5, exact=False
+    )
+    n_fact = fact.count()
+    n_true = expect.count()
+    n_approx = approx.count()
+    assert n_true <= n_approx < n_fact
+    # with m/n ≈ 55 bits per key the FPR is tiny — survivors stay close
+    # to the true matches (the pruning actually bites)
+    assert n_approx <= n_true + 0.05 * (n_fact - n_true)
+
+
+def test_bloom_semi_join_null_and_empty_dim(spark):
+    """NULL fact keys never match; an empty dim yields an empty result
+    (the empty filter rejects everything) instead of erroring."""
+    import pandas as pd
+
+    from crick_spark.operators.crick_ops import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, None, 4], "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"dk": [2, 4]}))
+    got = bloom_semi_join(fact, "k", dim, "dk", n_bits=1 << 10, n_hashes=3)
+    assert sorted(r["k"] for r in got.collect()) == [2, 4]
+
+    empty_dim = dim.where("dk < 0")
+    got2 = bloom_semi_join(fact, "k", empty_dim, "dk", n_bits=1 << 10, n_hashes=3)
+    assert got2.count() == 0
