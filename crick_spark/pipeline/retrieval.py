@@ -229,3 +229,99 @@ def bm25_bulk_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF vectors + all-pairs cosine via posting-list join
+# ---------------------------------------------------------------------------
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF vectors as (id, term, w) posting rows, plus the
+    constant corpus size: w = tf · ln(N/df) with N = |corpus| (all docs,
+    including empty ones — the sklearn convention) and df = #docs
+    containing the term.
+
+    Terms with idf = 0 (df = N, i.e. corpus-wide stop terms) are dropped:
+    their weight is exactly 0, so no downstream sum changes, but they
+    would otherwise dominate the posting join's largest bucket.
+    ``max_df_ratio`` extends that prune lossily (drop df > ratio·N) — the
+    100 TB skew control: the posting self-join's work is Σ_t df_t², so
+    capping the largest df caps the hottest join bucket.  The df table
+    itself is the exact per-term bucket-size census, computed for free.
+    """
+    tok = docs.select(
+        id_col, F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    w = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .where(F.col("df") < F.col("n_docs"))
+    )
+    if max_df_ratio is not None:
+        w = w.where(F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
+    return w.select(id_col, "term", "w")
+
+
+def tfidf_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine ≥ threshold — the lexical
+    near-duplicate/similarity measure between exact Jaccard (set-valued)
+    and embedding cosine (dense).  Returns (id_a, id_b, tfidf_cosine)
+    with id_a < id_b, cosine rounded to 1e-6.
+
+    Plan: sparse posting self-join on term — cost Σ_t df_t², NEVER the
+    |docs|² dense form; per-doc norms are a small second aggregate joined
+    back by id.  ``block_col`` restricts pairs to the same block (e.g.
+    language, the corpus-pipeline convention) and co-keys the posting
+    join on (term, block), splitting every term's bucket by block.
+    Exact and fully SQL-expressible → value-oracled (registry:
+    ``tfidf_similar_docs``).
+    """
+    w = tfidf_weights(docs, id_col, text_col, max_df_ratio)
+    join_keys = ["term"]
+    if block_col is not None:
+        blocks = docs.select(id_col, block_col)
+        w = w.join(blocks, id_col)
+        join_keys = ["term", block_col]
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(
+        F.col(id_col).alias("id_a"), *join_keys, F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col(id_col).alias("id_b"), *join_keys, F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    sim = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    return sim.select(
+        "id_a", "id_b", F.round("cos", 6).alias("tfidf_cosine")
+    )

@@ -2492,3 +2492,133 @@ def split_balance_check(spark, sf_dir):
         F.round(share, 6).alias("split_share"),
         (F.abs(share - g_share) <= F.lit(0.05)).alias("share_within_5pct"),
     )
+
+
+@register(
+    "tfidf_similar_docs",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dft.df) AS w
+  FROM tf JOIN dft USING (term), n
+  WHERE dft.df < n.n_docs
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+wb AS (
+  SELECT w.doc_id, w.term, w.w, d.lang FROM w JOIN documents d USING (doc_id)
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM wb a JOIN wb b
+    ON a.term = b.term AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+FROM dots
+JOIN nrm na ON dots.id_a = na.doc_id
+JOIN nrm nb ON dots.id_b = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.7
+""",
+    doc="TF-IDF cosine document pairs (>=0.7, blocked by language) via "
+    "sparse posting-list "
+    "self-join — the lexical similarity measure between set Jaccard and "
+    "dense embedding cosine; w = tf*ln(N/df), idf=0 stop terms dropped "
+    "(zero weight AND the hottest join bucket), cost Sum_t df_t^2 never "
+    "|docs|^2.  max_df_ratio is the documented 100 TB skew cap.  Exact "
+    "-> FULLY value-oracled.",
+)
+def tfidf_similar_docs(spark, sf_dir):
+    from crick_spark.pipeline.retrieval import tfidf_similar_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_similar_pairs(docs, threshold=0.7, block_col="lang")
+
+
+@register(
+    "leakage_free_split_documents",
+    oracle="""
+WITH assign AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN substring(md5(source), 1, 1) IN
+           ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+      WHEN substring(md5(source), 1, 1) IN ('c','d') THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents
+),
+per_source AS (
+  SELECT source, min(split) AS split, count(*) AS n_docs,
+         count(DISTINCT split) AS n_splits
+  FROM assign GROUP BY source
+),
+leak AS (
+  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaky_sources
+  FROM per_source
+)
+SELECT split,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       count(*) AS n_sources,
+       round(sum(n_docs) / (SELECT CAST(sum(n_docs) AS DOUBLE)
+                            FROM per_source), 6) AS share,
+       (SELECT leaky_sources FROM leak) AS leaky_sources
+FROM per_source GROUP BY split
+""",
+    doc="Group-aware (leakage-free) train/val/test split: the split is a "
+    "deterministic function of the SOURCE (md5 nibble coin, 12/2/4), so "
+    "no source ever straddles splits - the eval-contamination failure "
+    "mode of doc-level splitting.  The audit recomputes leakage from the "
+    "per-doc assignment (count of sources seen in >1 split, pinned 0 in "
+    "the oracle).  Scale: one groupBy(source) rollup + a |sources|-row "
+    "rollup to splits; the share denominator is a window, not a rescan.",
+)
+def leakage_free_split_documents(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("source")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    per_source = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(
+            F.min("split").alias("split"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+    )
+    # per-split rollup FIRST; the global denominators come from windows
+    # over the |splits|-row result, so the single-partition window the
+    # plan needs touches 3 rows, never the |sources| relation
+    per_split = per_source.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.sum((F.col("n_splits") > 1).cast("long")).alias("leaky_here"),
+    )
+    w_all = W.partitionBy()
+    return per_split.select(
+        "split",
+        "n_docs",
+        "n_sources",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w_all).cast("double"), 6
+        ).alias("share"),
+        F.sum("leaky_here").over(w_all).alias("leaky_sources"),
+    )
