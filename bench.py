@@ -141,6 +141,10 @@ R4_EXTRA = [
     "bpe_train_documents",
     "unigram_lm_vocab_documents",
     "spacesaving_decayed_topk",
+    # round-6 second half: Bloom family, TF-IDF posting join, group split
+    "bloom_semi_join_urgent_revenue",
+    "tfidf_similar_docs",
+    "leakage_free_split_documents",
 ]
 
 

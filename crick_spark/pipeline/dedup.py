@@ -632,3 +632,65 @@ def decontaminate(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (line-granularity) dedup — the C4/RefinedWeb pattern
+# ---------------------------------------------------------------------------
+def segment_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 20,
+    keep_below: float = 0.5,
+) -> DataFrame:
+    """Sub-document dedup at fixed ``seg_words``-word segment granularity
+    (the corpus has no line structure, so fixed windows stand in for the
+    lines/paragraphs C4 and RefinedWeb deduplicate): a segment is
+    *duplicated* when it appears verbatim in MORE THAN ONE document, and
+    each doc reports its duplicated-segment fraction plus the
+    ``keep = dup_frac < keep_below`` curation verdict — catching template
+    boilerplate that whole-doc hashing misses (two different docs sharing
+    a header never collide on the full-text hash).
+
+    Emits (id, n_segs, n_dup_segs, dup_frac, keep); empty docs drop out
+    (no segments).  Plan: segments stay JVM-side (sequence + slice +
+    concat_ws under codegen); the duplicate census shuffles the 16-B md5
+    of each segment, never its text (the exact_dedup convention), and the
+    per-doc rollup is a second hash aggregate.  Cost is 2 shuffles of
+    |segments| hash rows — linear, no pairwise anything.
+    """
+    words = words_expr(F.col(text_col))
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    seg_texts = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * seg_words + 1, seg_words)
+        ),
+    )
+    segs = docs.where(F.size(words) > 0).select(
+        F.col(id_col),
+        F.explode(seg_texts).alias("seg"),
+    )
+    hashed = segs.select(id_col, F.md5("seg").alias("seg_hash"))
+    census = hashed.groupBy("seg_hash").agg(
+        F.countDistinct(id_col).alias("n_docs_with_seg")
+    )
+    per_doc = (
+        hashed.join(census, "seg_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum((F.col("n_docs_with_seg") > 1).cast("long")).alias(
+                "n_dup_segs"
+            ),
+        )
+    )
+    dup_frac = F.col("n_dup_segs") / F.col("n_segs").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_segs",
+        "n_dup_segs",
+        F.round(dup_frac, 6).alias("dup_frac"),
+        (dup_frac < F.lit(keep_below)).alias("keep"),
+    )

@@ -238,6 +238,7 @@ def tfidf_weights(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int = 1,
     max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF vectors as (id, term, w) posting rows, plus the
@@ -252,10 +253,29 @@ def tfidf_weights(
     100 TB skew control: the posting self-join's work is Σ_t df_t², so
     capping the largest df caps the hottest join bucket.  The df table
     itself is the exact per-term bucket-size census, computed for free.
+
+    ``ngram`` > 1 uses word n-grams as terms (WITH multiplicity — tf
+    counts repeats, unlike the distinct shingles of the Jaccard path).
+    On a small-vocabulary corpus this is the structural skew fix, not a
+    tuning knob: |vocab|^n possible terms means per-term df collapses
+    and the posting self-join goes sparse (measured on the synthetic
+    corpus: 31 s → ~2 s at sf0.1 for the pair query).
     """
-    tok = docs.select(
-        id_col, F.explode(tokens_expr(F.col(text_col))).alias("term")
-    )
+    toks = tokens_expr(F.col(text_col))
+    if ngram > 1:
+        n_terms = F.size(toks) - (ngram - 1)
+        terms = F.when(
+            n_terms >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_terms),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i, ngram)
+                ),
+            ),
+        ).otherwise(F.array())
+    else:
+        terms = toks
+    tok = docs.select(id_col, F.explode(terms).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(
         F.count("*").cast("double").alias("tf")
     )
@@ -277,6 +297,7 @@ def tfidf_similar_pairs(
     threshold: float = 0.3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int = 1,
     block_col: str | None = None,
     max_df_ratio: float | None = None,
 ) -> DataFrame:
@@ -293,7 +314,7 @@ def tfidf_similar_pairs(
     Exact and fully SQL-expressible → value-oracled (registry:
     ``tfidf_similar_docs``).
     """
-    w = tfidf_weights(docs, id_col, text_col, max_df_ratio)
+    w = tfidf_weights(docs, id_col, text_col, ngram, max_df_ratio)
     join_keys = ["term"]
     if block_col is not None:
         blocks = docs.select(id_col, block_col)

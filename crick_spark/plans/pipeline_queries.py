@@ -2497,11 +2497,19 @@ def split_balance_check(spark, sf_dir):
 @register(
     "tfidf_similar_docs",
     oracle=r"""
-WITH tok AS (
+WITH wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (
   SELECT doc_id, t.term
-  FROM documents,
-       unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS t(term)
-  WHERE t.term <> ''
+  FROM wrd,
+       unnest(CASE WHEN len(ws) - 2 >= 1
+         THEN list_transform(generate_series(1, len(ws) - 2),
+                             i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [] END) AS t(term)
 ),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -2529,10 +2537,10 @@ SELECT id_a, id_b,
 FROM dots
 JOIN nrm na ON dots.id_a = na.doc_id
 JOIN nrm nb ON dots.id_b = nb.doc_id
-WHERE dot / (na.nrm * nb.nrm) >= 0.7
+WHERE dot / (na.nrm * nb.nrm) >= 0.5
 """,
-    doc="TF-IDF cosine document pairs (>=0.7, blocked by language) via "
-    "sparse posting-list "
+    doc="TF-IDF cosine document pairs (>=0.5, word-3-gram terms, blocked "
+    "by language) via sparse posting-list "
     "self-join — the lexical similarity measure between set Jaccard and "
     "dense embedding cosine; w = tf*ln(N/df), idf=0 stop terms dropped "
     "(zero weight AND the hottest join bucket), cost Sum_t df_t^2 never "
@@ -2543,7 +2551,7 @@ def tfidf_similar_docs(spark, sf_dir):
     from crick_spark.pipeline.retrieval import tfidf_similar_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf_similar_pairs(docs, threshold=0.7, block_col="lang")
+    return tfidf_similar_pairs(docs, threshold=0.5, ngram=3, block_col="lang")
 
 
 @register(
@@ -2622,3 +2630,48 @@ def leakage_free_split_documents(spark, sf_dir):
         ).alias("share"),
         F.sum("leaky_here").over(w_all).alias("leaky_sources"),
     )
+
+
+@register(
+    "segment_dedup_documents",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS words
+  FROM documents
+  WHERE len(string_split_regex(trim(coalesce(text, '')), '\s+')) > 0
+    AND trim(coalesce(text, '')) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         array_to_string(words[(i * 20 + 1):(i * 20 + 20)], ' ') AS seg
+  FROM w,
+       unnest(generate_series(0,
+              CAST(ceil(len(words) / 20.0) AS INT) - 1)) AS t(i)
+),
+census AS (
+  SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+),
+per AS (
+  SELECT s.doc_id, count(*) AS n_segs,
+         sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup_segs
+  FROM segs s JOIN census c USING (seg)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_segs, CAST(n_dup_segs AS BIGINT) AS n_dup_segs,
+       round(n_dup_segs / CAST(n_segs AS DOUBLE), 6) AS dup_frac,
+       (n_dup_segs / CAST(n_segs AS DOUBLE)) < 0.5 AS keep
+FROM per
+""",
+    doc="Sub-document dedup at 20-word segment granularity (the C4/"
+    "RefinedWeb line-dedup pattern over a corpus with no line structure): "
+    "per doc the fraction of segments appearing verbatim in other docs, "
+    "plus the keep verdict (<0.5) - catches shared boilerplate whole-doc "
+    "hashing misses.  Segments stay JVM-side; the census shuffles 16-B "
+    "md5 hashes, never text; 2 linear shuffles, nothing pairwise.  "
+    "FULLY value-oracled.",
+)
+def segment_dedup_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import segment_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup_stats(docs, seg_words=20, keep_below=0.5)

@@ -1314,3 +1314,71 @@ def bloom_fpr_guarantee(spark, sf_dir):
         ).alias("fpr_ok"),
         F.col("n_members").cast("long").alias("n_true_match"),
     )
+
+
+@register(
+    "tdigest_rollup_hierarchy_events",
+    oracle="""
+SELECT 'day' AS level, strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+       count(*) AS n, TRUE AS ok_p50, TRUE AS ok_p95
+FROM events GROUP BY period
+UNION ALL
+SELECT 'week', strftime(date_trunc('week', ts), '%Y-%m-%d'), count(*), TRUE, TRUE
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d'), count(*), TRUE, TRUE
+FROM events GROUP BY 2
+""",
+    doc="Hierarchical quantile rollup by sketch merge (the materialized-"
+    "rollup pattern crick's TDigest.merge exists for): ONE scan builds "
+    "per-day digests; week and month levels merge the DAY sketches, "
+    "never rescanning rows.  Hash-matched: per (level, period) the "
+    "digest mass n equals the exact row count (unit weights merge "
+    "losslessly - the consistency proof), and p50/p95 land within the "
+    "reference's 0.012 q-space tolerance via the shared empirical-CDF "
+    "check.  At 100 TB each coarser level costs a KB-sized sketch "
+    "shuffle instead of a re-aggregation.",
+)
+def tdigest_rollup_hierarchy_events(spark, sf_dir):
+    from crick_spark.operators.crick_ops import tdigest_rollup_levels
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    roll = tdigest_rollup_levels(
+        ev, "value", "ts", levels=("day", "week", "month"), qs=(0.5, 0.95)
+    )
+    # re-derive each row's period from the raw events at ITS level, join,
+    # and evaluate the exact empirical CDF of the digest's estimates
+    ev_lv = ev.select(
+        "value",
+        F.to_date("ts").alias("__d__"),
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("__w__"),
+        F.date_trunc("month", F.to_date("ts")).cast("date").alias("__m__"),
+    )
+    period_at_level = (
+        F.when(F.col("level") == "day", F.col("__d__"))
+        .when(F.col("level") == "week", F.col("__w__"))
+        .otherwise(F.col("__m__"))
+    )
+    joined = ev_lv.join(
+        F.broadcast(roll), F.col("period") == period_at_level, "inner"
+    )
+    # n/p0_5/p0_95 are constants within a (level, period) group — make
+    # them grouping keys so the CDF aggregate can reference them without
+    # nesting first() inside avg()
+    # tolerance = digest bound + empirical-CDF discreteness: a group of
+    # n rows has CDF steps of 1/n, so for small periods (sf0.001 days are
+    # ~70 rows) the 0.012 q-space bound is unmeasurable without the +1/n
+    # term — which vanishes at scale
+    agg = joined.groupBy("level", "period", "n", "p0_5", "p0_95").agg(
+        empirical_cdf_at(F.col("value"), F.col("p0_5")).alias("cdf50"),
+        empirical_cdf_at(F.col("value"), F.col("p0_95")).alias("cdf95"),
+        F.count("value").alias("n_rows"),
+    )
+    tol = F.lit(0.012) + F.lit(1.0) / F.col("n_rows")
+    return agg.select(
+        "level",
+        F.date_format("period", "yyyy-MM-dd").alias("period"),
+        F.col("n").cast("long").alias("n"),
+        (F.abs(F.col("cdf50") - F.lit(0.5)) <= tol).alias("ok_p50"),
+        (F.abs(F.col("cdf95") - F.lit(0.95)) <= tol).alias("ok_p95"),
+    )
