@@ -160,11 +160,14 @@ class SketchStore:
         # append-only commit marker: the new row lands (or doesn't) via
         # parquet's rename-at-commit; the previous generation's row is
         # never deleted, so a crash mid-commit can only re-surface the
-        # old max(batch_id) row — never an empty 'fresh' store
+        # old max(batch_id) row — never an empty 'fresh' store.  The
+        # 1-row local relation already writes a single file — coalesce(1)
+        # here cost ~4.5 s/batch (it forces a multi-partition physical
+        # plan and a scheduler locality wait; measured round 6)
         s.createDataFrame(
             [(int(batch_id), td_t, hll_t)],
             "batch_id long, td string, hll string",
-        ).coalesce(1).write.mode("append").parquet(self._meta)
+        ).write.mode("append").parquet(self._meta)
         return True
 
     def digests(self, spark: SparkSession, finalize, result_schema) -> DataFrame:
