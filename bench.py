@@ -145,6 +145,9 @@ R4_EXTRA = [
     "bloom_semi_join_urgent_revenue",
     "tfidf_similar_docs",
     "leakage_free_split_documents",
+    "segment_dedup_documents",
+    "tdigest_rollup_hierarchy_events",
+    "pca_embeddings_variance",
 ]
 
 

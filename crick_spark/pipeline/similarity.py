@@ -911,3 +911,133 @@ def semantic_dedup(
     return indexed.groupBy("ivf_cluster", "__shard__").applyInPandas(
         dedup_cluster, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over an embedding column — distributed covariance, driver eigh,
+# Arrow projection kernel
+# ---------------------------------------------------------------------------
+def covariance_stats(
+    df: DataFrame, vec_col: str = "embedding", ddof: int = 1
+):
+    """(n, mean[d], cov[d,d]) of an ``array<float>`` column, computed from
+    per-partition moment partials: each partition ships exactly
+    (count, Σx: d floats, Σxxᵀ: d² floats) — the k×d-partial-sums shape
+    the IVF k-means trainer uses; vectors never cross the wire.  Partials
+    are combined on the driver in sorted partition order so the result is
+    bit-deterministic run to run.  d is embedding-sized (64–4096), so the
+    d² partial is KBs–MBs per partition and the driver fold is trivial.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("pid", LongType()),
+            StructField("n", LongType()),
+            StructField("s", BinaryType()),
+            StructField("ss", BinaryType()),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd  # noqa: F811
+
+        n = 0
+        s = None
+        ss = None
+        first_pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if first_pid is None:
+                # stable per-partition tag for the deterministic driver
+                # fold: the minimum row hash of the partition's vectors
+                first_pid = int(
+                    np.bitwise_xor.reduce(
+                        np.frombuffer(X[0].tobytes(), dtype=np.int64)
+                    )
+                )
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                [
+                    {
+                        "pid": first_pid,
+                        "n": n,
+                        "s": s.tobytes(),
+                        "ss": ss.tobytes(),
+                    }
+                ]
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("covariance_stats: empty input")
+    rows = sorted(rows, key=lambda r: (r["pid"], r["n"]))
+    n = sum(r["n"] for r in rows)
+    d = len(np.frombuffer(rows[0]["s"], dtype=np.float64))
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.frombuffer(r["s"], dtype=np.float64)
+        ss += np.frombuffer(r["ss"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - ddof, 1)
+    return n, mean, cov
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+):
+    """Top-k principal components of an embedding column.
+
+    Returns (mean[d], components[k,d], eigvals[k], explained_ratio[k]):
+    eigendecomposition of the distributed covariance happens on the
+    driver (d×d, embedding-sized — NOT data-sized), with the canonical
+    sign fix (largest-|coordinate| entry made positive) so components
+    are deterministic despite eigenvector sign ambiguity."""
+    n, mean, cov = covariance_stats(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals_k = vals[order]
+    comps = vecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov))
+    ratio = vals_k / total_var if total_var > 0 else np.zeros_like(vals_k)
+    return mean, comps, vals_k, ratio
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project every vector onto the components: one Arrow-batched matmul
+    per batch, (μ, V) shipped in the task closure (k·d floats)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    V = components.astype(np.float64)
+    mu = mean.astype(np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64) - mu
+        P = X @ V.T
+        return pd.Series(list(P))
+
+    return df.select(id_col, proj(F.col(vec_col)).alias(out_col))

@@ -2675,3 +2675,62 @@ def segment_dedup_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_dedup_stats(docs, seg_words=20, keep_below=0.5)
+
+
+@register(
+    "pca_embeddings_variance",
+    oracle="""
+WITH e AS (
+  SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+tv AS (
+  SELECT round(sum(vv), 4) AS total_var
+  FROM (SELECT var_samp(v) AS vv FROM e GROUP BY dim)
+)
+SELECT i AS component, TRUE AS ratio_monotone, TRUE AS ratio_in_range,
+       TRUE AS orthonormal, TRUE AS cum_ratio_le_1, tv.total_var
+FROM generate_series(0, 4) AS t(i), tv
+""",
+    doc="PCA over the embedding column: covariance from per-partition "
+    "moment partials (count, Sum x, Sum xx^T - d^2 floats per partition, "
+    "vectors never shuffled; deterministic sorted driver fold), "
+    "eigendecomposition driver-side (d x d, embedding-sized not "
+    "data-sized), canonical sign fix.  Hash-matched: per component the "
+    "explained-variance ratio is monotone nonincreasing and in (0,1], "
+    "components are orthonormal, cumulative ratio <= 1, and the "
+    "covariance TRACE equals DuckDB's per-dimension var_samp sum at the "
+    "1e-4 grid - the cross-engine value check eigenvalues themselves "
+    "can't provide.",
+)
+def pca_embeddings_variance(spark, sf_dir):
+    import numpy as np
+
+    from crick_spark.pipeline.similarity import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, vals, ratio = pca_components(emb, "embedding", k=5)
+    gram = comps @ comps.T
+    orthonormal = bool(
+        np.abs(gram - np.eye(comps.shape[0])).max() <= 1e-9
+    )
+    monotone = bool(np.all(np.diff(ratio) <= 1e-12))
+    in_range = bool(np.all((ratio > 0) & (ratio <= 1.0)))
+    cum_le_1 = bool(ratio.sum() <= 1.0 + 1e-12)
+    total_var = float(vals[0] / ratio[0]) if ratio[0] > 0 else 0.0
+    rows = [
+        (
+            int(i),
+            monotone,
+            in_range,
+            orthonormal,
+            cum_le_1,
+            round(total_var, 4),
+        )
+        for i in range(comps.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component long, ratio_monotone boolean, ratio_in_range boolean, "
+        "orthonormal boolean, cum_ratio_le_1 boolean, total_var double",
+    )

@@ -1360,3 +1360,45 @@ def test_semantic_decontaminate_flags_eval_members(spark):
     expect = (mn @ evm.T).max(axis=1)
     got = out.set_index("vec_id").loc[ids]["max_eval_cosine"].to_numpy()
     assert np.allclose(got, np.round(expect, 6), atol=2e-6)
+
+
+def test_pca_projection_properties(spark):
+    """PCA invariants: var of each PC score column equals its eigenvalue,
+    components orthonormal, projection centered, and the whole pipeline
+    is partition-count invariant (deterministic sorted driver fold)."""
+    import numpy as np
+    import pandas as pd
+
+    from crick_spark.pipeline.similarity import (
+        covariance_stats,
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(17)
+    # anisotropic gaussian so eigenvalues are distinct and ordered
+    scales = np.array([5.0, 3.0, 1.0, 0.5, 0.25, 0.1])
+    X = rng.normal(size=(800, 6)) * scales
+    pdf = pd.DataFrame(
+        {"vec_id": range(800), "embedding": [list(map(float, r)) for r in X]}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+
+    n, mean, cov = covariance_stats(df, "embedding")
+    assert n == 800
+    np.testing.assert_allclose(mean, X.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(X.T, ddof=1), atol=1e-9)
+
+    m2, comps, vals, ratio = pca_components(df, "embedding", k=3)
+    assert np.all(np.diff(vals) <= 1e-12)
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+
+    proj = pca_project(df, m2, comps, "vec_id", "embedding").toPandas()
+    P = np.stack(proj["pc"].to_numpy())
+    # projected scores: centered, per-component variance = eigenvalue
+    np.testing.assert_allclose(P.mean(axis=0), 0.0, atol=1e-9)
+    np.testing.assert_allclose(P.var(axis=0, ddof=1), vals, rtol=1e-9)
+
+    # partition-count invariance of the distributed covariance
+    _, _, cov7 = covariance_stats(df.repartition(7), "embedding")
+    np.testing.assert_allclose(cov7, cov, atol=1e-9)
