@@ -270,3 +270,68 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     }
     got = {(r["o_orderpriority"], r["count"]) for r in j.collect()}
     assert got == expect
+
+
+def test_runtime_bloom_filter_injection_fires(spark):
+    """Row-level runtime filtering at 100 TB: when a shuffle join's build
+    side is selective but NOT broadcastable, Catalyst can inject a
+    bloom_filter_agg on the build keys and prefilter the probe-side scan
+    with might_contain — the optimizer's own version of the engine's
+    explicit bloom_semi_join (crick_spark/operators/crick_ops.py), proof
+    that the declarative plan leaves room for runtime filters.  The
+    engine's operator remains the statistics-independent form; this test
+    pins the confs under which Spark's automatic one fires."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join: with a broadcast build side Spark prefers
+        # its broadcast-hash runtime filter and skips the bloom
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, (
+            "runtime bloom filter not injected:\n" + opt[:2000]
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower()
+        # and the filtered plan computes the same answer
+        got = {(r["l_returnflag"], r["count"]) for r in j.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        expect = {
+            (r["l_returnflag"], r["count"])
+            for r in li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"]
+            )
+            .groupBy("l_returnflag")
+            .count()
+            .collect()
+        }
+        assert got == expect
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
