@@ -148,6 +148,7 @@ R4_EXTRA = [
     "segment_dedup_documents",
     "tdigest_rollup_hierarchy_events",
     "pca_embeddings_variance",
+    "bigram_lm_scores_documents",
 ]
 
 

@@ -757,3 +757,63 @@ def unigram_lm_train(
         stats["n_pieces"] = len(logp)
         stats["n_chars"] = len(chars)
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def bigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """CCNet-style LM quality scoring with a corpus-trained bigram model:
+    per doc the mean log-probability of its word bigrams under the
+    interpolated model  P(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/T
+    (c(w1) is the plain unigram occurrence count — the standard MLE
+    context approximation; T = total tokens).  Low avg_logp = text the
+    corpus model finds surprising — the perplexity-bucket signal LLM
+    curation pipelines (CCNet, Gopher) filter on.
+
+    Emits (id, n_bigrams, avg_logp); docs with < 2 tokens drop out.
+
+    Scale shape: the model tables are Heaps-law-bounded (|bigrams|,
+    |vocab| rows — NOT corpus-sized), so scoring is the exploded doc
+    bigrams equi-joined to two count tables plus a 1-row broadcast of T,
+    then one per-doc aggregate.  Everything is codegen; no Python.
+    """
+    from crick_spark.pipeline.retrieval import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    bigrams = (
+        docs.where(n >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tokens = docs.select(F.explode(toks).alias("w"))
+    uni = tokens.groupBy("w").agg(F.count("*").alias("c"))
+    total = tokens.agg(F.count("*").cast("double").alias("t_tokens"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.log(
+                F.lit(lam) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - lam) * F.col("c2") / F.col("t_tokens")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )

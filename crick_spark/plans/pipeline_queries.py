@@ -2734,3 +2734,45 @@ def pca_embeddings_variance(spark, sf_dir):
         "component long, ratio_monotone boolean, ratio_in_range boolean, "
         "orthonormal boolean, cum_ratio_le_1 boolean, total_var double",
     )
+
+
+@register(
+    "bigram_lm_scores_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM wrd, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+tok AS (SELECT unnest(ws) AS w FROM wrd),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_tokens FROM tok),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(0.7 * big.c12 / u1.c + 0.3 * u2.c / tot.t_tokens)), 6)
+         AS avg_logp
+FROM bg
+JOIN big USING (w1, w2)
+JOIN uni u1 ON bg.w1 = u1.w
+JOIN uni u2 ON bg.w2 = u2.w
+CROSS JOIN tot
+GROUP BY bg.doc_id
+""",
+    doc="CCNet-style LM quality scoring: per-doc mean log-prob of word "
+    "bigrams under the corpus-trained interpolated bigram model "
+    "P(w2|w1) = 0.7 c12/c1 + 0.3 c2/T - the perplexity-bucket signal "
+    "curation pipelines filter on.  Model tables are Heaps-bounded "
+    "(|bigrams|, |vocab| rows, not corpus-sized); scoring is equi-joins "
+    "+ one per-doc aggregate, all codegen.  FULLY value-oracled.",
+)
+def bigram_lm_scores_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, lam=0.7)
