@@ -149,6 +149,7 @@ R4_EXTRA = [
     "tdigest_rollup_hierarchy_events",
     "pca_embeddings_variance",
     "bigram_lm_scores_documents",
+    "profile_columns_orders",
 ]
 
 

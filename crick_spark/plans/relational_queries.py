@@ -2461,3 +2461,40 @@ def snapshot_roundtrip_orders(spark, sf_dir):
         "n_statuses",
         (F.col("__n_diff__") == 0).alias("roundtrip_equal"),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", (SELECT count(*) FROM orders) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_columns_orders",
+    oracle=_PROFILE_ORACLE,
+    doc="Column profiler: per-column null/distinct/min/max census over a "
+    "mixed-type table (bigint, varchar, double, timestamp) - the "
+    "schema-drift check an ingestion pipeline runs before trusting new "
+    "data.  ONE wide aggregate over a single scan (count-distincts "
+    "expand to one Expand node), unpivoted with stack() - never a scan "
+    "per column.  FULLY value-oracled including the cross-engine "
+    "string rendering of min/max.",
+)
+def profile_columns_orders(spark, sf_dir):
+    from crick_spark.functions.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, _PROFILE_COLS)
