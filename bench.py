@@ -150,6 +150,8 @@ R4_EXTRA = [
     "pca_embeddings_variance",
     "bigram_lm_scores_documents",
     "profile_columns_orders",
+    "ols_simple_lineitem",
+    "ols_multi_lineitem",
 ]
 
 

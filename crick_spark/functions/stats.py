@@ -68,3 +68,47 @@ def summary_stats_exprs(col: Column, round_to: int | None = None) -> list[Column
         r(F.skewness(c)).alias("skew_x"),
         r(F.kurtosis(c)).alias("kurt_x"),
     ]
+
+
+def linear_fit(df, y_col: str, x_cols: list[str]):
+    """One-pass distributed OLS by normal equations: ONE codegen
+    aggregate collects every entry of the (k+2)×(k+2) moment matrix over
+    terms [1, x₁..x_k, y] (sums of pairwise products — map-side combined,
+    no Python, no second scan), then the driver solves the (k+1)-sized
+    system.  The single-feature case hash-matches DuckDB's
+    regr_slope/regr_intercept/regr_r2 exactly; the general case is the
+    same closed form ``β = (XᵀX)⁻¹Xᵀy`` the SQL regr_* family
+    specializes.
+
+    Rows with a NULL in any term are dropped (the regr_* convention).
+    Returns (beta, r2, n): beta[0] is the intercept, beta[1:] follow
+    ``x_cols`` order.
+    """
+    import numpy as np
+
+    terms = [F.lit(1.0)] + [
+        F.col(c).cast("double") for c in list(x_cols) + [y_col]
+    ]
+    k = len(terms)
+    cond = F.lit(True)
+    for c in list(x_cols) + [y_col]:
+        cond = cond & F.col(c).isNotNull()
+    d = df.where(cond)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"m_{i}_{j}"))
+    row = d.agg(*aggs).collect()[0]
+    G = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            G[i, j] = G[j, i] = row[f"m_{i}_{j}"]
+    n = G[0, 0]
+    A = G[: k - 1, : k - 1]
+    b = G[: k - 1, k - 1]
+    beta = np.linalg.solve(A, b)
+    yy = G[k - 1, k - 1]
+    sse = float(yy - beta @ b)
+    sst = float(yy - G[0, k - 1] ** 2 / n)
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    return beta, r2, int(n)

@@ -2498,3 +2498,85 @@ def profile_columns_orders(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders, _PROFILE_COLS)
+
+
+@register(
+    "ols_simple_lineitem",
+    oracle="""
+SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       count(*) AS n
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+""",
+    doc="One-pass distributed OLS (normal equations: one codegen "
+    "aggregate of pairwise-product sums, driver solves the tiny "
+    "system), single-feature case hash-matched against DuckDB's "
+    "regr_slope/regr_intercept/regr_r2 - the closed form the SQL "
+    "regr_* family specializes.",
+)
+def ols_simple_lineitem(spark, sf_dir):
+    from crick_spark.functions.stats import linear_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    beta, r2, n = linear_fit(li, "l_extendedprice", ["l_quantity"])
+    return spark.createDataFrame(
+        [
+            (
+                round(float(beta[1]), 6),
+                round(float(beta[0]), 6),
+                round(float(r2), 6),
+                n,
+            )
+        ],
+        "slope double, intercept double, r2 double, n long",
+    )
+
+
+@register(
+    "ols_multi_lineitem",
+    oracle="""
+WITH s AS (
+  SELECT covar_pop(l_quantity, l_quantity) AS saa,
+         covar_pop(l_quantity, l_discount) AS sab,
+         covar_pop(l_discount, l_discount) AS sbb,
+         covar_pop(l_quantity, l_extendedprice) AS say,
+         covar_pop(l_discount, l_extendedprice) AS sby,
+         avg(l_quantity) AS ma, avg(l_discount) AS mb,
+         avg(l_extendedprice) AS my
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+)
+SELECT round((say * sbb - sby * sab) / (saa * sbb - sab * sab), 6)
+         AS beta_quantity,
+       round((sby * saa - say * sab) / (saa * sbb - sab * sab), 6)
+         AS beta_discount,
+       round(my - (say * sbb - sby * sab) / (saa * sbb - sab * sab) * ma
+                - (sby * saa - say * sab) / (saa * sbb - sab * sab) * mb, 6)
+         AS intercept
+FROM s
+""",
+    doc="Two-feature distributed OLS, hash-matched against the explicit "
+    "Cramer's-rule solution of the centered normal equations written in "
+    "SQL (covar_pop algebra) - proving the one-pass moment-matrix + "
+    "driver-solve path computes exactly the closed form.",
+)
+def ols_multi_lineitem(spark, sf_dir):
+    from crick_spark.functions.stats import linear_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    beta, r2, n = linear_fit(
+        li, "l_extendedprice", ["l_quantity", "l_discount"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                round(float(beta[1]), 6),
+                round(float(beta[2]), 6),
+                round(float(beta[0]), 6),
+            )
+        ],
+        "beta_quantity double, beta_discount double, intercept double",
+    )
