@@ -152,6 +152,7 @@ R4_EXTRA = [
     "profile_columns_orders",
     "ols_simple_lineitem",
     "ols_multi_lineitem",
+    "dedup_clusters_documents",
 ]
 
 

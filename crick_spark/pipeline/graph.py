@@ -182,3 +182,78 @@ def pagerank(
             + ([dang] if dang is not None else [])
         )
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by hash-min label propagation — the step that
+    turns near-duplicate PAIRS into dedup CLUSTERS (pick one canonical
+    doc per component; transitive closure of the pair relation).
+
+    Every node starts labeled with its own id; each superstep replaces
+    the label with the min over itself and its neighbors' labels, so the
+    component's minimum id floods outward one hop per step — convergence
+    in O(component diameter) supersteps, checked with a changed-label
+    count per step (one action; the loop exits as soon as a step changes
+    nothing, max_iter is the runaway bound, and exhausting it without
+    convergence raises rather than returning a half-propagated
+    labeling).  Lineage is truncated per superstep (localCheckpoint, the
+    pagerank pattern) so the plan never grows with iterations.
+
+    Near-dup components are tiny in practice (diameter ≤ a few hops), so
+    plain min-propagation is the right plan; for adversarial
+    long-diameter graphs the alternating star contractions of
+    Kiveris et al., *Connected components in MapReduce and beyond*
+    (SoCC 2014) bound rounds at O(log n) — same per-step join shape.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(und, labels.node == und.u)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        nxt = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("component"))
+                    < F.col("component")
+                ).alias("__changed__"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where("__changed__").limit(1).count()
+        labels = nxt.drop("__changed__")
+        if changed == 0:
+            und.unpersist()
+            return labels
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} supersteps"
+    )

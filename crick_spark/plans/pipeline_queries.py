@@ -2776,3 +2776,60 @@ def bigram_lm_scores_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, lam=0.7)
+
+
+@register(
+    "dedup_clusters_documents",
+    oracle=r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+'), ' ')]
+    END AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS n_docs
+FROM comp GROUP BY component
+""",
+    doc="Near-duplicate CLUSTERS: the exact 3-gram Jaccard pairs "
+    "(>=0.5, lang-blocked - the already-oracled ground truth) closed "
+    "transitively by hash-min label propagation "
+    "(pipeline/graph.py:connected_components; converges in O(diameter) "
+    "supersteps, lineage truncated per step), emitting one row per "
+    "cluster with its size and min-id canonical representative.  The "
+    "step every dedup pipeline needs between pair detection and doc "
+    "removal.  Oracle: DuckDB recursive-CTE reachability closure + "
+    "min-label rollup over the identical pair set.",
+)
+def dedup_clusters_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import jaccard_ngram_pairs
+    from crick_spark.pipeline.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.groupBy("component").agg(F.count("*").alias("n_docs"))

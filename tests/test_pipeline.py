@@ -1402,3 +1402,46 @@ def test_pca_projection_properties(spark):
     # partition-count invariance of the distributed covariance
     _, _, cov7 = covariance_stats(df.repartition(7), "embedding")
     np.testing.assert_allclose(cov7, cov, atol=1e-9)
+
+
+def test_connected_components_known_graph(spark):
+    """CC on a known multi-component graph (chain, triangle+pendant,
+    isolated pair): labels converge to each component's min id, and the
+    superstep count tracks the diameter (a 5-node chain needs more than
+    one step but converges well under the bound)."""
+    import pandas as pd
+
+    from crick_spark.pipeline.graph import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 1-2-3-4-5, triangle 10-11-12 with pendant 13, pair 20-21
+                "src": [1, 2, 3, 4, 10, 11, 12, 12, 20],
+                "dst": [2, 3, 4, 5, 11, 12, 10, 13, 21],
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    expect = (
+        {(n, 1) for n in (1, 2, 3, 4, 5)}
+        | {(n, 10) for n in (10, 11, 12, 13)}
+        | {(n, 20) for n in (20, 21)}
+    )
+    assert got == expect
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from crick_spark.pipeline.graph import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iter=1)
