@@ -153,6 +153,7 @@ R4_EXTRA = [
     "ols_simple_lineitem",
     "ols_multi_lineitem",
     "dedup_clusters_documents",
+    "containment_ngram_pairs_documents",
 ]
 
 

@@ -694,3 +694,56 @@ def segment_dedup_stats(
         F.round(dup_frac, 6).alias("dup_frac"),
         (dup_frac < F.lit(keep_below)).alias("keep"),
     )
+
+
+def containment_ngram_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment pairs: ``|A∩B| / |A|`` over distinct
+    word n-gram shingle sets — the quote / partial-copy detector Jaccard
+    misses (a short doc fully quoted inside a long one has tiny Jaccard
+    but containment 1.0).  Emits ORDERED pairs (id_a is the contained
+    side, both directions of each doc pair evaluated independently);
+    self-pairs excluded.
+
+    Same sparse posting-join shape and hash-compare convention as
+    ``jaccard_ngram_pairs`` (shared-shingle pairs only, inclusion sizes
+    broadcast); only the final scoring differs, dividing by the
+    contained side's size alone.
+    """
+    t = float(threshold)
+    postings = shingle_hash_postings(
+        docs, id_col, text_col, n, extra_cols=[block_col]
+    ).withColumnRenamed(block_col, "blk")
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.th") == F.col("b.th"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= t)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
