@@ -63,6 +63,18 @@ PROBES = [
     ("conversion_latency_quantiles", "events"),  # conditional-min funnel latency
     ("snapshot_roundtrip_orders", "orders"),     # CDC diff+apply round trip
     ("recursive_cte_reachability", "lineitem"),  # WITH RECURSIVE frontier BFS
+    # round-6 second half
+    ("bloom_semi_join_urgent_revenue", "lineitem"),  # bloom-prefiltered semi join
+    ("tfidf_similar_docs", "documents"),         # sparse tf-idf posting self-join
+    ("segment_dedup_documents", "documents"),    # sub-doc segment census
+    ("tdigest_rollup_hierarchy_events", "events"),  # day->week/month sketch merge
+    ("bigram_lm_scores_documents", "documents"), # bigram LM scoring joins
+    ("leakage_free_split_documents", "documents"),  # group-aware split rollup
+    ("profile_columns_orders", "orders"),        # one-pass column census
+    ("ols_simple_lineitem", "lineitem"),         # one-pass moment-matrix OLS
+    ("dedup_clusters_documents", "documents"),   # pairs -> CC clusters
+    ("containment_ngram_pairs_documents", "documents"),  # asymmetric containment
+    ("pca_embeddings_variance", "embeddings"),   # distributed covariance + eigh
 ]
 
 
