@@ -142,7 +142,12 @@ _GATE_WINDOW = [
     "incremental_sketch_merge",
     # sketch surface (SURVEY §2.1-2.3): oracle-backed regimes + invariants
     "spacesaving_topk_event_types",
-    "spacesaving_topk_users",
+    # r6 second half: spacesaving_topk_users rotated out (second
+    # exact-regime Space-Saving form in-window; still oracle-checked
+    # outside) for the NEW Bloom family's semi-join proof — a fifth
+    # sketch family's no-false-negatives exactness becomes
+    # driver-visible (fully hash-matched vs WHERE key IN (...))
+    "bloom_semi_join_urgent_revenue",
     # r5: spacesaving_topk_types_by_nation rotated out (third exact-regime
     # Space-Saving form in-window; still oracle-checked outside) for the
     # round-5 semantic-dedup family — embedding-space dedup becomes
@@ -152,9 +157,19 @@ _GATE_WINDOW = [
     "spacesaving_weighted_topk_parts",
     "spacesaving_persist_roundtrip",
     "moments_sketch_extendedprice",
-    "moments_sketch_by_returnflag",
+    # r6 second half: moments_sketch_by_returnflag rotated out (second
+    # grouped moments form; still oracle-checked outside) for the
+    # hierarchical digest rollup — day->week/month by sketch MERGE with
+    # mass pinned to exact per-period counts, the materialized-rollup
+    # pattern crick's merge exists for
+    "tdigest_rollup_hierarchy_events",
     "moments_persist_roundtrip",
-    "approx_distinct_users",
+    # r6 second half: approx_distinct_users rotated out (HLL estimate
+    # also exercised by kmv/hll set-op queries outside; still
+    # oracle-checked) for the pair->cluster closure — connected
+    # components vs a DuckDB recursive-CTE reachability oracle, the
+    # step between near-dup pairs and canonical-doc decisions
+    "dedup_clusters_documents",
     "tdigest_centroid_invariants",
     "tdigest_quantile_accuracy",
     "cms_freq_event_types",
