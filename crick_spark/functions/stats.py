@@ -99,6 +99,8 @@ def linear_fit(df, y_col: str, x_cols: list[str]):
         for j in range(i, k):
             aggs.append(F.sum(terms[i] * terms[j]).alias(f"m_{i}_{j}"))
     row = d.agg(*aggs).collect()[0]
+    if row["m_0_0"] is None:
+        raise ValueError("linear_fit: no rows after NULL filtering")
     G = np.zeros((k, k))
     for i in range(k):
         for j in range(i, k):

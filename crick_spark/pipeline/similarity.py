@@ -982,7 +982,9 @@ def covariance_stats(
     rows = df.select(vec_col).mapInPandas(partials, schema).collect()
     if not rows:
         raise ValueError("covariance_stats: empty input")
-    rows = sorted(rows, key=lambda r: (r["pid"], r["n"]))
+    # full-byte sort key: pid ties (two partitions whose first
+    # vectors hash equal) must still fold in a run-stable order
+    rows = sorted(rows, key=lambda r: (r["pid"], r["n"], bytes(r["s"])))
     n = sum(r["n"] for r in rows)
     d = len(np.frombuffer(rows[0]["s"], dtype=np.float64))
     s = np.zeros(d)
