@@ -320,6 +320,13 @@ def tfidf_similar_pairs(
         blocks = docs.select(id_col, block_col)
         w = w.join(blocks, id_col)
         join_keys = ["term", block_col]
+    # materialize the weights ONCE: three consumers (pair join a-side,
+    # b-side, norms) would otherwise each re-run the tokenize->tf->idf
+    # subtree — alias-renamed self-join sides don't canonicalize equal,
+    # so ReuseExchange never fires (measured 3x the weight work).  The
+    # truncation is the localCheckpoint pattern the iterative operators
+    # use; at 100 TB this is the posting table you'd persist anyway.
+    w = w.localCheckpoint(eager=True)
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
