@@ -53,6 +53,11 @@ CARTESIAN_ALLOWED = {
     "build_vocab_documents",
     # r5: 1-row max-key broadcast for collision-free synthetic insert keys
     "snapshot_diff_orders",
+    # r6: 1-row token-total broadcast cross-joined onto the scored bigrams
+    "bigram_lm_scores_documents",
+    # r6: ~170-row level/period rollup broadcast, CASE non-equi join back
+    # to events for the per-period empirical-CDF accuracy check
+    "tdigest_rollup_hierarchy_events",
 }
 
 # (query, max shuffle exchanges) — the shuffle budget the current plan
