@@ -154,6 +154,7 @@ R4_EXTRA = [
     "ols_multi_lineitem",
     "dedup_clusters_documents",
     "containment_ngram_pairs_documents",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -353,3 +353,41 @@ def tfidf_similar_pairs(
     return sim.select(
         "id_a", "id_b", F.round("cos", 6).alias("tfidf_cosine")
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fused(d) = Σ_lists 1/(c + rank_d) over the lists that contain d —
+    the standard hybrid-retrieval combiner for lexical (BM25) + dense
+    (embedding) rankings, robust to incomparable score scales because
+    it consumes only RANKS.
+
+    Each input carries (id_col, rank_col); the fusion is a union + one
+    hash aggregate over the candidate lists (list-length rows, never
+    corpus-sized), then a TakeOrderedAndProject top-k with the
+    engine-wide tie-break (score desc, id asc).  Emits
+    (id, rrf, n_lists).
+    """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col))).alias("__contrib__"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.round(F.sum("__contrib__"), 6).alias("rrf"),
+        F.count("*").alias("n_lists"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)

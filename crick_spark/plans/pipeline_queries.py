@@ -2868,3 +2868,91 @@ def containment_ngram_pairs_documents(spark, sf_dir):
     return containment_ngram_pairs(
         docs, "doc_id", "text", block_col="lang", threshold=0.8, n=3
     )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS dl,
+{_BM25_SQL_TF}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(dl) AS avgdl,
+{_BM25_SQL_DF}
+  FROM base
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round({_BM25_SQL_SCORE}, 6) DESC,
+                            doc_id ASC) AS rnk
+  FROM base, stats
+  ORDER BY rnk LIMIT 20
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dscored AS (
+  SELECT e.vec_id AS doc_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))),
+           6) AS cosine
+  FROM embeddings e, q
+),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rnk
+  FROM dscored
+  ORDER BY rnk LIMIT 20
+),
+fused AS (
+  SELECT doc_id, round(sum(1.0 / (60.0 + rnk)), 6) AS rrf,
+         count(*) AS n_lists
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+  GROUP BY doc_id
+)
+SELECT doc_id, rrf, n_lists FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009): BM25 top-20 (lexical) and exact-cosine top-20 (dense, "
+    "query vec 0; doc_id==vec_id is the corpus mapping) fused as "
+    "sum 1/(60+rank) - the standard scale-free combiner RAG pipelines "
+    "use.  Ranks come from ROUNDED scores with the engine-wide "
+    "tie-break so both engines rank identically.  Fusion is a union + "
+    "one hash aggregate over list-length rows; final top-10 is "
+    "TakeOrderedAndProject.  FULLY value-oracled.",
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from crick_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+    from crick_spark.pipeline.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dense = (
+        cosine_topk(emb, list(qvec), k=20)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return rrf_fuse([lex, dense], id_col="doc_id", k=10)
