@@ -155,6 +155,7 @@ R4_EXTRA = [
     "dedup_clusters_documents",
     "containment_ngram_pairs_documents",
     "hybrid_rrf_retrieval",
+    "knn_pq_ann",
 ]
 
 

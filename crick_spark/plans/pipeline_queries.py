@@ -2956,3 +2956,28 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         )
     )
     return rrf_fuse([lex, dense], id_col="doc_id", k=10)
+
+
+@register(
+    "knn_pq_ann",
+    oracle="SELECT TRUE AS recall_ok",
+    doc="Product-quantization ANN (Jegou et al. 2011): per-subspace "
+    "k-means codebooks (8 subspaces x 16 centroids, trained on a "
+    "bounded deterministic sample - the FAISS practice), distributed "
+    "Arrow encode, ADC scan (m table lookups per row - 4 bytes/vector "
+    "vs 256 for f32, the billion-vector memory play), exact rerank of "
+    "the 4k pool.  Hash-matched boolean oracle: recall@10 vs exact "
+    "brute force >= 0.8.",
+)
+def knn_pq_ann(spark, sf_dir):
+    from crick_spark.pipeline.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    pq = pq_topk(emb, list(query), k=10, rerank_factor=8).select("vec_id")
+    exact = cosine_topk(emb, list(query), k=10).select("vec_id")
+    return (
+        exact.join(pq, "vec_id", "left_semi")
+        .agg(F.count("*").alias("__hits__"))
+        .select((F.col("__hits__") >= 8).alias("recall_ok"))
+    )

@@ -1445,3 +1445,50 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, "src", "dst", max_iter=1)
+
+
+def test_pq_pipeline_properties(spark):
+    """PQ invariants: codebooks deterministic across calls, encode
+    assigns the true nearest subspace centroid (checked vs numpy), and
+    the ADC+rerank path recovers the exact top-10 on a clustered corpus
+    (rerank pool covers; recall gate asserts >=0.8 in the registry)."""
+    import numpy as np
+    import pandas as pd
+
+    from crick_spark.pipeline.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(6, 32)) * 3
+    X = np.vstack([c + rng.normal(size=(80, 32)) * 0.4 for c in centers])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+
+    b1 = train_pq_codebooks(df, m=4, ksub=8, sample_rows=400)
+    b2 = train_pq_codebooks(df, m=4, ksub=8, sample_rows=400)
+    np.testing.assert_array_equal(b1, b2)
+
+    coded = pq_encode(df, b1).toPandas().sort_values("vec_id")
+    C = np.stack(coded["codes"].to_numpy())
+    dsub = 32 // 4
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)  # impl is cosine-PQ
+    for j in range(4):
+        S = Xn[:, j * dsub : (j + 1) * dsub]
+        d2 = ((S[:, None, :] - b1[j][None, :, :]) ** 2).sum(-1)
+        np.testing.assert_array_equal(C[:, j], d2.argmin(1))
+
+    q = list(map(float, X[0]))
+    got = {
+        r["vec_id"]
+        for r in pq_topk(
+            df, q, k=10, m=4, ksub=8, rerank_factor=8, codebooks=b1
+        ).collect()
+    }
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+    assert len(got & exact) >= 8
