@@ -1051,7 +1051,7 @@ def pca_project(
 def train_pq_codebooks(
     emb: DataFrame,
     vec_col: str = "embedding",
-    m: int = 8,
+    m: int = 16,
     ksub: int = 16,
     sample_rows: int = 10_000,
     seed: int = 42,
@@ -1150,7 +1150,7 @@ def pq_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    m: int = 8,
+    m: int = 16,
     ksub: int = 16,
     rerank_factor: int = 4,
     id_col: str = "vec_id",
@@ -1160,9 +1160,10 @@ def pq_topk(
     """PQ ANN via asymmetric distance computation (ADC): the query stays
     full-precision; a driver-built m×ksub lookup table of subspace dot
     products turns each row's score into m table lookups + a sum — the
-    scan reads m·log2(ksub) BITS per vector (8 subspaces × 16 centroids
-    = 4 bytes vs 256 for f32: a 64× scan-byte reduction, the reason PQ
-    is the billion-vector memory play).  Top rerank_factor·k ADC
+    scan reads m·log2(ksub) BITS per vector (16 subspaces × 16 centroids
+    = 8 bytes vs 256 for f32: a 32× scan-byte reduction, the reason PQ
+    is the billion-vector memory play; panel recall 0.955 mean / 0.80
+    min at this setting vs 0.755/0.50 at 8 subspaces — ANN.md).  Top rerank_factor·k ADC
     candidates are exact-reranked with full-precision cosine (the
     quantized_cosine_topk protocol, so recall cost is bounded by the
     pool and measured by the recall gate)."""

@@ -2962,7 +2962,8 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     "knn_pq_ann",
     oracle="SELECT TRUE AS recall_ok",
     doc="Product-quantization ANN (Jegou et al. 2011): per-subspace "
-    "k-means codebooks (8 subspaces x 16 centroids, trained on a "
+    "k-means codebooks (16 subspaces x 16 centroids = 8 bytes/vector, "
+    "trained on a "
     "bounded deterministic sample - the FAISS practice), distributed "
     "Arrow encode, ADC scan (m table lookups per row - 4 bytes/vector "
     "vs 256 for f32, the billion-vector memory play), exact rerank of "
