@@ -156,6 +156,7 @@ R4_EXTRA = [
     "containment_ngram_pairs_documents",
     "hybrid_rrf_retrieval",
     "knn_pq_ann",
+    "seeded_shuffle_shards_documents",
 ]
 
 

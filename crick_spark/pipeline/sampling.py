@@ -190,3 +190,42 @@ def weighted_sample_per_group(
         .where(F.col("sample_rank") <= int(k))
         .drop("__score__", "__salt__", "__prank__")
     )
+
+
+def seeded_shuffle_shards(
+    df,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "epoch0",
+):
+    """Reproducible corpus shuffle + sharding — the training-order step:
+    every row gets a shard and a position inside it, both pure functions
+    of (seed, id), so any worker can reconstruct epoch order with no
+    coordination and a different seed string reshuffles everything.
+
+    Coin = md5(seed || id) (the engine's deterministic-coin convention,
+    cf. train_val_test_split): first nibble → shard (n_shards ≤ 16 via
+    one nibble, larger via more nibbles upstream), position = rank of
+    the full digest within the shard.  The plan is one hash projection
+    + a per-shard window sort — each shard sorts |corpus|/n_shards rows
+    independently (no global sort); at 100 TB you raise n_shards until
+    a shard fits a task's spill budget.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if not 1 <= n_shards <= 16:
+        raise ValueError("n_shards must be in [1, 16] (one md5 nibble)")
+    coin = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    hexmap = {c: i for i, c in enumerate("0123456789abcdef")}
+    nib = F.substring(coin, 1, 1)
+    shard = F.lit(0)
+    for c, i in hexmap.items():
+        shard = F.when(nib == c, i % n_shards).otherwise(shard)
+    out = df.select(
+        id_col, shard.alias("shard"), coin.alias("__coin__")
+    )
+    w = W.partitionBy("shard").orderBy("__coin__", id_col)
+    return out.select(
+        id_col, "shard", F.row_number().over(w).alias("pos")
+    )

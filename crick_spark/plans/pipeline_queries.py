@@ -2982,3 +2982,39 @@ def knn_pq_ann(spark, sf_dir):
         .agg(F.count("*").alias("__hits__"))
         .select((F.col("__hits__") >= 8).alias("recall_ok"))
     )
+
+
+@register(
+    "seeded_shuffle_shards_documents",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, md5('epoch0' || CAST(doc_id AS VARCHAR)) AS coin
+  FROM documents
+),
+s AS (
+  SELECT doc_id, coin,
+         CASE substring(coin, 1, 1)
+           WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
+           WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7
+           WHEN '8' THEN 0 WHEN '9' THEN 1 WHEN 'a' THEN 2 WHEN 'b' THEN 3
+           WHEN 'c' THEN 4 WHEN 'd' THEN 5 WHEN 'e' THEN 6 ELSE 7
+         END AS shard
+  FROM c
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY coin, doc_id)
+            AS INT) AS pos
+FROM s
+""",
+    doc="Reproducible training-order shuffle: shard and in-shard "
+    "position are pure functions of (seed, doc_id) via the md5 coin, so "
+    "any worker reconstructs epoch order with zero coordination and a "
+    "new seed reshuffles.  One hash projection + per-shard window sort "
+    "(|corpus|/n_shards rows each, no global sort).  FULLY "
+    "value-oracled per row.",
+)
+def seeded_shuffle_shards_documents(spark, sf_dir):
+    from crick_spark.pipeline.sampling import seeded_shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seeded_shuffle_shards(docs, n_shards=8, seed="epoch0")
