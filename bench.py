@@ -157,6 +157,7 @@ R4_EXTRA = [
     "hybrid_rrf_retrieval",
     "knn_pq_ann",
     "seeded_shuffle_shards_documents",
+    "streaming_bloom_dedup_users",
 ]
 
 

@@ -779,3 +779,75 @@ def streaming_sketch_store(spark, sf_dir):
 
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "streaming_bloom_dedup_users",
+    oracle="""
+SELECT TRUE AS never_twice,
+       TRUE AS survivors_subset,
+       TRUE AS coverage_ok,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_distinct
+""",
+    doc="Bounded-state streaming dedup through the Bloom family "
+    "(streaming/bloom_dedup.py): a persisted filter (n_bits/8 bytes "
+    "TOTAL regardless of key count) drops probably-seen user_ids per "
+    "micro-batch - the bounded-memory alternative to dropDuplicates' "
+    "unbounded state store, with one-sided error in the dedup-safe "
+    "direction.  Hash-matched: no key ever emitted twice "
+    "(unconditional - a seen key's bits are set), survivors are a "
+    "subset of the true distinct set, coverage >= 99% (false positives "
+    "bounded by fpp; 4M bits vs ~tens of thousands of keys), and the "
+    "exact distinct count is pinned.",
+)
+def streaming_bloom_dedup_users(spark, sf_dir):
+    from crick_spark.streaming.bloom_dedup import BloomDedupStore
+
+    base = run_tmpdir("crick_bloom_dedup_")
+    store = BloomDedupStore(f"{base}/store", key_col="user_id")
+
+    src = f"{base}/src"
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .foreachBatch(lambda df, bid: store.fold(df, bid))
+        .start()
+    )
+    q.awaitTermination()
+
+    surv = store.survivors(spark).select("user_id")
+    ev_users = load_table(spark, sf_dir, "events").select("user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    distinct_users = ev_users.distinct()
+    stats = (
+        surv.agg(
+            F.count("*").alias("n_surv"),
+            F.countDistinct("user_id").alias("n_surv_distinct"),
+        )
+        .crossJoin(
+            F.broadcast(
+                distinct_users.agg(F.count("*").alias("n_distinct"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                surv.join(distinct_users, "user_id", "left_anti")
+                .agg(F.count("*").alias("n_phantom"))
+            )
+        )
+    )
+    return stats.select(
+        (F.col("n_surv") == F.col("n_surv_distinct")).alias("never_twice"),
+        (F.col("n_phantom") == 0).alias("survivors_subset"),
+        (
+            F.col("n_surv_distinct")
+            >= F.ceil(F.lit(0.99) * F.col("n_distinct"))
+        ).alias("coverage_ok"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

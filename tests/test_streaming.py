@@ -542,3 +542,29 @@ def test_sketch_store_retention_bounds_state(spark, tmp_path):
     assert round(est) == len({uid for _, uid in retained})
     # replay fencing still active under retention
     assert store.fold(batch(5, all_rows[5]), 5) is False
+
+
+def test_bloom_dedup_store_replay_fence_and_invariants(spark, tmp_path):
+    """BloomDedupStore: keys never emitted twice across batches, replayed
+    batch ids are no-ops (idempotent restart), and survivors cover the
+    distinct key set up to the fpp bound."""
+    import pandas as pd
+
+    from crick_spark.streaming.bloom_dedup import BloomDedupStore
+
+    store = BloomDedupStore(str(tmp_path / "store"), key_col="k", n_bits=1 << 16)
+    b0 = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3, 2, 1]}))
+    b1 = spark.createDataFrame(pd.DataFrame({"k": [3, 4, 5, 4]}))
+
+    assert store.fold(b0, 0) is True
+    assert store.fold(b0, 0) is False  # replay fenced
+    assert store.fold(b1, 1) is True
+
+    surv = store.survivors(spark).toPandas()
+    # batch 0 emits {1,2,3}; batch 1 emits only the new {4,5}
+    assert sorted(surv[surv.batch_id == 0]["k"]) == [1, 2, 3]
+    assert sorted(surv[surv.batch_id == 1]["k"]) == [4, 5]
+    # never twice, ever
+    assert surv["k"].is_unique
+    # n_in_batch carries the within-batch multiplicity of the first batch
+    assert int(surv[surv.k == 2]["n_in_batch"].iloc[0]) == 2
