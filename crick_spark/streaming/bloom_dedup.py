@@ -46,7 +46,11 @@ class BloomDedupStore:
         self.key_col = key_col
         self.n_bits = n_bits
         self.n_hashes = n_hashes
-        self._paths = [f"{base_dir}/bloom_a", f"{base_dir}/bloom_b"]
+        # Exact snapshot paths (suffix included): the flip decision
+        # compares the committed meta path against these strings, so they
+        # must match what fold() writes byte-for-byte — SketchStore stores
+        # exact paths for the same reason.
+        self._paths = [f"{base_dir}/bloom_a.pq", f"{base_dir}/bloom_b.pq"]
         self._meta = f"{base_dir}/meta"
         self._out = f"{base_dir}/survivors"
 
@@ -105,34 +109,43 @@ class BloomDedupStore:
             return pd.Series(b.contains_batch(keys.to_numpy(np.int64)))
 
         survivors = keyed.where(~seen(F.col("__bk__")))
-        out = survivors.select(
-            F.lit(int(batch_id)).alias("batch_id"),
-            self.key_col,
-            "n_in_batch",
+        out = survivors.select(self.key_col, "n_in_batch")
+        # Idempotent per-batch sink: each batch owns a Hive-style
+        # partition directory it OVERWRITES, so a crash between this
+        # write and the meta commit (which fences replays) makes the
+        # replay rewrite the same directory instead of appending a
+        # duplicate copy of the batch's survivors — "never emit a
+        # duplicate" holds across restarts, not just within a run.
+        out.write.mode("overwrite").parquet(
+            f"{self._out}/batch_id={int(batch_id)}"
         )
-        out.write.mode("append").parquet(self._out)
-        # fold the batch's NEW keys into the filter: the union happens on
-        # the driver over the batch's distinct-key hashes — bounded by
-        # the batch's distinct count, the same cardinality the exact
-        # dropDuplicates shuffle carries; at larger batches this becomes
-        # partial filters + OR-merge (bloom_build_bytes) with identical
-        # semantics (merge is exact)
-        new_hashes = [
-            r["__bk__"] for r in keyed.select("__bk__").collect()
-        ]
-        if new_hashes:
-            bf.add_batch(np.asarray(new_hashes, dtype=np.int64))
+        # Fold the batch's keys into the filter DISTRIBUTEDLY: per-
+        # partition partial filters, bitwise-OR merge (exact, so the
+        # result is bit-identical to a driver-side fold — tested), one
+        # n_bits/8-byte blob to the driver.  No per-key collect: a hot
+        # batch with millions of distinct keys ships the same few KBs.
+        from crick_spark.operators.crick_ops import bloom_build_bytes
+
+        batch_bf = pickle.loads(
+            bloom_build_bytes(
+                firsts, self.key_col, n_bits=self.n_bits,
+                n_hashes=self.n_hashes,
+            )
+        )
+        bf = bf.merge(batch_bf)
         flip = 0 if cur != self._paths[0] else 1
         target = self._paths[flip]
         # write the filter blob via the JVM-side text-free binary path:
         # a 1-row binary parquet is simplest and atomic-at-rename
         s.createDataFrame([(pickle.dumps(bf),)], "content binary").write.mode(
             "overwrite"
-        ).parquet(target + ".pq")
+        ).parquet(target)
         s.createDataFrame(
-            [(int(batch_id), target + ".pq")], "batch_id long, path string"
+            [(int(batch_id), target)], "batch_id long, path string"
         ).write.mode("append").parquet(self._meta)
         return True
 
     def survivors(self, spark: SparkSession) -> DataFrame:
+        """All emitted (batch_id, key, n_in_batch) rows; ``batch_id`` is
+        recovered by partition discovery from the per-batch directories."""
         return spark.read.parquet(self._out)

@@ -568,3 +568,83 @@ def test_bloom_dedup_store_replay_fence_and_invariants(spark, tmp_path):
     assert surv["k"].is_unique
     # n_in_batch carries the within-batch multiplicity of the first batch
     assert int(surv[surv.k == 2]["n_in_batch"].iloc[0]) == 2
+
+
+def test_bloom_dedup_store_snapshot_paths_alternate(spark, tmp_path):
+    """Consecutive folds write to ALTERNATING snapshot paths (A/B double
+    buffer): the live generation is never overwritten in place, so a crash
+    mid-write leaves the committed meta row pointing at an intact file."""
+    import pandas as pd
+
+    from crick_spark.streaming.bloom_dedup import BloomDedupStore
+
+    store = BloomDedupStore(str(tmp_path / "store"), key_col="k", n_bits=1 << 16)
+    for bid in range(4):
+        df = spark.createDataFrame(pd.DataFrame({"k": [bid * 10, bid * 10 + 1]}))
+        assert store.fold(df, bid) is True
+    meta = (
+        spark.read.parquet(store._meta)
+        .orderBy("batch_id")
+        .select("path")
+        .toPandas()["path"]
+        .tolist()
+    )
+    assert len(meta) == 4
+    # strict alternation: a, b, a, b
+    assert meta[0] != meta[1] and meta[0] == meta[2] and meta[1] == meta[3]
+    assert set(meta) == set(store._paths)
+
+
+def test_bloom_dedup_store_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash between the survivor write and the meta commit: the replayed
+    batch must REWRITE its survivor partition, not append a second copy."""
+    import pandas as pd
+
+    from crick_spark.streaming.bloom_dedup import BloomDedupStore
+
+    store = BloomDedupStore(str(tmp_path / "store"), key_col="k", n_bits=1 << 16)
+    b0 = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3]}))
+    assert store.fold(b0, 0) is True
+
+    # simulate the crash window for batch 1: survivors landed, meta did not
+    b1 = spark.createDataFrame(pd.DataFrame({"k": [3, 4, 5]}))
+    b1.groupBy("k").agg(F.count("*").alias("n_in_batch")).where(
+        F.col("k").isin(4, 5)
+    ).select("k", "n_in_batch").write.mode("overwrite").parquet(
+        f"{store._out}/batch_id=1"
+    )
+    # restart replays batch 1 from the source (meta still at batch 0)
+    assert store.fold(b1, 1) is True
+    surv = store.survivors(spark).toPandas()
+    assert sorted(surv[surv.batch_id == 1]["k"]) == [4, 5]  # one copy, not two
+    assert surv["k"].is_unique
+
+
+def test_bloom_distributed_fold_matches_driver_fold(spark):
+    """bloom_build_bytes (per-partition partials + OR-merge) is BYTE-
+    identical to a single driver-side fold over the same keys, on a
+    multi-partition input — OR-merge is exact, so the distributed path in
+    BloomDedupStore.fold changes nothing but scalability."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from crick_spark.operators.crick_ops import _bloom_key, bloom_build_bytes
+    from crick_spark.sketches.bloom import BloomFilter
+
+    pdf = pd.DataFrame({"k": np.arange(5000) % 1700})
+    # fold() builds over the batch's DISTINCT keys; mirror that here so
+    # n_added (part of the pickled state) is comparable too
+    df = spark.createDataFrame(pdf).distinct().repartition(8)
+    blob = bloom_build_bytes(df, "k", n_bits=1 << 16, n_hashes=5)
+
+    hashes = (
+        df.select(_bloom_key(df, "k").alias("h")).distinct().toPandas()["h"]
+    )
+    driver = BloomFilter(n_bits=1 << 16, n_hashes=5)
+    driver.add_batch(hashes.to_numpy(np.int64))
+    dist = pickle.loads(blob)
+    assert np.array_equal(dist.words, driver.words)
+    assert dist.n_added == driver.n_added == 1700
+    assert pickle.dumps(dist) == pickle.dumps(driver)
