@@ -72,6 +72,7 @@ def shingle_hash_postings(
     text_col: str,
     n: int = 3,
     extra_cols: list[str] | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """Distinct hashed word n-gram postings (id…, th) — the shared scan for
     MinHash signatures and the sparse Jaccard join.
@@ -103,7 +104,14 @@ def shingle_hash_postings(
     vs 3.2 s for the previous posexplode + window-``lead`` + global
     ``distinct`` shape (two shuffles saved), vs 8.9 s for the naive inlined
     variant.  Docs shorter than n words contribute one whole-text shingle
-    (reference semantics of ``shingles_expr``)."""
+    (reference semantics of ``shingles_expr``).
+
+    ``with_size=True`` adds a ``sz`` column — the doc's distinct-shingle
+    count, stamped on every posting row at explode time.  This is how the
+    exact-pair joins get per-doc set sizes WITHOUT a separate sizes
+    relation: carrying one long through the posting join costs nothing,
+    while a sizes side is O(|corpus|) rows that must either broadcast
+    (OOM at 1e9 docs) or shuffle-join (an extra exchange)."""
     extra_cols = extra_cols or []
     words = words_expr(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
@@ -120,8 +128,34 @@ def shingle_hash_postings(
     th_arr = F.when(nsh >= 1, F.array_distinct(grams)).otherwise(
         F.array(F.xxhash64(F.col("__full__")))
     )
-    return base.select(
-        F.col(id_col), *extra_cols, F.explode(th_arr).alias("th")
+    if not with_size:
+        return base.select(
+            F.col(id_col), *extra_cols, F.explode(th_arr).alias("th")
+        )
+    # sz duplicates the gram pass over the NAMED __wh__ column, in its own
+    # pre-explode projection, rather than sharing a named th_arr with the
+    # explode.  Both alternatives are traps: (a) naming th_arr makes the
+    # generator input an attribute, which lets InferFiltersFromGenerate
+    # add a size(..)>0 filter that predicate pushdown then inlines through
+    # BOTH projections — re-splitting and re-hashing the text per row
+    # (measured 9.4 s vs 0.44 s at sf0.1); (b) computing sz in the SAME
+    # select as the explode lands it in the post-Generate projection,
+    # re-running the gram transform once per EXPLODED row instead of per
+    # doc (measured 4.5 s).  This shape costs one extra per-doc gram-hash
+    # pass over already-hashed words and nothing else.
+    sz = F.when(nsh >= 1, F.size(F.array_distinct(grams))).otherwise(F.lit(1))
+    mid = base.select(
+        F.col(id_col),
+        *extra_cols,
+        F.col("__wh__"),
+        F.col("__full__"),
+        sz.alias("sz"),
+    )
+    return mid.select(
+        F.col(id_col),
+        *extra_cols,
+        F.col("sz"),
+        F.explode(th_arr).alias("th"),
     )
 
 
@@ -367,9 +401,14 @@ def jaccard_ngram_pairs(
     shingles per pair — only pairs that actually share ≥ 1 shingle are ever
     materialized (a blocked self-join + ``array_intersect`` formulation
     measured 150s at sf0.1; this shape runs in ~4s).  The union size comes
-    from inclusion–exclusion with the per-doc set sizes (broadcast — two
-    longs per doc).  Work is Σ_shingle c² over posting-list lengths;
-    partial aggregation collapses pair counts map-side.
+    from inclusion–exclusion with the per-doc set sizes, which ride ON the
+    posting rows themselves (``with_size=True`` stamps each posting with
+    its doc's distinct-shingle count at explode time) and fall out of the
+    pair aggregation as ``first(sz)`` — no sizes relation exists at all.
+    Earlier shapes joined an O(|corpus|)-row sizes side back in with a
+    mandatory broadcast: an executor OOM at 1e9 docs, and an extra
+    exchange even when small.  Work is Σ_shingle c² over posting-list
+    lengths; partial aggregation collapses pair counts map-side.
 
     The self-join carries a ``merge`` hint: left to itself Spark broadcasts
     the postings and evaluates the posting subtree independently on both
@@ -379,9 +418,8 @@ def jaccard_ngram_pairs(
     immaterial)."""
     t = float(threshold)
     postings = shingle_hash_postings(
-        docs, id_col, text_col, n, extra_cols=[block_col]
+        docs, id_col, text_col, n, extra_cols=[block_col], with_size=True
     ).withColumnRenamed(block_col, "blk")
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = postings.alias("a"), postings.alias("b")
     shared = (
         a.join(
@@ -393,14 +431,14 @@ def jaccard_ngram_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
+        shared.select(
             "id_a",
             "id_b",
             (
@@ -712,15 +750,16 @@ def containment_ngram_pairs(
     self-pairs excluded.
 
     Same sparse posting-join shape and hash-compare convention as
-    ``jaccard_ngram_pairs`` (shared-shingle pairs only, inclusion sizes
-    broadcast); only the final scoring differs, dividing by the
-    contained side's size alone.
+    ``jaccard_ngram_pairs``, including the joinless size plumbing: the
+    contained side's set size rides on its posting rows
+    (``with_size=True``) and falls out of the pair aggregation as
+    ``first(sz)`` — no O(|corpus|)-row sizes relation, no broadcast; only
+    the final scoring differs, dividing by the contained side's size alone.
     """
     t = float(threshold)
     postings = shingle_hash_postings(
-        docs, id_col, text_col, n, extra_cols=[block_col]
+        docs, id_col, text_col, n, extra_cols=[block_col], with_size=True
     ).withColumnRenamed(block_col, "blk")
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = postings.alias("a"), postings.alias("b")
     shared = (
         a.join(
@@ -732,12 +771,10 @@ def containment_ngram_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("inter"), F.first("a.sz").alias("sz_a"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .select(
+        shared.select(
             "id_a",
             "id_b",
             (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias(

@@ -153,6 +153,55 @@ def test_pruned_scan_prunes_partitions_and_columns(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["jaccard_ngram_dup_pairs", "containment_ngram_pairs_documents"]
+)
+def test_exact_pair_dedup_has_no_forced_broadcast(spark, name):
+    """The exact-pair dedup joins must NOT force-broadcast the per-doc
+    size relation: it is O(|corpus|) rows, so a mandatory broadcast hint
+    is an executor OOM at 1e9 docs.  The joins are id equi-joins — AQE
+    broadcasts at runtime when the side is actually small, which is the
+    only acceptable way to get the broadcast.  Assert no broadcast hint
+    survives analysis (the physical plan MAY still pick a broadcast join;
+    that is the planner's size-based call, not a forced one)."""
+    from crick_spark.plans import QUERIES
+
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower(), (
+        f"{name}: a broadcast hint survives in the logical plan — the "
+        "per-doc side must stay AQE-decided"
+    )
+
+
+def test_profile_columns_default_has_no_expand(spark):
+    """The profiler's DEFAULT (approx-distinct) plan must stay a single
+    Expand-free pass: N exact count-distincts in one aggregate force an
+    Expand node that replays every scan row N times into the shuffle
+    (the sole 9.3x entry in SCALE.md before r7).  HLL sketches are
+    map-side combinable, so the default census is one true pass; the
+    exact mode is the opt-in that MAY expand."""
+    from crick_spark.functions.profile import profile_columns
+    from crick_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def text(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    default_plan = text(profile_columns(orders, cols))
+    assert "Expand" not in default_plan, (
+        "default profile plan contains an Expand node - the approx "
+        "census must be a single pass"
+    )
+    exact_plan = text(profile_columns(orders, cols, exact_distinct=True))
+    assert "Expand" in exact_plan  # documents WHY approx is the default
+
+
 def test_selective_filter_pushes_to_scan(spark):
     """tpch_q6's selective predicates must reach the parquet scan as
     PushedFilters (row-group skipping at scale)."""
