@@ -2485,19 +2485,68 @@ FROM orders"""
 @register(
     "profile_columns_orders",
     oracle=_PROFILE_ORACLE,
-    doc="Column profiler: per-column null/distinct/min/max census over a "
-    "mixed-type table (bigint, varchar, double, timestamp) - the "
-    "schema-drift check an ingestion pipeline runs before trusting new "
-    "data.  ONE wide aggregate over a single scan (count-distincts "
-    "expand to one Expand node), unpivoted with stack() - never a scan "
-    "per column.  FULLY value-oracled including the cross-engine "
-    "string rendering of min/max.",
+    doc="Column profiler, EXACT opt-in mode (exact_distinct=True): "
+    "per-column null/distinct/min/max census over a mixed-type table "
+    "(bigint, varchar, double, timestamp) - the schema-drift check an "
+    "ingestion pipeline runs before trusting new data.  FULLY "
+    "value-oracled including the cross-engine string rendering of "
+    "min/max.  The exact mode pays an Expand node (N count-distincts "
+    "replay the scan N-fold into the shuffle); the production DEFAULT "
+    "is the Expand-free HLL census certified by "
+    "profile_columns_orders_approx.",
 )
 def profile_columns_orders(spark, sf_dir):
     from crick_spark.functions.profile import profile_columns
 
     orders = load_table(spark, sf_dir, "orders")
-    return profile_columns(orders, _PROFILE_COLS)
+    return profile_columns(orders, _PROFILE_COLS, exact_distinct=True)
+
+
+_PROFILE_APPROX_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", (SELECT count(*) FROM orders) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val,
+       TRUE AS nd_within_bound
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_columns_orders_approx",
+    oracle=_PROFILE_APPROX_ORACLE,
+    doc="Accuracy twin certifying the profiler's DEFAULT approx-distinct "
+    "mode (r6 VERDICT weak #1): the HLL++ census (one true pass, no "
+    "Expand - N approx_count_distinct sketches ride the same single "
+    "partial aggregation as min/max/nulls) joined against the exact "
+    "census, emitting the exact-matched fields plus a per-column "
+    "boolean asserting |hll - exact| <= 4*rsd*exact (rsd=0.02) - the "
+    "same tolerance-as-correctness pattern as approx_distinct_users.  "
+    "A drifted estimate flips a boolean and breaks the hash.",
+)
+def profile_columns_orders_approx(spark, sf_dir):
+    from crick_spark.functions.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx = profile_columns(orders, _PROFILE_COLS, rsd=0.02).select(
+        "column", F.col("n_distinct").alias("nd_est")
+    )
+    exact = profile_columns(orders, _PROFILE_COLS, exact_distinct=True)
+    return (
+        exact.join(F.broadcast(approx), "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "min_val",
+            "max_val",
+            (
+                F.abs(F.col("nd_est") - F.col("n_distinct"))
+                <= 4 * 0.02 * F.col("n_distinct")
+            ).alias("nd_within_bound"),
+        )
+    )
 
 
 @register(
