@@ -34,7 +34,7 @@ def pagerank(
     eager: bool = False,
     broadcast_ranks: bool = False,
     dangling: str = "redistribute",
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank)`` after ``iterations`` synchronous updates from a
@@ -56,13 +56,16 @@ def pagerank(
     ``checkpoint_interval`` iterations automatically, so deep chains
     (iterations ≫ 5) keep bounded plan depth instead of accumulating
     2·iterations joins of analysis work — the dedup components loop's
-    pattern, now built in.  Set ``checkpoint_interval=0`` to disable
+    pattern, now built in.  The default (``None``) auto-selects:
+    interval=1 — the per-superstep materialization Pregel/GraphX does —
+    for deep chains (iterations > 5), MEASURED 6.3 s vs ~11-13 s at
+    interval=5 on the sf0.01 purchase graph at 10 iterations (and far
+    worse unbounded); interval=5 (i.e. effectively no truncation) for
+    shallow chains, where each eager materialization would serialize
+    the pipeline for no lineage benefit.  Override with an explicit
+    interval when the rank vector is too large to materialize cheaply
+    each step (it is 2 columns — it rarely is), or ``0`` to disable
     (only sensible for the shallow, fully-unrolled oracle forms).
-    MEASURED (sf0.01 purchase graph, 10 iterations): interval=1 — the
-    per-superstep materialization Pregel/GraphX does — ran 6.3 s vs
-    ~11-13 s at interval=5 and far worse unbounded; prefer interval=1
-    for deep chains unless the rank vector is too large to materialize
-    cheaply each step (it is 2 columns — it rarely is).
 
     The normalized edge list and node set are cached for reuse across
     iterations.  With ``eager=True`` the final rank vector is
@@ -75,6 +78,8 @@ def pagerank(
     """
     if dangling not in ("redistribute", "assume_none"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
+    if checkpoint_interval is None:
+        checkpoint_interval = 1 if iterations > 5 else 5
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
