@@ -2778,9 +2778,11 @@ def bigram_lm_scores_documents(spark, sf_dir):
     return bigram_lm_scores(docs, lam=0.7)
 
 
-@register(
-    "dedup_clusters_documents",
-    oracle=r"""
+# Shared by dedup_clusters_documents (batch closure) and
+# incremental_dedup_clusters (batched ClusterStore folds): both must
+# reproduce the same DuckDB recursive-CTE reachability closure over the
+# identical exact-Jaccard pair set.
+_CLUSTERS_ORACLE = r"""
 WITH RECURSIVE s AS (
   SELECT doc_id, lang,
     CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
@@ -2812,7 +2814,12 @@ reach AS (
 comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT component, count(*) AS n_docs
 FROM comp GROUP BY component
-""",
+"""
+
+
+@register(
+    "dedup_clusters_documents",
+    oracle=_CLUSTERS_ORACLE,
     doc="Near-duplicate CLUSTERS: the exact 3-gram Jaccard pairs "
     "(>=0.5, lang-blocked - the already-oracled ground truth) closed "
     "transitively by hash-min label propagation "
@@ -2833,6 +2840,49 @@ def dedup_clusters_documents(spark, sf_dir):
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.groupBy("component").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "incremental_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="INCREMENTAL cluster maintenance (r6 VERDICT item 6): the same "
+    "exact-Jaccard pair set as dedup_clusters_documents, but delivered "
+    "in 3 deterministic batches folded one at a time into a persisted "
+    "(node, component) labeling (streaming/cluster_store.py) - per "
+    "batch the closure runs only on the CONTRACTED graph (endpoints "
+    "replaced by their stored labels, O(|batch|) edges), then a "
+    "batch-bounded broadcast mapping relabels merged components; "
+    "history's pairs are never re-read.  Hash-matched against the "
+    "recursive-CTE closure of the FULL pair set: incremental folding "
+    "must be exactly equivalent to batch re-closure (min-label algebra "
+    "makes it so - min over representatives = min over members).",
+)
+def incremental_dedup_clusters(spark, sf_dir):
+    import shutil
+
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    ).localCheckpoint(eager=True)
+    work = run_tmpdir("crick_clusterstore_")
+    store = ClusterStore(f"{work}/store")
+    for bid in range(3):
+        store.fold(
+            pairs.where(
+                F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3)) == bid
+            ),
+            bid,
+        )
+    out = (
+        store.labels(spark)
+        .groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 @register(

@@ -648,3 +648,60 @@ def test_bloom_distributed_fold_matches_driver_fold(spark):
     assert np.array_equal(dist.words, driver.words)
     assert dist.n_added == driver.n_added == 1700
     assert pickle.dumps(dist) == pickle.dumps(driver)
+
+
+def test_cluster_store_incremental_equals_full_closure(spark, tmp_path):
+    """Folding near-dup pair batches into the persisted labeling one at a
+    time yields EXACTLY the labels of a full connected-components
+    re-closure over the union of all pairs, after every batch — including
+    batches that merge previously separate components and batches that
+    only add new nodes.  Replays are fenced."""
+    from crick_spark.pipeline.graph import connected_components
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],   # three components
+        [(2, 3)],                     # merge {1,2} + {3,4}
+        [(5, 6), (4, 5)],             # chain-extend the merged component
+        [(7, 8), (11, 12)],           # new comp + grow an old one
+        [(1, 4)],                     # within-component pair: no change
+    ]
+    store = ClusterStore(str(tmp_path / "store"))
+    seen: list = []
+    for bid, pb in enumerate(batches):
+        df = spark.createDataFrame(pb, "id_a long, id_b long")
+        assert store.fold(df, bid) is True
+        assert store.fold(df, bid) is False  # fenced replay
+        seen += pb
+        full = connected_components(
+            spark.createDataFrame(seen, "id_a long, id_b long"),
+            src="id_a",
+            dst="id_b",
+        )
+        inc = store.labels(spark)
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        ), f"divergence after batch {bid}"
+
+
+def test_cluster_store_snapshot_paths_alternate(spark, tmp_path):
+    """Label snapshots use the A/B double buffer: consecutive folds write
+    alternating paths, so the committed generation is never overwritten
+    in place."""
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"))
+    for bid in range(4):
+        df = spark.createDataFrame(
+            [(bid * 10, bid * 10 + 1)], "id_a long, id_b long"
+        )
+        assert store.fold(df, bid) is True
+    meta = (
+        spark.read.parquet(store._meta)
+        .orderBy("batch_id")
+        .select("path")
+        .toPandas()["path"]
+        .tolist()
+    )
+    assert meta[0] != meta[1] and meta[0] == meta[2] and meta[1] == meta[3]
+    assert set(meta) == set(store._paths)
