@@ -260,7 +260,18 @@ def tfidf_weights(
     tuning knob: |vocab|^n possible terms means per-term df collapses
     and the posting self-join goes sparse (measured on the synthetic
     corpus: 31 s → ~2 s at sf0.1 for the pair query).
+
+    The tokenize input is spread to full-core parallelism first
+    (``ensure_scan_parallelism``): a small single-row-group parquet
+    scan is ONE partition, which single-threads the whole
+    tokenize→n-gram→explode pipeline — the measured majority of this
+    operator's cost at bench scale (the pair join itself is <1 s; see
+    ``tfidf_similar_pairs``).  No-op when the input already has ≥
+    defaultParallelism splits, i.e. at any real scale.
     """
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     toks = tokens_expr(F.col(text_col))
     if ngram > 1:
         n_terms = F.size(toks) - (ngram - 1)
@@ -300,6 +311,7 @@ def tfidf_similar_pairs(
     ngram: int = 1,
     block_col: str | None = None,
     max_df_ratio: float | None = None,
+    salt_df_threshold: int = 1000,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine ≥ threshold — the lexical
     near-duplicate/similarity measure between exact Jaccard (set-valued)
@@ -313,6 +325,17 @@ def tfidf_similar_pairs(
     join on (term, block), splitting every term's bucket by block.
     Exact and fully SQL-expressible → value-oracled (registry:
     ``tfidf_similar_docs``).
+
+    Skew: terms hotter than ``salt_df_threshold`` postings are salted
+    RESULTS-PRESERVINGLY (``salted_self_pair_join``): the hot term's
+    quadratic pair work is spread over ceil(df/threshold) sub-buckets
+    instead of pinning one reducer, and every pair still meets exactly
+    once — unlike ``max_df_ratio``, which bounds the same work by
+    DROPPING hot terms and changes scores.  Cold terms pay nothing
+    (salt 0, no replication); on the bench corpus max_df ≈ 25 at
+    sf0.1, so the salting path is measured on the Zipf skew probe
+    (hot injected sentence → 3-gram df ≈ 0.4·|corpus|), not here.
+    Set ``salt_df_threshold=0`` to disable.
     """
     w = tfidf_weights(docs, id_col, text_col, ngram, max_df_ratio)
     join_keys = ["term"]
@@ -330,10 +353,18 @@ def tfidf_similar_pairs(
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    a = w.select(
+    if salt_df_threshold:
+        from crick_spark.functions.skew import salted_self_pair_join
+
+        left, right, join_keys = salted_self_pair_join(
+            w, join_keys, salt_df_threshold
+        )
+    else:
+        left, right = w, w
+    a = left.select(
         F.col(id_col).alias("id_a"), *join_keys, F.col("w").alias("wa")
     )
-    b = w.select(
+    b = right.select(
         F.col(id_col).alias("id_b"), *join_keys, F.col("w").alias("wb")
     )
     dots = (

@@ -1492,3 +1492,31 @@ def test_pq_pipeline_properties(spark):
     }
     exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
     assert len(got & exact) >= 8
+
+
+def test_salted_pair_join_identical_to_unsalted(spark):
+    """Hot-term salting in tfidf_similar_pairs is results-preserving:
+    with a threshold low enough that MANY terms salt (and replicate the
+    right side), the pair set and every cosine are byte-identical to the
+    unsalted join on a corpus with a deliberately hot shared sentence."""
+    import pandas as pd
+
+    from crick_spark.pipeline.retrieval import tfidf_similar_pairs
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(60):
+        body = f"unique text body number {i} with filler tokens t{i} u{i}"
+        # 2/3 of docs share the hot sentence -> its 3-grams have df ~ 40
+        text = body + " " + hot if i % 3 else body
+        rows.append((i, text, "en" if i % 2 else "fr"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    kw = dict(threshold=0.005, ngram=3, block_col="lang")
+    unsalted = tfidf_similar_pairs(docs, salt_df_threshold=0, **kw)
+    salted = tfidf_similar_pairs(docs, salt_df_threshold=5, **kw)
+    u = sorted(map(tuple, unsalted.collect()))
+    s = sorted(map(tuple, salted.collect()))
+    assert len(u) > 0  # the hot sentence must actually produce pairs
+    assert u == s

@@ -176,6 +176,9 @@ SKEW_PROBES = [
     "simhash_near_dup_pairs",
     "jaccard_ngram_dup_pairs",
     "boilerplate_ngram_filter",
+    # r7: hot injected 3-grams (df ~ 0.4*|corpus|) exercise the
+    # results-preserving hot-term salting in the posting self-join
+    "tfidf_similar_docs",
 ]
 
 # One fixed sentence (12 words → ~10 rolling 3-gram shingles) appended to
