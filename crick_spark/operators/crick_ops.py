@@ -738,16 +738,18 @@ def tdigest_rollup_levels(
     lossless consistency hook the oracle pins; quantile columns carry the
     usual t-digest accuracy (≤0.012 in q-space, tested at every level).
 
-    The day-partial relation is persisted before fan-out: it is the
-    union's shared input (|days| rows), and without pinning it each level
-    would re-run the fact scan.
+    The day-partial relation is materialized before fan-out (eager
+    ``localCheckpoint``, |days| KB-sized sketch rows): it is the union's
+    shared input, and without pinning it each level would re-run the
+    fact scan.  localCheckpoint rather than persist() so the blocks die
+    with the returned DataFrame instead of sitting in the SQL cache
+    manager until someone calls unpersist — repeated calls in a
+    long-lived session leak nothing.
     """
-    from pyspark import StorageLevel
-
     day = F.to_date(F.col(ts_col))
     partials = tdigest_agg(
         df.withColumn("__day__", day), col, by=["__day__"], compression=compression
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
     schema = StructType(
         [StructField("n", DoubleType())]

@@ -291,6 +291,10 @@ def lsh_bulk_topk(
     """Bulk LSH ANN over a DataFrame of query vectors — ONE Spark job for
     the whole panel (vs one job per query in ``lsh_ann_topk``).
 
+    A query with ZERO probe-stage candidates emits no rows (dropped, not
+    padded — see ``_bulk_rerank``'s contract); left-join from the query
+    panel when a row per query is required.
+
     Plan shape (the 100 TB one):
     1. BOTH sides get their per-table sign-bit fingerprints from the same
        Arrow one-matmul kernel (``lsh_buckets_udf``) with the same seed,
@@ -369,7 +373,17 @@ def _bulk_rerank(
     """Shared exact-rerank stage of every bulk ANN path: candidate
     (query, id) pairs re-join the corpus for vectors and the query panel
     for query vectors, then ONE grouped Arrow matmul per query id emits
-    top-k with the engine-wide tie-break (cosine desc, id asc)."""
+    top-k with the engine-wide tie-break (cosine desc, id asc).
+
+    CONTRACT — empty-candidate queries are DROPPED: a query whose probe
+    stage found zero candidates produces no output rows at all, unlike
+    the exact twin ``bulk_cosine_topk`` which always emits k rows per
+    query.  This is inherent to the candidate-join shape (there is no
+    row to carry the query through) and applies to every caller
+    (``lsh_bulk_topk`` / ``ivf_bulk_topk`` / ``quantized_bulk_topk``).
+    Callers computing per-query metrics must LEFT-join from the query
+    panel and treat missing queries as recall 0 / empty result — the
+    registered recall gates do exactly that (left join + coalesce)."""
     qpanel = queries.select(query_id_col, F.col(vec_col).alias("__qv__"))
     if broadcast_queries:
         qpanel = F.broadcast(qpanel)
@@ -424,7 +438,9 @@ def ivf_bulk_topk(
     grouped exact rerank.  The bulk twin of ``ivf_ann_topk`` exactly as
     ``lsh_bulk_topk`` is of ``lsh_ann_topk``; at 100 TB the corpus side
     is the write-time cluster-partitioned layout, so the probe join
-    reads only the probed clusters' files."""
+    reads only the probed clusters' files.  A query whose probed
+    clusters hold zero corpus rows emits no rows (``_bulk_rerank``'s
+    dropped-query contract)."""
     from pyspark.sql.functions import pandas_udf
 
     cn = centroids / np.maximum(
@@ -697,7 +713,9 @@ def quantized_bulk_topk(
     ``rerank_factor·k`` shortlist, and the shared ``_bulk_rerank``
     finishes with exact cosine.  Query codes come from the same
     ``quantize_expr`` as the corpus (one quantization contract, HALF_UP
-    rounding both sides).  Returns (query_id, vec_id, cosine, rank)."""
+    rounding both sides).  Returns (query_id, vec_id, cosine, rank);
+    empty-shortlist queries emit no rows (``_bulk_rerank``'s
+    dropped-query contract)."""
     from pyspark.sql import Window
 
     lo, hi = quantization_params(corpus, vec_col)

@@ -45,6 +45,151 @@ def summarize(plan: str) -> dict:
     }
 
 
+# Wrapper nodes skipped when naming what a broadcast side actually IS.
+_WRAPPERS = {
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "Project",
+    "Filter",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "ShuffleQueryStage",
+    "Exchange",
+    "AQEShuffleRead",
+    "Sort",
+    "ReusedExchange",
+}
+
+
+def _rows(node):
+    try:
+        m = node.metrics()
+        if m.contains("numOutputRows"):
+            return int(m.apply("numOutputRows").value())
+    except Exception:
+        pass
+    return None
+
+
+def _tree(node):
+    """Executed physical plan as a nested dict, descending through AQE
+    stage wrappers so post-execution metrics are reachable."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return _tree(node.executedPlan())
+    if cls.endswith("QueryStageExec"):
+        return _tree(node.plan())
+    kids = [_tree(node.children().apply(i)) for i in range(node.children().size())]
+    if cls == "ReusedExchangeExec":
+        kids = [_tree(node.child())]
+    return {"name": node.nodeName(), "rows": _rows(node), "children": kids}
+
+
+def _find(t, pred):
+    if pred(t):
+        return t
+    for c in t["children"]:
+        hit = _find(c, pred)
+        if hit is not None:
+            return hit
+    return None
+
+
+def _describe(t):
+    """First non-wrapper descendant name — what the relation actually is."""
+    base = t["name"].split(" (")[0].strip()
+    if base not in _WRAPPERS:
+        return base
+    for c in t["children"]:
+        d = _describe(c)
+        if d:
+            return d
+    return base
+
+
+def _first_rows(t):
+    if t["rows"] is not None:
+        return t["rows"]
+    for c in t["children"]:
+        r = _first_rows(c)
+        if r is not None:
+            return r
+    return None
+
+
+# A "bounded" nested-loop side at sf0.01 (5k docs / 60k orders / 600k
+# lineitem): anything materially above this is corpus-scaled, not a
+# constant/aggregate/candidate set, and must be treated as a bug.
+BOUNDED_ROWS = 5_000
+
+
+def cartesian_evidence(name: str, df) -> list[str]:
+    """Execute the query and, for every nested-loop/cartesian node in the
+    FINAL (post-AQE) plan, name the bounded side with its OBSERVED row
+    count — the per-flag adjudication PLANS.md records (a flag whose
+    bounded side can't be named, or isn't bounded, is a bug, not a
+    note)."""
+    ep = df._jdf.queryExecution().executedPlan()
+    # execute THIS QueryExecution (so its metrics populate) without a
+    # driver-side collect of the result rows: RDD count is distributed
+    ep.execute().count()
+    t = _tree(ep)
+    out = []
+
+    def visit(node):
+        base = node["name"].split(" (")[0].strip()
+        if base == "BroadcastNestedLoopJoin":
+            bc = None
+            for c in node["children"]:
+                bc = _find(
+                    c, lambda x: "BroadcastExchange" in x["name"]
+                ) or _find(c, lambda x: "BroadcastQueryStage" in x["name"])
+                if bc is not None:
+                    break
+            if bc is None:
+                out.append(
+                    f"- `{name}`: BNLJ with NO broadcast side found — BUG"
+                )
+            else:
+                r = _first_rows(bc)
+                what = _describe(bc)
+                verdict = (
+                    "bounded"
+                    if r is not None and r <= BOUNDED_ROWS
+                    else "NOT BOUNDED — BUG"
+                )
+                out.append(
+                    f"- `{name}`: BNLJ build side = {what}, observed "
+                    f"{r} row(s) — {verdict}"
+                )
+        elif base == "CartesianProduct":
+            rs = [
+                (_describe(c), _first_rows(c)) for c in node["children"]
+            ]
+            small = min((r for _, r in rs if r is not None), default=None)
+            verdict = (
+                "bounded"
+                if small is not None and small <= BOUNDED_ROWS
+                else "NOT BOUNDED — BUG"
+            )
+            sides = " x ".join(f"{w}({r} rows)" for w, r in rs)
+            out.append(
+                f"- `{name}`: CartesianProduct {sides}; smaller side "
+                f"{small} row(s) — {verdict}"
+            )
+        for c in node["children"]:
+            visit(c)
+
+    visit(t)
+    if not out:
+        out.append(
+            f"- `{name}`: nested-loop node in the static plan only — the "
+            "post-AQE executed plan contains none (AQE replanned it away)."
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -84,11 +229,13 @@ def main() -> None:
             f"| {s['python_nodes']} |"
         )
         if nl:
-            flagged.append(
-                f"- `{name}`: {nl} nested-loop/cartesian node(s) — verify the "
-                "non-equi join is intentionally tiny (e.g. broadcast of a "
-                "bounded candidate set)."
-            )
+            try:
+                flagged.extend(cartesian_evidence(name, spec.fn(spark, sf_dir)))
+            except Exception as exc:  # pragma: no cover
+                flagged.append(
+                    f"- `{name}`: {nl} nested-loop/cartesian node(s); "
+                    f"evidence probe failed: {type(exc).__name__} — BUG"
+                )
         wide = [c for c in s["scan_cols"] if c > 8]
         if wide:
             flagged.append(
@@ -97,6 +244,15 @@ def main() -> None:
     lines.append("")
     if flagged:
         lines.append("## Flags")
+        lines.append("")
+        lines.append(
+            "Every nested-loop/cartesian node is ADJUDICATED per flag: the "
+            "query is executed and the flag names the bounded side with its "
+            "OBSERVED post-AQE row count (BroadcastExchange / smaller input "
+            "numOutputRows metric).  `bounded` = the side is a constant-size "
+            f"aggregate or candidate set (≤ {BOUNDED_ROWS} rows at this sf); "
+            "a flag marked BUG is a real scale defect, not a note."
+        )
         lines.append("")
         lines.extend(sorted(set(flagged)))
         lines.append("")
