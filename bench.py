@@ -249,6 +249,8 @@ PREFLIGHT_SKIP_SUBSTR = (
     "recall_vs_exact",
     # eager=True pagerank materializes ranks at plan construction
     "pagerank",
+    # r7: ClusterStore folds + label reads run at plan construction
+    "incremental_dedup_clusters",
 )
 
 

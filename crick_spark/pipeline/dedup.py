@@ -111,7 +111,16 @@ def shingle_hash_postings(
     exact-pair joins get per-doc set sizes WITHOUT a separate sizes
     relation: carrying one long through the posting join costs nothing,
     while a sizes side is O(|corpus|) rows that must either broadcast
-    (OOM at 1e9 docs) or shuffle-join (an extra exchange)."""
+    (OOM at 1e9 docs) or shuffle-join (an extra exchange).
+
+    The scan is spread to full-core parallelism first (a small parquet
+    file is one row group → one partition → single-threaded
+    shingle-hashing for every consumer; no-op at real scale) — this is
+    the shared entry for MinHash, Jaccard and containment, so one guard
+    covers the family."""
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     extra_cols = extra_cols or []
     words = words_expr(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
@@ -696,8 +705,13 @@ def segment_dedup_stats(
     concat_ws under codegen); the duplicate census shuffles the 16-B md5
     of each segment, never its text (the exact_dedup convention), and the
     per-doc rollup is a second hash aggregate.  Cost is 2 shuffles of
-    |segments| hash rows — linear, no pairwise anything.
+    |segments| hash rows — linear, no pairwise anything.  The scan is
+    spread first (``ensure_scan_parallelism``) so segmenting runs
+    full-core on single-row-group inputs.
     """
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     words = words_expr(F.col(text_col))
     n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     seg_texts = F.transform(

@@ -482,8 +482,15 @@ def bpe_train(
     count from 2·n_merges to 2·n_rounds (typically 3-6× fewer on
     natural-language corpora — round counts land in ``stats``); the word
     table is localCheckpoint-ed each round so plan depth stays bounded.
+    The corpus scan is spread first (``ensure_scan_parallelism``):
+    MEASURED at sf0.1 the single-row-group scan single-threaded the
+    word-table build, 9.3 s → 4.4 s end-to-end.
     """
     import pandas as pd
+
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     from pyspark.sql.types import (
         ArrayType,
         LongType,
@@ -638,8 +645,11 @@ def unigram_lm_train(
 
     import pandas as pd
 
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
     words = (
-        docs.select(F.explode(lower_tokens_expr(F.col(text_col))).alias("word"))
+        ensure_scan_parallelism(docs)
+        .select(F.explode(lower_tokens_expr(F.col(text_col))).alias("word"))
         .where(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count("*").alias("wfreq"))

@@ -86,6 +86,7 @@ def process_batch(
     num_perm: int = 64,
     bands: int = 16,
     batch_id: int = 0,
+    cluster_store=None,
 ) -> None:
     """Fold one micro-batch into the dedup state: emit candidate pairs
     (within-batch + vs-history) to ``pairs_dir``, write the batch's band
@@ -94,6 +95,14 @@ def process_batch(
     Idempotent per ``batch_id``: both sinks are partitioned by batch id
     and dynamically overwritten, so replaying a micro-batch (foreachBatch
     delivers at-least-once) cannot duplicate state rows or pairs.
+
+    ``cluster_store`` (a ``streaming.cluster_store.ClusterStore``)
+    closes the loop from pairs to CLUSTERS in the same micro-batch: the
+    batch's candidate pairs are folded into the persisted
+    (node, component) labeling — contracted-graph closure, O(|batch|)
+    work, exactly equivalent to re-closing all history (see the store's
+    module docstring).  The store fences on the same ``batch_id``, so a
+    replay that rewrites the pairs partition is a no-op on the labels.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(batch, id_col, text_col, num_perm)
@@ -124,14 +133,20 @@ def process_batch(
             .select(*_pair_cols(id_col))
         )
         pairs = pairs.unionByName(cross)
+    pairs = pairs.distinct()
+    if cluster_store is not None:
+        # materialize once: the pair set feeds BOTH the pairs sink and
+        # the label fold; without this the band joins would run twice
+        pairs = pairs.localCheckpoint(eager=True)
     (
-        pairs.distinct()
-        .withColumn("batch_id", F.lit(batch_id))
+        pairs.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(pairs_dir)
     )
+    if cluster_store is not None:
+        cluster_store.fold(pairs, int(batch_id))
     (
         bb.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -150,16 +165,29 @@ def incremental_near_dup_candidates(
     num_perm: int = 64,
     bands: int = 16,
     work_dir: str | None = None,
+    with_clusters: bool = False,
 ) -> DataFrame:
     """Drive a documents stream through the incremental dedup with an
     availableNow foreachBatch and return the accumulated DISTINCT
     candidate pairs (id_a < id_b).  Equals the batch
     ``lsh_candidate_pairs`` over the same corpus regardless of how the
-    stream was micro-batched."""
+    stream was micro-batched.
+
+    ``with_clusters=True`` additionally maintains the persisted
+    (node, component) labeling per micro-batch (``ClusterStore`` under
+    ``work_dir/clusters``) and returns it INSTEAD of the pairs — the
+    full continuous-curation loop: stream → signatures → candidate
+    pairs vs history → incrementally-closed dedup clusters, with no
+    step ever rescanning history."""
 
     work = work_dir or run_tmpdir("crick_incdedup_")
     state_dir = f"{work}/buckets"
     pairs_dir = f"{work}/pairs"
+    store = None
+    if with_clusters:
+        from crick_spark.streaming.cluster_store import ClusterStore
+
+        store = ClusterStore(f"{work}/clusters")
 
     def fold(batch: DataFrame, bid: int) -> None:
         process_batch(
@@ -172,6 +200,7 @@ def incremental_near_dup_candidates(
             num_perm,
             bands,
             batch_id=bid,
+            cluster_store=store,
         )
 
     q = (
@@ -181,6 +210,22 @@ def incremental_near_dup_candidates(
         .start()
     )
     q.awaitTermination(600)
+    if with_clusters:
+        labels = store.labels(spark)
+        if labels is not None:
+            return labels
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = docs_stream.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", id_type),
+                    StructField("component", id_type),
+                ]
+            ),
+        )
     if not _store_has_data(spark, pairs_dir):
         from pyspark.sql.types import StructField, StructType
 

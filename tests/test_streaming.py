@@ -705,3 +705,42 @@ def test_cluster_store_snapshot_paths_alternate(spark, tmp_path):
     )
     assert meta[0] != meta[1] and meta[0] == meta[2] and meta[1] == meta[3]
     assert set(meta) == set(store._paths)
+
+
+def test_streaming_clusters_equal_batch_closure(spark, tmp_path):
+    """End-to-end continuous-curation loop: documents stream in 4
+    micro-batches; each batch's candidate pairs fold into the persisted
+    ClusterStore labeling in the SAME foreachBatch.  The final labels
+    must equal a full connected-components closure over the single-batch
+    LSH candidate pair set — incremental pair detection AND incremental
+    closure both batching-invariant, composed."""
+    from crick_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    from crick_spark.pipeline.graph import connected_components
+    from crick_spark.sources.tables import load_table
+    from crick_spark.streaming.incremental_dedup import (
+        incremental_near_dup_candidates,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    labels = incremental_near_dup_candidates(
+        spark,
+        sdf,
+        "doc_id",
+        "text",
+        work_dir=str(tmp_path / "state"),
+        with_clusters=True,
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    )
+    want = connected_components(pairs, src="id_a", dst="id_b")
+    got_rows = sorted(map(tuple, labels.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(got_rows) > 0

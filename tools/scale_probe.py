@@ -73,6 +73,7 @@ PROBES = [
     ("profile_columns_default", "orders"),       # one-pass HLL column census
     ("ols_simple_lineitem", "lineitem"),         # one-pass moment-matrix OLS
     ("dedup_clusters_documents", "documents"),   # pairs -> CC clusters
+    ("incremental_dedup_clusters", "documents"),  # batch-folded label store
     ("containment_ngram_pairs_documents", "documents"),  # asymmetric containment
     ("pca_embeddings_variance", "embeddings"),   # distributed covariance + eigh
 ]
