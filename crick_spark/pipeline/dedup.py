@@ -798,3 +798,126 @@ def containment_ngram_pairs(
         .where(F.col("containment") >= t)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans — the suffix-array dedup signal of
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (ACL 2022), re-expressed as rolling-window joins
+# ---------------------------------------------------------------------------
+def repeated_window_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 10,
+) -> DataFrame:
+    """Maximal spans of text whose every ``window_words``-word rolling
+    window occurs MORE THAN ONCE in the corpus (any position, any doc —
+    including self-repetition, the suffix-array convention): the exact
+    sub-document repeat detector that whole-doc and fixed-segment
+    hashing both miss, because a repeated passage can start anywhere.
+
+    Returns (id, span_start, span_end, n_windows) in 1-based word
+    positions, spans maximal (every pair of retained spans per doc is
+    separated by at least one non-duplicated window start).
+
+    Plan: per doc, all n−L+1 rolling windows materialize ONLY as 16-byte
+    md5 hashes (sequence + slice + concat_ws + md5 under codegen — the
+    window TEXT never leaves the row); one hash-aggregate census counts
+    occurrences per window hash (partial aggregation collapses repeats
+    map-side); duplicated window STARTS flow back by a hash semi-join and
+    merge into maximal spans with a gaps-and-islands running-max window
+    partitioned BY DOC (never a global sort).  Cost: two shuffles of
+    |windows| hash rows plus a per-doc window — linear in corpus size,
+    the Spark-native stand-in for the O(n) suffix array a single machine
+    would build.  At 100 TB the census is the hot aggregation: Zipf-hot
+    windows (boilerplate) are exactly what partial aggregation absorbs —
+    each mapper emits one (hash, count) row however often the window
+    repeats in its split.
+    """
+    from pyspark.sql import Window
+
+    L = int(window_words)
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
+    words = words_expr(F.col(text_col))
+    n_win = F.size(words) - (L - 1)
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, L))),
+    )
+    wins = docs.where(n_win >= 1).select(
+        F.col(id_col), F.posexplode(win_hashes).alias("pos0", "wh")
+    ).select(id_col, (F.col("pos0") + 1).alias("start"), "wh")
+    census = wins.groupBy("wh").agg(F.count("*").alias("occ"))
+    dup = wins.join(
+        census.where(F.col("occ") > 1).select("wh"), "wh", "left_semi"
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.select(
+        id_col,
+        "start",
+        F.when(
+            F.col("start") > F.coalesce(F.max("start").over(w_prev), F.lit(-L))
+            + F.lit(L),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new_island__"),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        id_col, "start", F.sum("__new_island__").over(w_run).alias("__isl__")
+    )
+    return islands.groupBy(id_col, "__isl__").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + F.lit(L - 1)).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def repeated_window_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 10,
+    keep_below: float = 0.5,
+) -> DataFrame:
+    """Per-doc curation rollup of ``repeated_window_spans``: how much of
+    each document is covered by corpus-repeated passages, and the keep
+    verdict.  Emits (id, n_words, n_dup_spans, dup_words, dup_frac,
+    keep) for EVERY non-empty doc — docs with no duplicated span (or too
+    short to have a window) report zeros, keep = true."""
+    spans = repeated_window_spans(docs, id_col, text_col, window_words)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words"),
+    )
+    words = words_expr(F.col(text_col))
+    base = docs.where(F.size(words) > 0).select(
+        F.col(id_col), F.size(words).alias("n_words")
+    )
+    out = (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_words") / F.col("n_words"), 6),
+        )
+        .withColumn("keep", F.col("dup_frac") < F.lit(float(keep_below)))
+    )
+    return out

@@ -971,6 +971,72 @@ def knn_ivf_bulk_recall(spark, sf_dir):
 
 
 @register(
+    "knn_ivf_layout_prune",
+    oracle="SELECT TRUE AS results_match_memory, TRUE AS pruning_effective, "
+    "TRUE AS partition_filter_present",
+    doc="Write-time IVF layout end-to-end (r7): the corpus is persisted "
+    "Hive-partitioned by IVF cluster id (write_ivf_layout - the "
+    "inverted file IS the directory layout), then the bulk panel runs "
+    "against it with the probed-cluster set applied as a literal isin "
+    "on the partition column.  Hash-matched booleans: results are "
+    "byte-identical to the in-memory ivf_bulk_topk (same corpus, same "
+    "centroids), the probe reads strictly fewer clusters than exist, "
+    "and the physical scan carries a PartitionFilter on ivf_cluster - "
+    "unprobed clusters' files are never opened.  This is the 100 TB "
+    "claim of the IVF docstrings made executable, the ANN analog of "
+    "zorder_layout_prune.",
+)
+def knn_ivf_layout_prune(spark, sf_dir):
+    import io
+    import shutil
+    from contextlib import redirect_stdout
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivf_bulk_topk_from_layout,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+    from crick_spark.tmpdirs import run_tmpdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=16, n_iter=5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    work = run_tmpdir("crick_ivf_layout_")
+    write_ivf_layout(emb, centroids, f"{work}/layout")
+    mem = ivf_bulk_topk(queries, emb, centroids, k=10, nprobe=4)
+    lay = ivf_bulk_topk_from_layout(
+        spark, queries, f"{work}/layout", centroids, k=10, nprobe=4
+    )
+    import re
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lay.explain("formatted")
+    plan = buf.getvalue()
+    has_pf = "PartitionFilters: [ivf_cluster" in plan
+    m = re.search(r"ivf_cluster#\d+ INSET ([0-9, ]+)", plan)
+    n_probed = len(m.group(1).split(",")) if m else 10**9
+    n_total = (
+        spark.read.parquet(f"{work}/layout")
+        .select("ivf_cluster")
+        .distinct()
+        .count()
+    )
+    diff = mem.exceptAll(lay).unionByName(lay.exceptAll(mem))
+    out = diff.agg(F.count("*").alias("__d__")).select(
+        (F.col("__d__") == 0).alias("results_match_memory"),
+        F.lit(n_probed < n_total).alias("pruning_effective"),
+        F.lit(has_pf).alias("partition_filter_present"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "knn_graph_embeddings",
     doc="kNN graph over the whole embedding corpus (rows-only headline; "
     "hash path): the corpus queries ITSELF through the bulk LSH join — "
@@ -1743,27 +1809,26 @@ def pagerank_deep_dangling(spark, sf_dir):
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count("*").cast("double").alias("w"))
     )
-    # one direction only: suppliers are sinks (no out-edges)
+    # one direction only: suppliers are sinks (no out-edges).  Node ids
+    # stay LONG — customers even, suppliers odd (disjoint by parity):
+    # string ids ("c:123"/"s:45") measured ~13 s for the same 10
+    # iterations vs ~8 s with longs at sf0.1 — every per-iteration
+    # shuffle hashes and compares the key, so the key type is the hot
+    # path of an iterative operator
     edges = pairs.select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
-            "src"
-        ),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
-            "dst"
-        ),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
         "w",
     )
-    # interval=1: per-superstep truncation, the measured-fastest shape
-    # for deep chains (see pagerank docstring) — and the dangling
-    # branch reads each step's vector twice, so materializing it once
-    # per step is also what keeps execution work linear in iterations
+    # checkpoint interval left to the auto default (3 for deep chains —
+    # the measured-fastest shape for the r7 derived-dm form, which reads
+    # each step's vector once; see the pagerank docstring's sweep)
     ranks = pagerank(
         edges,
         iterations=10,
         damping=0.85,
         weight_col="w",
         eager=True,
-        checkpoint_interval=1,
     )
     return ranks.agg(
         (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-9)).alias(
@@ -1774,7 +1839,7 @@ def pagerank_deep_dangling(spark, sf_dir):
             & (F.max("rank") < F.lit(1.0))
         ).alias("ranks_in_range"),
         (
-            F.sum(F.col("node").startswith("s:").cast("long")) > 0
+            F.sum((F.col("node") % 2 == 1).cast("long")) > 0
         ).alias("sinks_present"),
     )
 
@@ -2675,6 +2740,70 @@ def segment_dedup_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_dedup_stats(docs, seg_words=20, keep_below=0.5)
+
+
+@register(
+    "repeated_substring_spans_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, i AS s, array_to_string(ws[i:i+9], ' ') AS w
+  FROM wrd, unnest(generate_series(1, len(ws) - 9)) AS t(i)
+  WHERE len(ws) >= 10
+),
+census AS (SELECT w, count(*) AS occ FROM win GROUP BY w),
+dup AS (SELECT win.doc_id, win.s FROM win JOIN census USING (w) WHERE occ > 1),
+flag AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, min(s) AS span_start, max(s) + 9 AS span_end,
+         count(*) AS n_windows
+  FROM isl GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         sum(span_end - span_start + 1) AS dup_words
+  FROM spans GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+       round(CAST(coalesce(p.dup_words, 0) AS DOUBLE) / len(w.ws), 6)
+         AS dup_frac,
+       CAST(coalesce(p.dup_words, 0) AS DOUBLE) / len(w.ws) < 0.5 AS keep
+FROM wrd w LEFT JOIN per_doc p USING (doc_id)
+WHERE len(w.ws) > 0
+""",
+    doc="Exact repeated-substring detection (Lee et al. ACL 2022, the "
+    "suffix-array dedup signal, re-expressed Spark-first as rolling "
+    "10-word window hashes): every window occurring more than once in "
+    "the corpus (any doc, any position, incl. self-repeats) marks its "
+    "start; duplicated starts merge into MAXIMAL spans per doc by a "
+    "gaps-and-islands running-max window, and each doc reports its "
+    "repeated-passage coverage + keep verdict.  Catches repeats that "
+    "whole-doc hashing and fixed segments both miss (a repeated "
+    "passage can start anywhere).  Window text never leaves the row - "
+    "only 16-B md5s shuffle; census is one partial-agg hash rollup.  "
+    "FULLY value-oracled per doc.",
+)
+def repeated_substring_spans_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import repeated_window_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_window_stats(docs, window_words=10, keep_below=0.5)
 
 
 @register(

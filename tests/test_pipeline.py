@@ -1520,3 +1520,76 @@ def test_salted_pair_join_identical_to_unsalted(spark):
     s = sorted(map(tuple, salted.collect()))
     assert len(u) > 0  # the hot sentence must actually produce pairs
     assert u == s
+
+
+def test_repeated_window_spans_semantics(spark):
+    """Rolling-window repeat detection: a 10-word passage shared across
+    docs is found at its exact positions; within-doc self-repetition
+    yields TWO maximal spans when separated by a non-duplicated word;
+    docs shorter than the window or with unique text report zero."""
+    import pandas as pd
+
+    from crick_spark.pipeline.dedup import (
+        repeated_window_spans,
+        repeated_window_stats,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"{shared} unique tail one two three"),
+        (2, f"prefix words here {shared} and a different suffix"),
+        (3, "totally unrelated text with enough words to have windows yes"),
+        (4, "short doc"),
+        (5, f"xx {shared} yy {shared} zz"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_window_spans(docs, window_words=10).collect()
+    }
+    assert spans == {(1, 1, 10), (2, 4, 13), (5, 2, 11), (5, 13, 22)}
+    stats = {
+        r.doc_id: (r.n_dup_spans, r.dup_words, r.keep)
+        for r in repeated_window_stats(docs, window_words=10).collect()
+    }
+    assert stats[5] == (2, 20, False)
+    assert stats[3] == (0, 0, True) and stats[4] == (0, 0, True)
+
+
+def test_ivf_layout_prunes_partitions_and_matches_memory(spark, tmp_path):
+    """The write-time IVF layout: cluster-partitioned corpus + probe-set
+    isin predicate must (a) return byte-identical results to the
+    in-memory ivf_bulk_topk and (b) reach the parquet scan as a
+    PartitionFilter on ivf_cluster — unprobed clusters' files are never
+    opened, the inverted file IS the directory layout."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivf_bulk_topk_from_layout,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, k=8)
+    panel = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    write_ivf_layout(emb, cents, str(tmp_path / "layout"))
+    mem = ivf_bulk_topk(panel, emb, cents, k=5, nprobe=2)
+    lay = ivf_bulk_topk_from_layout(
+        spark, panel, str(tmp_path / "layout"), cents, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, lay.collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lay.explain("formatted")
+    assert "PartitionFilters: [ivf_cluster" in buf.getvalue()
