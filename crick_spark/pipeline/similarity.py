@@ -1221,3 +1221,78 @@ def pq_topk(
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF write-time layout: cluster-partitioned corpus, partition-pruned probes
+# ---------------------------------------------------------------------------
+def write_ivf_layout(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus Hive-partitioned by IVF cluster id — the
+    write-time step ``ivf_index``'s docstring promises: at 100 TB the
+    inverted file IS the directory layout, so a probe of ``nprobe``
+    clusters is a partition-pruned scan of nprobe/k of the corpus files,
+    not a full scan filtered after the fact."""
+    ivf_index(corpus.select(id_col, vec_col), centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cluster").parquet(path)
+
+
+def ivf_bulk_topk_from_layout(
+    spark,
+    queries: DataFrame,
+    layout_path: str,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk IVF ANN over a ``write_ivf_layout`` directory: the panel's
+    probed-cluster set (≤ |panel|·nprobe ints — bounded metadata, never
+    vectors) is resolved driver-side and applied as a LITERAL isin
+    predicate on the partition column, so the parquet scan carries a
+    PartitionFilter and unprobed clusters' files are never opened
+    (asserted structurally in tests).  Candidate generation and rerank
+    are then exactly ``ivf_bulk_topk``'s shape over the pruned scan;
+    results are identical to the in-memory path for the same corpus and
+    centroids (tested)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+    np_ = int(nprobe)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cn.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    query_probes = queries.select(
+        query_id_col, F.explode(probes(F.col(vec_col))).alias("ivf_cluster")
+    ).localCheckpoint(eager=True)  # probes compute once: isin + join reuse
+    probed = sorted(
+        r["ivf_cluster"]
+        for r in query_probes.select("ivf_cluster").distinct().collect()
+    )
+    pruned = spark.read.parquet(layout_path).where(
+        F.col("ivf_cluster").isin(probed)
+    )
+    cand = (
+        F.broadcast(query_probes)
+        .join(pruned, "ivf_cluster")
+        .select(query_id_col, id_col)
+    )
+    corpus_vecs = pruned.select(id_col, vec_col)
+    return _bulk_rerank(
+        cand, queries, corpus_vecs, k, query_id_col, id_col, vec_col, True
+    )
