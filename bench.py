@@ -159,8 +159,10 @@ R4_EXTRA = [
     "seeded_shuffle_shards_documents",
     "streaming_bloom_dedup_users",
     # round-7: incremental cluster maintenance (pairs folded batch-wise
-    # into the persisted label store vs full re-closure)
+    # into the persisted label store vs full re-closure), rolling-window
+    # exact repeated-substring spans (the suffix-array dedup signal)
     "incremental_dedup_clusters",
+    "repeated_substring_spans_documents",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

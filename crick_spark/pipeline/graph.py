@@ -44,27 +44,38 @@ def pagerank(
 
     ``dangling="redistribute"`` (default) spreads dangling mass
     uniformly — the standard correction that keeps total rank mass at
-    exactly 1.0 on graphs with sinks.  The per-iteration cost is one
-    semi-join of the 2-column rank vector against the precomputed
-    dangling-node set plus a 1-row broadcast.  ``dangling=
-    "assume_none"`` skips that machinery entirely for graphs that have
-    an out-edge on every node BY CONSTRUCTION (bidirectionalized edge
-    lists); results are identical on such graphs (dm ≡ 0), it is purely
-    the cheaper plan.
+    exactly 1.0 on graphs with sinks.  dm is DERIVED, not measured
+    (r7): out-probabilities sum to 1 per non-dangling source, so
+    Σ(contributed mass) = Σ_{non-dangling} r(u), and with total mass
+    pinned at 1 the stranded mass is dm = 1 − Σ(mass) — one 1-row
+    aggregate over the already-computed contribution table.  This
+    removes the per-iteration semi-join against a precomputed
+    dangling-node set AND the second read of the rank vector the old
+    form needed (which in turn needed a per-iteration cache); it also
+    cancels float drift instead of propagating it (the emitted total is
+    (1−d) + d·Σmass + d·(1−Σmass) = 1 identically).  ``dangling=
+    "assume_none"`` skips even that 1-row aggregate for graphs that
+    have an out-edge on every node BY CONSTRUCTION (bidirectionalized
+    edge lists); results are identical on such graphs (dm ≡ 0), it is
+    purely the cheaper plan.
 
     Lineage control: the rank vector is localCheckpoint-truncated every
     ``checkpoint_interval`` iterations automatically, so deep chains
     (iterations ≫ 5) keep bounded plan depth instead of accumulating
     2·iterations joins of analysis work — the dedup components loop's
-    pattern, now built in.  The default (``None``) auto-selects:
-    interval=1 — the per-superstep materialization Pregel/GraphX does —
-    for deep chains (iterations > 5), MEASURED 6.3 s vs ~11-13 s at
-    interval=5 on the sf0.01 purchase graph at 10 iterations (and far
-    worse unbounded); interval=5 (i.e. effectively no truncation) for
-    shallow chains, where each eager materialization would serialize
-    the pipeline for no lineage benefit.  Override with an explicit
-    interval when the rank vector is too large to materialize cheaply
-    each step (it is 2 columns — it rarely is), or ``0`` to disable
+    pattern, now built in.  With the derived-dm shape the rank vector
+    is read ONCE per iteration, so execution work between truncations
+    is linear in the interval and the knob trades per-step
+    serialization barriers against plan/analysis depth.  MEASURED
+    (sf0.1 purchase graph, ~84k weighted edges, 10 iterations):
+    interval 1 → 12.9 s (every step a barrier), 2 → 9.8 s, **3 →
+    7.7-8.3 s (best)**, 4 → 14.2 s, 5 → 13.3 s (analysis depth
+    dominates), 10/unbounded → runaway.  The default (``None``)
+    auto-selects 3 for deep chains (iterations > 5) and 5 — which
+    never fires — for shallow ones, where any eager materialization
+    would serialize the pipeline for no lineage benefit.  Override
+    explicitly when the rank vector is too large to materialize
+    cheaply (it is 2 columns — it rarely is), or ``0`` to disable
     (only sensible for the shallow, fully-unrolled oracle forms).
 
     The normalized edge list and node set are cached for reuse across
@@ -79,7 +90,7 @@ def pagerank(
     if dangling not in ("redistribute", "assume_none"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
     if checkpoint_interval is None:
-        checkpoint_interval = 1 if iterations > 5 else 5
+        checkpoint_interval = 3 if iterations > 5 else 5
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
@@ -98,29 +109,11 @@ def pagerank(
     # count(): no extra job per call, no value baked into the closure —
     # the same pattern as the decayed-quantiles reference day
     cnt = nodes.agg(F.count("*").cast("double").alias("__n"))
-    dang = None
-    if dangling == "redistribute":
-        # dangling node set, computed once: nodes with no out-edge
-        dang = nodes.join(
-            outw.select(F.col("src").alias("node")), "node", "left_anti"
-        ).cache()
     ranks = nodes.crossJoin(F.broadcast(cnt)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     live_caches: list[DataFrame] = []
     for it in range(iterations):
-        if dang is not None and not broadcast_ranks and checkpoint_interval != 1:
-            # the dangling branch makes each iteration read the rank
-            # vector TWICE (contrib + dm) — without sharing, execution
-            # work doubles per step (2^interval redundant subtrees
-            # between truncations; measured 35 s vs 4 s at sf0.01 for
-            # 10 iterations).  Caching the 2-column vector makes both
-            # branches hit one InMemoryRelation: linear work, still a
-            # single action.  Handles are released at each truncation
-            # boundary (everything before a checkpoint is materialized)
-            # and at eager return.
-            ranks = ranks.cache()
-            live_caches.append(ranks)
         # broadcast_ranks ships the 2-column rank vector map-side so the
         # edge list never re-shuffles.  MEASURED at sf0.1 (16k nodes,
         # 3 iterations): 8.1 s vs 6.5 s for the default shuffle join —
@@ -134,11 +127,19 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
         )
-        if dang is not None:
-            # rank mass stranded on sinks this iteration — 1-row
-            # broadcast; empty dangling set sums to NULL -> 0.0
-            dm = ranks.join(dang, "node", "left_semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        if dangling == "redistribute":
+            # contrib feeds two consumers (the per-node join and the
+            # 1-row dm aggregate) — cache the node-sized table so the
+            # subtree executes once per step; released at truncation
+            contrib = contrib.cache()
+            live_caches.append(contrib)
+            # stranded sink mass, DERIVED from mass conservation (see
+            # docstring): empty contrib (edgeless graph) sums to NULL →
+            # dm = 1.0, every node dangling — correct
+            dm = contrib.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("mass"), F.lit(0.0))).alias(
+                    "__dm"
+                )
             )
             redistributed = F.lit(damping) * F.col("__dm") / F.col("__n")
         else:
@@ -173,19 +174,13 @@ def pagerank(
         live_caches.clear()
         norm.unpersist()
         nodes.unpersist()
-        if dang is not None:
-            dang.unpersist()
     else:
         # lazy mode: the returned plan still depends on these cached
         # relations, so they cannot be unpersisted here — expose the
         # handles so a caller composing further can release them after
         # its own materialization (repeat lazy calls in a long-lived
         # session should prefer eager=True, which leaks nothing)
-        ranks.crick_cache_handles = (
-            list(live_caches)
-            + [norm, nodes]
-            + ([dang] if dang is not None else [])
-        )
+        ranks.crick_cache_handles = list(live_caches) + [norm, nodes]
     return ranks
 
 

@@ -38,3 +38,49 @@ def test_gate_window_family_coverage():
     assert {"asof_join_events_orders", "range_join_event_pairs"} <= w
     assert "streaming_hourly_rollup" in w
     assert {"spacesaving_weighted_topk_parts", "moments_persist_roundtrip"} <= w
+
+
+def test_bench_previous_times_scavenges_truncated_capture(tmp_path, monkeypatch):
+    """The driver's BENCH_r*.json keeps only the last ~2000 chars of the
+    bench line once the inventory outgrew it ("parsed": null since r4).
+    previous_times must (1) prefer a full same-sf BENCH_LOCAL.json, (2)
+    recover query times from a truncated tail, cutting BEFORE the
+    "deltas" section so delta values are never mistaken for times, and
+    (3) keep only registered query names."""
+    import json
+    import os
+    import shutil
+
+    import bench
+
+    # sandbox the harness directory so repo BENCH files don't interfere
+    here = str(tmp_path)
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: os.path.join(here, "bench.py")
+    )
+    tail = (
+        '... "tfidf_similar_docs": 9.04, "not_a_query": 1.23, '
+        '"extra_total": 135.5, "deltas": {"q1_pricing_summary": -0.127}}'
+    )
+    with open(os.path.join(here, "BENCH_r06.json"), "w") as f:
+        json.dump({"n": 6, "rc": 0, "sf": 0.1, "tail": tail, "parsed": None}, f)
+    got = bench.previous_times(0.1)
+    assert got.get("tfidf_similar_docs") == 9.04
+    assert "not_a_query" not in got and "extra_total" not in got
+    assert "q1_pricing_summary" not in got  # delta, not a time
+
+    # a full local record at the same sf wins over the scavenge
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(
+            {
+                "sf": 0.1,
+                "queries": {"q1_pricing_summary": 0.5},
+                "extra_queries": {"tfidf_similar_docs": 3.5},
+            },
+            f,
+        )
+    got = bench.previous_times(0.1)
+    assert got == {"q1_pricing_summary": 0.5, "tfidf_similar_docs": 3.5}
+    # ...but NOT at a different sf
+    got = bench.previous_times(0.01)
+    assert got.get("tfidf_similar_docs") == 9.04
