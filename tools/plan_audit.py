@@ -137,14 +137,26 @@ def cartesian_evidence(name: str, df) -> list[str]:
     t = _tree(ep)
     out = []
 
+    def top_exchange(child):
+        # the BUILD side's subtree STARTS with the broadcast exchange
+        # (through pass-through wrappers only) — searching anywhere would
+        # wrongly match broadcast joins nested inside the STREAM side
+        t = child
+        while True:
+            base = t["name"].split(" (")[0].strip()
+            if base in ("BroadcastExchange", "BroadcastQueryStage", "ReusedExchange"):
+                return t
+            if base in ("InputAdapter", "WholeStageCodegen") and t["children"]:
+                t = t["children"][0]
+                continue
+            return None
+
     def visit(node):
         base = node["name"].split(" (")[0].strip()
         if base == "BroadcastNestedLoopJoin":
             bc = None
             for c in node["children"]:
-                bc = _find(
-                    c, lambda x: "BroadcastExchange" in x["name"]
-                ) or _find(c, lambda x: "BroadcastQueryStage" in x["name"])
+                bc = top_exchange(c)
                 if bc is not None:
                     break
             if bc is None:
