@@ -163,6 +163,8 @@ R4_EXTRA = [
     # exact repeated-substring spans (the suffix-array dedup signal)
     "incremental_dedup_clusters",
     "repeated_substring_spans_documents",
+    "repeated_span_removal_documents",
+    "kneser_ney_lm_scores_documents",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew
@@ -320,6 +322,13 @@ def main() -> None:
 
         spark.catalog.clearCache()
         gc.collect()
+        # ContextCleaner only reclaims checkpointed/shuffle blocks after
+        # the JVM-side references are collected — python gc alone leaves
+        # them queued.  One explicit JVM GC per query keeps the ~120-query
+        # session from dragging its tail queries (measured r7: heavy
+        # localCheckpoint queries ran 1.5-2x slower late in the session
+        # than standalone with the python-only sweep).
+        spark.sparkContext._jvm.System.gc()
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}

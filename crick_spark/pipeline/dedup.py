@@ -921,3 +921,84 @@ def repeated_window_stats(
         .withColumn("keep", F.col("dup_frac") < F.lit(float(keep_below)))
     )
     return out
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """APPLY step of exact repeated-substring dedup: rebuild each doc's
+    text with its duplicated spans removed — the transform Lee et al.
+    apply after detection (they report removing the repeated bytes
+    beats dropping whole documents).
+
+    ``keep_first=True`` retains each corpus-wide duplicate's FIRST
+    occurrence (the span whose (doc id, start) is smallest among the
+    spans sharing its leading window — every other occurrence is cut),
+    so exactly one copy of every repeated passage survives corpus-wide;
+    with ``keep_first=False`` every duplicated span is cut everywhere.
+
+    Emits (id, text, n_words_removed).  Plan: spans aggregate to a
+    per-doc removal list (array of [start, end] structs — bounded by
+    spans-per-doc, KBs); the rebuild filters each doc's word positions
+    against its list with a rank-over-window-free ``exists`` lambda —
+    one broadcast-join of the span lists onto the docs and one codegen
+    projection; the corpus text is touched once.
+
+    NOTE: the per-doc span-list join is an id equi-join with NO
+    broadcast hint — span lists are corpus-scaled (one row per doc with
+    dups), exactly the relation class the r6 verdict banned from forced
+    broadcasts; AQE picks the strategy.
+    """
+    if keep_first:
+        from pyspark.sql import Window
+
+        first_w = Window.partitionBy("__lead__").orderBy(
+            F.col(id_col), F.col("span_start")
+        )
+        # lead window hash identifies the repeated passage family: spans
+        # sharing their first window are occurrences of the same repeat
+        lead = spans.join(
+            docs.select(id_col, text_col), id_col
+        ).withColumn(
+            "__lead__",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        words_expr(F.col(text_col)),
+                        F.col("span_start"),
+                        F.col("span_end") - F.col("span_start") + 1,
+                    ),
+                )
+            ),
+        )
+        cut = (
+            lead.withColumn("__rk__", F.row_number().over(first_w))
+            .where(F.col("__rk__") > 1)
+            .select(id_col, "span_start", "span_end")
+        )
+    else:
+        cut = spans.select(id_col, "span_start", "span_end")
+    lists = cut.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
+    )
+    words = words_expr(F.col(text_col))
+    with_lists = docs.join(lists, id_col, "left")
+    keep_words = F.filter(
+        F.transform(words, lambda w, i: F.struct(w.alias("w"), (i + 1).alias("p"))),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("__spans__"), F.array()),
+            lambda sp: (s["p"] >= sp["span_start"]) & (s["p"] <= sp["span_end"]),
+        ),
+    )
+    return with_lists.select(
+        F.col(id_col),
+        F.array_join(F.transform(keep_words, lambda s: s["w"]), " ").alias(
+            text_col
+        ),
+        (F.size(words) - F.size(keep_words)).alias("n_words_removed"),
+    )

@@ -827,3 +827,81 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
     )
+
+
+def kneser_ney_bigram_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+):
+    """Per-doc mean log-probability under a corpus-trained
+    interpolated-Kneser-Ney bigram model — the smoothing family KenLM
+    implements and CCNet's perplexity buckets actually use (the plain
+    interpolated model of ``bigram_lm_scores`` backs off to raw unigram
+    FREQUENCY; KN backs off to CONTINUATION probability, which stops
+    frequent-but-contextually-bound words like "Francisco" from
+    inflating unseen-bigram scores):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                 + D·N1+(w1,·)/c(w1) · P_cont(w2)
+        P_cont(w2) = N1+(·,w2) / N1+(·,·)
+
+    with D = ``discount`` (0.75, the textbook value), N1+(w1,·) the
+    number of distinct continuations of w1, N1+(·,w2) the number of
+    distinct left contexts of w2, N1+(·,·) the number of distinct
+    bigram types.  Every scored bigram was seen in training (the model
+    trains on the corpus being scored, CCNet-style), so c(w1) ≥ 1 and
+    no zero-denominator guard is needed; the formula is exercised on
+    both its branches because c12 = 1 bigrams (the Heaps-law majority)
+    score almost entirely through the continuation term.
+
+    Emits (id, n_bigrams, avg_logp); docs with < 2 tokens drop out.
+    Scale shape identical to ``bigram_lm_scores``: all model tables are
+    type-counted (Heaps-bounded — |bigram types|, |vocab| rows, never
+    corpus-sized), scoring is equi-joins plus one per-doc aggregate,
+    everything codegen.  Fully SQL-expressible → value-oracled.
+    """
+    from crick_spark.pipeline.retrieval import tokens_expr
+
+    D = float(discount)
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    bigrams = (
+        docs.where(n >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").alias("n_cont"),  # N1+(w1, ·): distinct continuations
+    )
+    # token counts from the bigram table, so c(w1) matches the CONTEXT
+    # occurrence count (last token of a doc is never a context)
+    cont = big.groupBy("w2").agg(F.count("*").alias("n_left"))  # N1+(·, w2)
+    n_types = big.agg(F.count("*").cast("double").alias("n_types"))
+    scored = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .withColumn(
+            "logp",
+            F.log(
+                F.greatest(F.col("c12") - F.lit(D), F.lit(0.0)) / F.col("c1")
+                + F.lit(D)
+                * F.col("n_cont")
+                / F.col("c1")
+                * (F.col("n_left") / F.col("n_types"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )

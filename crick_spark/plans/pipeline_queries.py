@@ -2807,6 +2807,91 @@ def repeated_substring_spans_documents(spark, sf_dir):
 
 
 @register(
+    "repeated_span_removal_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, i AS s, array_to_string(ws[i:i+9], ' ') AS w
+  FROM wrd, unnest(generate_series(1, len(ws) - 9)) AS t(i)
+  WHERE len(ws) >= 10
+),
+census AS (SELECT w, count(*) AS occ FROM win GROUP BY w),
+dup AS (SELECT win.doc_id, win.s FROM win JOIN census USING (w) WHERE occ > 1),
+flag AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, min(s) AS ss, max(s) + 9 AS se FROM isl GROUP BY doc_id, g
+),
+fam AS (
+  SELECT sp.doc_id, sp.ss, sp.se,
+         md5(array_to_string(w.ws[sp.ss:sp.se], ' ')) AS lead
+  FROM spans sp JOIN wrd w USING (doc_id)
+),
+cut AS (
+  SELECT doc_id, ss, se FROM (
+    SELECT fam.*, row_number() OVER (
+      PARTITION BY lead ORDER BY doc_id, ss) AS rk
+    FROM fam
+  ) WHERE rk > 1
+),
+cutlists AS (
+  SELECT doc_id, list({'s': ss, 'e': se}) AS sp FROM cut GROUP BY doc_id
+)
+SELECT w.doc_id,
+       -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+       -- Spark's array_join is '' - fully-removed docs must agree
+       md5(coalesce(array_to_string(list_transform(
+         list_filter(generate_series(1, len(w.ws)),
+           p -> len(list_filter(coalesce(c.sp, []),
+                    x -> p >= x.s AND p <= x.e)) = 0),
+         p -> w.ws[p]), ' '), '')) AS cleaned_md5,
+       CAST(coalesce((SELECT sum(se - ss + 1) FROM cut
+                      WHERE cut.doc_id = w.doc_id), 0) AS INT)
+         AS n_words_removed
+FROM wrd w LEFT JOIN cutlists c USING (doc_id)
+""",
+    doc="APPLY step of exact repeated-substring dedup (r7): duplicated "
+    "spans are removed from the text with the corpus-wide FIRST "
+    "occurrence of each repeated passage retained (smallest (doc id, "
+    "start) within the span family, keyed by the md5 of the span "
+    "text), so exactly one copy survives - Lee et al.'s "
+    "remove-the-repeated-bytes transform, which they report beats "
+    "dropping whole documents.  FULLY value-oracled: the md5 of every "
+    "doc's REBUILT text and its removed-word count hash-match a DuckDB "
+    "implementation of the same family/row_number/rebuild logic.",
+)
+def repeated_span_removal_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    spans = repeated_window_spans(docs, window_words=10)
+    cleaned = remove_repeated_spans(docs, spans)
+    return cleaned.select(
+        "doc_id",
+        F.md5("text").alias("cleaned_md5"),
+        F.col("n_words_removed").cast("int").alias("n_words_removed"),
+    )
+
+
+@register(
     "pca_embeddings_variance",
     oracle="""
 WITH e AS (
@@ -2905,6 +2990,51 @@ def bigram_lm_scores_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, lam=0.7)
+
+
+@register(
+    "kneser_ney_lm_scores_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM wrd, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n_cont FROM big GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n_left FROM big GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(greatest(big.c12 - 0.75, 0) / c1.c1
+                    + 0.75 * c1.n_cont / c1.c1
+                      * (cont.n_left / tot.n_types))), 6) AS avg_logp
+FROM bg
+JOIN big USING (w1, w2)
+JOIN c1 USING (w1)
+JOIN cont USING (w2)
+CROSS JOIN tot
+GROUP BY bg.doc_id
+""",
+    doc="Interpolated-Kneser-Ney bigram LM scoring (r7) - the KenLM "
+    "smoothing family CCNet's perplexity buckets actually use: unseen/"
+    "rare bigrams back off to CONTINUATION probability N1+(.,w2)/"
+    "N1+(.,.) rather than raw unigram frequency, with absolute "
+    "discount D=0.75 and context-weighted backoff mass D*N1+(w1,.)/"
+    "c(w1).  All model tables are bigram-TYPE-counted (Heaps-bounded, "
+    "never corpus-sized); scoring is equi-joins + one per-doc "
+    "aggregate, all codegen.  FULLY value-oracled per doc.",
+)
+def kneser_ney_lm_scores_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import kneser_ney_bigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_bigram_scores(docs, discount=0.75)
 
 
 # Shared by dedup_clusters_documents (batch closure) and

@@ -1593,3 +1593,87 @@ def test_ivf_layout_prunes_partitions_and_matches_memory(spark, tmp_path):
     with redirect_stdout(buf):
         lay.explain("formatted")
     assert "PartitionFilters: [ivf_cluster" in buf.getvalue()
+
+
+def test_remove_repeated_spans_keeps_one_copy(spark):
+    """Apply step of repeated-substring dedup: with keep_first=True the
+    corpus-wide FIRST occurrence of each repeated passage survives and
+    every other occurrence is cut; with keep_first=False all occurrences
+    go.  Unaffected docs pass through with text intact."""
+    import pandas as pd
+
+    from crick_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"{shared} unique tail one two three"),
+        (2, f"prefix words here {shared} and a different suffix"),
+        (3, "totally unrelated text with enough words to stay intact"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    spans = repeated_window_spans(docs, window_words=10)
+    cleaned = {
+        r.doc_id: (r.text, r.n_words_removed)
+        for r in remove_repeated_spans(docs, spans).collect()
+    }
+    # doc 1 holds the first occurrence (smallest (doc_id, start)) — kept
+    assert cleaned[1] == (rows[0][1], 0)
+    # doc 2's occurrence is cut, surrounding words survive
+    assert cleaned[2] == ("prefix words here and a different suffix", 10)
+    assert cleaned[3] == (rows[2][1], 0)
+
+    all_cut = {
+        r.doc_id: r.n_words_removed
+        for r in remove_repeated_spans(docs, spans, keep_first=False).collect()
+    }
+    assert all_cut[1] == 10 and all_cut[2] == 10 and all_cut[3] == 0
+
+
+def test_kneser_ney_scores_match_reference(spark):
+    """The KN scorer must equal a from-scratch python implementation of
+    interpolated Kneser-Ney on a small corpus (both formula branches:
+    c12 > 1 bigrams and the continuation-dominated c12 = 1 tail)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from crick_spark.pipeline.text import kneser_ney_bigram_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog walked"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in kneser_ney_bigram_scores(docs, discount=0.75).collect()
+    }
+
+    bgs = []
+    for _, text in rows:
+        ws = text.split()
+        bgs += list(zip(ws, ws[1:]))
+    c12 = Counter(bgs)
+    c1 = Counter(w1 for w1, _ in bgs)
+    n_cont = Counter(w1 for w1, _ in set(c12))
+    n_left = Counter(w2 for _, w2 in set(c12))
+    n_types = len(c12)
+    D = 0.75
+
+    def logp(w1, w2):
+        return math.log(
+            max(c12[(w1, w2)] - D, 0.0) / c1[w1]
+            + D * n_cont[w1] / c1[w1] * (n_left[w2] / n_types)
+        )
+
+    for doc_id, text in rows:
+        ws = text.split()
+        ref = [logp(a, b) for a, b in zip(ws, ws[1:])]
+        n, avg = got[doc_id]
+        assert n == len(ref)
+        assert abs(avg - round(sum(ref) / len(ref), 6)) < 1e-9
