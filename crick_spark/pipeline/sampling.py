@@ -229,3 +229,109 @@ def seeded_shuffle_shards(
     return out.select(
         id_col, "shard", F.row_number().over(w).alias("pos")
     )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., *Data Selection for Language
+    Models via Importance Resampling*, NeurIPS 2023): score every raw
+    document by how much more likely its tokens are under a LM of the
+    TARGET distribution (the high-quality / in-domain corpus you want
+    more of) than under a LM of the raw SOURCE corpus itself —
+    log w(x) = Σ_t [log p_tgt(t) − log p_src(t)], add-1-smoothed
+    unigram models on both sides.  High log_ratio = looks like the
+    target; the weights feed importance RESAMPLING
+    (``dsir_resample``), which provably corrects the source
+    distribution toward the target.
+
+    DSIR hashes n-gram features into a fixed bucket count so the model
+    tables are O(buckets) at any corpus size; here features are raw
+    tokens (vocab is Heaps-bounded at test scale and the semantics are
+    identical — hashing is the fixed-size-table trick, noted for the
+    100 TB deployment).  Emits (id, n_tokens, log_ratio) for docs with
+    ≥ 1 token; both model tables are vocab-sized, scoring is two
+    equi-joins + a per-doc aggregate, all codegen.  Smoothing uses the
+    UNION vocabulary (V = distinct tokens across source ∪ target) so
+    both models are proper distributions over the same support and no
+    token has probability 0 under either.
+    """
+    from crick_spark.pipeline.retrieval import tokens_expr
+
+    src_toks = docs.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    )
+    tgt_toks = target.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    )
+    src_cnt = src_toks.groupBy("tok").agg(F.count("*").alias("c_src"))
+    tgt_cnt = tgt_toks.groupBy("tok").agg(F.count("*").alias("c_tgt"))
+    vocab = (
+        src_cnt.select("tok")
+        .unionByName(tgt_cnt.select("tok"))
+        .distinct()
+        .join(src_cnt, "tok", "left")
+        .join(tgt_cnt, "tok", "left")
+        .select(
+            "tok",
+            F.coalesce("c_src", F.lit(0)).alias("c_src"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("c_src").cast("double").alias("t_src"),
+        F.sum("c_tgt").cast("double").alias("t_tgt"),
+        F.count("*").cast("double").alias("v"),
+    )
+    doc_toks = docs.select(
+        id_col, F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    )
+    scored = (
+        doc_toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lr__",
+            F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("v")))
+            - F.log((F.col("c_src") + 1) / (F.col("t_src") + F.col("v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("__lr__"), 6).alias("log_ratio"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection: importance-resample ``k`` source docs toward the
+    target distribution via the GUMBEL-TOP-K trick DSIR itself uses —
+    score = log_ratio + Gumbel(0,1) and keep the k largest, which draws
+    without replacement proportionally to softmax(log_ratio).  The
+    Gumbel comes from the repo's deterministic md5 coin
+    (g = −ln(−ln u)), so the selected set is reproducible and
+    SQL-oracle-able.  Everything stays in LOG space: per-doc log-ratios
+    are token sums reaching ±hundreds, where the equivalent
+    Efraimidis–Spirakis u^(1/w) comparator overflows exp().  The
+    half-step on the 24-bit coin keeps u strictly inside (0,1) — u = 0
+    would make the Gumbel infinite.  Emits the selected
+    (id, n_tokens, log_ratio) rows."""
+    lr = dsir_log_ratios(docs, target, id_col, text_col)
+    bits = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("double")
+    u = (bits + F.lit(0.5)) / F.lit(float(1 << 24))
+    gumbel = -F.log(-F.log(u))
+    return (
+        lr.withColumn("__s__", F.col("log_ratio") + gumbel)
+        .orderBy(F.desc("__s__"), F.col(id_col))
+        .limit(int(k))
+        .select(id_col, "n_tokens", "log_ratio")
+    )

@@ -2993,6 +2993,62 @@ def bigram_lm_scores_documents(spark, sf_dir):
 
 
 @register(
+    "dsir_select_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM wrd),
+tgt_tok AS (SELECT unnest(ws) AS tok FROM wrd WHERE lang = 'en'),
+src_cnt AS (SELECT tok, count(*) AS c_src FROM tok GROUP BY tok),
+tgt_cnt AS (SELECT tok, count(*) AS c_tgt FROM tgt_tok GROUP BY tok),
+vocab AS (
+  SELECT v.tok, coalesce(s.c_src, 0) AS c_src, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM (SELECT tok FROM src_cnt UNION SELECT tok FROM tgt_cnt) v
+  LEFT JOIN src_cnt s USING (tok) LEFT JOIN tgt_cnt t USING (tok)
+),
+tot AS (SELECT CAST(sum(c_src) AS DOUBLE) AS t_src,
+               CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+lr AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+         round(sum(ln((c_tgt + 1) / (t_tgt + v))
+                 - ln((c_src + 1) / (t_src + v))), 6) AS log_ratio
+  FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens, log_ratio FROM (
+  SELECT lr.*, row_number() OVER (ORDER BY
+    log_ratio - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                        + 0.5) / 16777216.0)) DESC, doc_id) AS rk
+  FROM lr
+) WHERE rk <= 50
+""",
+    doc="DSIR data selection (Xie et al., NeurIPS 2023): every raw doc "
+    "scored by log p_target/p_source under add-1 unigram LMs (target = "
+    "the English subcorpus, source = the whole corpus; union-vocab "
+    "smoothing so both are proper distributions), then 50 docs drawn "
+    "WITHOUT replacement toward the target distribution via the "
+    "Gumbel-top-k trick DSIR itself uses, with the repo's deterministic "
+    "md5 coin (log-space throughout - the ES u^(1/w) comparator "
+    "overflows at token-sum log-ratios).  Model tables are vocab-sized "
+    "(hash to fixed buckets at 100 TB, semantics identical); scoring is "
+    "two equi-joins + a per-doc aggregate, all codegen.  FULLY "
+    "value-oracled: DuckDB reproduces weights, Gumbel keys, and the "
+    "exact selected set.",
+)
+def dsir_select_documents(spark, sf_dir):
+    from crick_spark.pipeline.sampling import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_resample(docs, target, k=50)
+
+
+@register(
     "kneser_ney_lm_scores_documents",
     oracle=r"""
 WITH wrd AS (

@@ -1677,3 +1677,63 @@ def test_kneser_ney_scores_match_reference(spark):
         n, avg = got[doc_id]
         assert n == len(ref)
         assert abs(avg - round(sum(ref) / len(ref), 6)) < 1e-9
+
+
+def test_dsir_weights_match_reference(spark):
+    """dsir_log_ratios must equal a from-scratch add-1 unigram
+    importance weight on a corpus with a clear in-domain/out-domain
+    split, and dsir_resample must select exactly the Gumbel-top-k set
+    under the md5 coin."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from crick_spark.pipeline.sampling import dsir_log_ratios, dsir_resample
+
+    rows = [
+        (1, "physics energy quantum field theory", "sci"),
+        (2, "quantum field equations and energy states", "sci"),
+        (3, "cheap pills buy now click here", "spam"),
+        (4, "click here for cheap deals now", "spam"),
+        (5, "energy states of the quantum field", "sci"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "kind"])
+    )
+    target = docs.where("kind = 'sci'")
+    got = {
+        r.doc_id: (r.n_tokens, r.log_ratio)
+        for r in dsir_log_ratios(docs, target).collect()
+    }
+
+    src = Counter(t for _, text, _ in rows for t in text.split())
+    tgt = Counter(
+        t for _, text, k in rows if k == "sci" for t in text.split()
+    )
+    vocab = set(src) | set(tgt)
+    ts, tt, v = sum(src.values()), sum(tgt.values()), len(vocab)
+
+    def lr(tok):
+        return math.log((tgt[tok] + 1) / (tt + v)) - math.log(
+            (src[tok] + 1) / (ts + v)
+        )
+
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        assert got[doc_id][0] == len(toks)
+        assert abs(got[doc_id][1] - round(sum(map(lr, toks)), 6)) < 1e-9
+    # in-domain docs must outscore spam
+    assert min(got[d][1] for d in (1, 2, 5)) > max(got[d][1] for d in (3, 4))
+
+    def gumbel(doc_id):
+        bits = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16)
+        u = (bits + 0.5) / (1 << 24)
+        return -math.log(-math.log(u))
+
+    want = sorted(
+        rows, key=lambda r: (-(got[r[0]][1] + gumbel(r[0])), r[0])
+    )[:3]
+    sel = {r.doc_id for r in dsir_resample(docs, target, k=3).collect()}
+    assert sel == {r[0] for r in want}
