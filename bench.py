@@ -165,6 +165,8 @@ R4_EXTRA = [
     "repeated_substring_spans_documents",
     "repeated_span_removal_documents",
     "kneser_ney_lm_scores_documents",
+    "dsir_select_documents",
+    "perplexity_buckets_documents",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew
@@ -255,6 +257,8 @@ PREFLIGHT_SKIP_SUBSTR = (
     "pagerank",
     # r7: ClusterStore folds + label reads run at plan construction
     "incremental_dedup_clusters",
+    # r7: layout write + panel probe + explain run at plan construction
+    "layout_prune",
 )
 
 

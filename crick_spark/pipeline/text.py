@@ -8,6 +8,7 @@ these run at scan speed and pipeline into whatever aggregation follows.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -904,4 +905,125 @@ def kneser_ney_bigram_scores(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+def perplexity_buckets(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cut_head: float = 1.0 / 3.0,
+    cut_middle: float = 2.0 / 3.0,
+    discount: float = 0.75,
+):
+    """CCNet's head/middle/tail perplexity bucketing — the artifact its
+    pipeline actually ships: every doc scored under the corpus-trained
+    Kneser-Ney bigram model (``kneser_ney_bigram_scores``), then split
+    at the corpus's own avg-logp terciles.  ``head`` = most fluent
+    (highest mean log-prob / lowest perplexity), the slice CCNet keeps
+    preferentially for LM training; ``tail`` = the most surprising
+    text.  Cut points are exact corpus quantiles (percentile_cont
+    semantics, interpolated), computed as a 2-value aggregate broadcast
+    back — no per-row rank window, so the bucketing adds one tiny
+    aggregate to the scoring plan.  Docs with < 2 tokens (no bigrams)
+    drop out, as in the scorer.
+
+    Emits (id, n_bigrams, avg_logp, bucket ∈ {'head','middle','tail'});
+    boundary docs land in the EARLIER bucket (avg_logp ≥ cut → head,
+    matching percentile interpolation on both engines).
+    """
+    scores = kneser_ney_bigram_scores(docs, id_col, text_col, discount)
+    cuts = scores.agg(
+        F.expr(f"percentile(avg_logp, {1.0 - cut_head})").alias("__h__"),
+        F.expr(f"percentile(avg_logp, {1.0 - cut_middle})").alias("__m__"),
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "n_bigrams",
+            "avg_logp",
+            F.when(F.col("avg_logp") >= F.col("__h__"), F.lit("head"))
+            .when(F.col("avg_logp") >= F.col("__m__"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def bpe_encode(
+    docs,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """APPLY step of BPE: tokenize every document with a learned merge
+    list (``bpe_train``'s output) — the encode half of the tokenizer
+    story, train's symmetric twin exactly as ``remove_repeated_spans``
+    is detection's.
+
+    Standard rank-priority encoding: each word starts as characters;
+    repeatedly merge the adjacent pair with the LOWEST merge rank until
+    none applies — byte-identical to replaying the merges in training
+    order.  The corpus is never encoded row by row: the DISTINCT word
+    table (Heaps-law ≪ corpus) is encoded once in an Arrow-batched
+    kernel with the vocab-sized merge list in the closure, then docs
+    rebuild their token sequences by joining words back positionally
+    (posexplode → join → flatten ordered by position).
+
+    Emits (id, n_words, n_tokens, tokens array<string>); empty docs
+    emit empty arrays.  Lowercased words, matching the trainer's
+    ``lower_tokens_expr`` — encode must see the trainer's distribution.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    rank = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) >= 2:
+            best, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                rk = rank.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best, best_rank = i, rk
+            if best_rank is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        return syms
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(words: pd.Series) -> pd.Series:
+        return words.map(encode_word)
+
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            lower_tokens_expr(F.col(text_col))
+        ).alias("__pos__", "__w__"),
+    )
+    vocab = wpos.select("__w__").where(F.col("__w__").isNotNull()).distinct()
+    encoded = vocab.withColumn("__toks__", encode(F.col("__w__")))
+    joined = wpos.join(encoded, "__w__", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_compact(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos__"), F.col("__toks__"))
+                        )
+                    ).getField("__toks__")
+                )
+            ).alias("tokens"),
+            F.count(F.col("__w__")).alias("n_words"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+        )
     )

@@ -2993,6 +2993,61 @@ def bigram_lm_scores_documents(spark, sf_dir):
 
 
 @register(
+    "bpe_encode_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(lower(text), '')),
+                     '\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS total_words,
+       TRUE AS roundtrip_ok, TRUE AS tokens_lt_chars,
+       TRUE AS tokens_ge_words
+FROM wrd
+""",
+    doc="BPE ENCODE (r7) - the apply half of the tokenizer story: the "
+    "corpus tokenized with bpe_train's learned merges by rank-priority "
+    "encoding (lowest merge rank first, byte-identical to replaying "
+    "training order).  The DISTINCT word table is encoded once in an "
+    "Arrow kernel (Heaps-bounded; merge list in the closure), docs "
+    "rebuild token sequences positionally.  Oracle: n_docs and "
+    "total_words value-matched vs SQL, plus hash-matched booleans - "
+    "every doc's token concatenation rebuilds its lowercased words "
+    "exactly (lossless), total tokens < total chars (merges actually "
+    "fired) and >= total words (no over-merging across words).",
+)
+def bpe_encode_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import (
+        bpe_encode,
+        bpe_train,
+        lower_tokens_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8, batch_size=8)
+    enc = bpe_encode(docs, merges)
+    ref = docs.select(
+        "doc_id",
+        F.array_join(lower_tokens_expr(F.col("text")), "").alias("__wj__"),
+    )
+    return (
+        enc.join(ref, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.bool_and(
+                F.array_join("tokens", "") == F.col("__wj__")
+            ).alias("roundtrip_ok"),
+            (F.sum("n_tokens") < F.sum(F.length("__wj__"))).alias(
+                "tokens_lt_chars"
+            ),
+            (F.sum("n_tokens") >= F.sum("n_words")).alias("tokens_ge_words"),
+        )
+    )
+
+
+@register(
     "dsir_select_documents",
     oracle=r"""
 WITH wrd AS (
@@ -3091,6 +3146,64 @@ def kneser_ney_lm_scores_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return kneser_ney_bigram_scores(docs, discount=0.75)
+
+
+@register(
+    "perplexity_buckets_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM wrd, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n_cont FROM big GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n_left FROM big GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big),
+scores AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(greatest(big.c12 - 0.75, 0) / c1.c1
+                      + 0.75 * c1.n_cont / c1.c1
+                        * (cont.n_left / tot.n_types))), 6) AS avg_logp
+  FROM bg
+  JOIN big USING (w1, w2)
+  JOIN c1 USING (w1)
+  JOIN cont USING (w2)
+  CROSS JOIN tot
+  GROUP BY bg.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(avg_logp, 2.0 / 3.0) AS h,
+         quantile_cont(avg_logp, 1.0 / 3.0) AS m
+  FROM scores
+)
+SELECT doc_id, n_bigrams, avg_logp,
+       CASE WHEN avg_logp >= h THEN 'head'
+            WHEN avg_logp >= m THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores CROSS JOIN cuts
+""",
+    doc="CCNet's head/middle/tail perplexity bucketing - the artifact "
+    "its pipeline ships: every doc scored under the corpus-trained "
+    "Kneser-Ney bigram model, split at the corpus's own avg-logp "
+    "terciles (exact interpolated percentiles, computed once and "
+    "broadcast - no per-row rank window).  head = most fluent, the "
+    "slice kept preferentially for LM training.  FULLY value-oracled "
+    "incl. the bucket labels (Spark percentile and DuckDB "
+    "quantile_cont share (n-1)*p interpolation - the "
+    "moving_median_revenue parity, over 6-dp-rounded scores).",
+)
+def perplexity_buckets_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, discount=0.75)
 
 
 # Shared by dedup_clusters_documents (batch closure) and

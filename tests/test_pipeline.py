@@ -1737,3 +1737,39 @@ def test_dsir_weights_match_reference(spark):
     )[:3]
     sel = {r.doc_id for r in dsir_resample(docs, target, k=3).collect()}
     assert sel == {r[0] for r in want}
+
+
+def test_bpe_encode_equals_sequential_replay(spark):
+    """Rank-priority BPE encoding (merge the lowest-rank adjacent pair
+    until none applies) must equal the canonical sequential replay of
+    the learned merge list (for each merge in training order, merge all
+    its adjacent occurrences left-to-right), word by word, and the
+    token concatenation must rebuild every word."""
+    import pandas as pd
+
+    from crick_spark.pipeline.text import bpe_encode, bpe_train
+
+    rows = [
+        (1, "the theme of the thesis is these themes"),
+        (2, "lower lowest newer newest wider widest"),
+        (3, "a bb ccc dddd"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    merges = bpe_train(docs, n_merges=10)
+
+    def sequential(word):
+        syms = list(word)
+        for l, r, _ in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == l and syms[i + 1] == r:
+                    syms[i : i + 2] = [l + r]
+                else:
+                    i += 1
+        return syms
+
+    got = {r.doc_id: r.tokens for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in rows:
+        want = [t for w in text.lower().split() for t in sequential(w)]
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        assert "".join(got[doc_id]) == text.lower().replace(" ", "")
