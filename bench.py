@@ -167,6 +167,7 @@ R4_EXTRA = [
     "kneser_ney_lm_scores_documents",
     "dsir_select_documents",
     "perplexity_buckets_documents",
+    "curation_pipeline_v3",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

@@ -369,3 +369,170 @@ def curation_pipeline_v2(spark, sf_dir):
         "n_final",
         F.round(F.col("n_final") / total, 6).alias("realized_share"),
     )
+
+
+@register(
+    "curation_pipeline_v3",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, i AS s, array_to_string(ws[i:i+9], ' ') AS w
+  FROM wrd, unnest(generate_series(1, len(ws) - 9)) AS t(i)
+  WHERE len(ws) >= 10
+),
+census AS (SELECT w, count(*) AS occ FROM win GROUP BY w),
+dup AS (SELECT win.doc_id, win.s FROM win JOIN census USING (w) WHERE occ > 1),
+flag AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flag
+),
+spans AS (SELECT doc_id, min(s) AS ss, max(s) + 9 AS se FROM isl GROUP BY doc_id, g),
+fam AS (
+  SELECT sp.doc_id, sp.ss, sp.se,
+         md5(array_to_string(w.ws[sp.ss:sp.se], ' ')) AS lead
+  FROM spans sp JOIN wrd w USING (doc_id)
+),
+cut AS (
+  SELECT doc_id, ss, se FROM (
+    SELECT fam.*, row_number() OVER (PARTITION BY lead ORDER BY doc_id, ss) AS rk
+    FROM fam
+  ) WHERE rk > 1
+),
+cutlists AS (SELECT doc_id, list({'s': ss, 'e': se}) AS sp FROM cut GROUP BY doc_id),
+cl AS (
+  SELECT w.doc_id, w.lang,
+         list_transform(list_filter(generate_series(1, len(w.ws)),
+            p -> len(list_filter(coalesce(c.sp, []),
+                     x -> p >= x.s AND p <= x.e)) = 0),
+            p -> w.ws[p]) AS cws
+  FROM wrd w LEFT JOIN cutlists c USING (doc_id)
+),
+bg AS (
+  SELECT doc_id, cws[i] AS w1, cws[i + 1] AS w2
+  FROM cl, unnest(generate_series(1, len(cws) - 1)) AS t(i)
+  WHERE len(cws) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n_cont FROM big GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n_left FROM big GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big),
+scores AS (
+  SELECT bg.doc_id,
+         round(avg(ln(greatest(big.c12 - 0.75, 0) / c1.c1
+                      + 0.75 * c1.n_cont / c1.c1
+                        * (cont.n_left / tot.n_types))), 6) AS avg_logp
+  FROM bg JOIN big USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2)
+  CROSS JOIN tot GROUP BY bg.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(avg_logp, 2.0 / 3.0) AS h,
+         quantile_cont(avg_logp, 1.0 / 3.0) AS m FROM scores
+),
+bkt AS (
+  SELECT s.doc_id,
+         CASE WHEN avg_logp >= h THEN 'head'
+              WHEN avg_logp >= m THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scores s CROSS JOIN cuts
+),
+pool AS (
+  SELECT b.doc_id, cl.lang, cl.cws FROM bkt b JOIN cl USING (doc_id)
+  WHERE b.bucket <> 'tail'
+),
+ptok AS (SELECT doc_id, unnest(cws) AS tok FROM pool),
+ttok AS (SELECT unnest(cws) AS tok FROM pool WHERE lang = 'en'),
+src_cnt AS (SELECT tok, count(*) AS c_src FROM ptok GROUP BY tok),
+tgt_cnt AS (SELECT tok, count(*) AS c_tgt FROM ttok GROUP BY tok),
+vocab AS (
+  SELECT v.tok, coalesce(s.c_src, 0) AS c_src, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM (SELECT tok FROM src_cnt UNION SELECT tok FROM tgt_cnt) v
+  LEFT JOIN src_cnt s USING (tok) LEFT JOIN tgt_cnt t USING (tok)
+),
+tot2 AS (SELECT CAST(sum(c_src) AS DOUBLE) AS t_src,
+                CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+                CAST(count(*) AS DOUBLE) AS v FROM vocab),
+lr AS (
+  SELECT ptok.doc_id,
+         round(sum(ln((c_tgt + 1) / (t_tgt + v))
+                 - ln((c_src + 1) / (t_src + v))), 6) AS log_ratio
+  FROM ptok JOIN vocab USING (tok) CROSS JOIN tot2 GROUP BY ptok.doc_id
+),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT lr.*, row_number() OVER (ORDER BY
+      log_ratio - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                          + 0.5) / 16777216.0)) DESC, doc_id) AS rk
+    FROM lr
+  ) WHERE rk <= 100
+)
+SELECT cl.lang, bkt.bucket, count(*) AS n_docs,
+       CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected
+FROM bkt JOIN cl USING (doc_id) LEFT JOIN sel USING (doc_id)
+GROUP BY cl.lang, bkt.bucket
+""",
+    doc="Curation funnel v3 (r7) - the round's new operators composed "
+    "end-to-end, per (lang, perplexity-bucket): repeated-span REMOVAL "
+    "(keep-first, the Lee et al. transform) cleans the corpus; a "
+    "Kneser-Ney bigram model TRAINED ON THE CLEANED TEXT buckets every "
+    "doc at the corpus's own terciles (CCNet head/middle/tail); DSIR "
+    "then importance-resamples 100 docs from the head+middle pool "
+    "toward the English subcorpus (Gumbel-top-k, md5 coin).  FULLY "
+    "value-oracled end-to-end - every stage is deterministic, so DuckDB "
+    "reproduces cleaned words, model, buckets, weights, and the exact "
+    "selected set.  The composition matters: spans removed BEFORE LM "
+    "training change the model (boilerplate no longer dominates "
+    "bigram mass), which is the order real pipelines run.",
+)
+def curation_pipeline_v3(spark, sf_dir):
+    from crick_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+    from crick_spark.pipeline.sampling import dsir_resample
+    from crick_spark.pipeline.text import perplexity_buckets
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang")
+    )
+    spans = repeated_window_spans(docs, window_words=10)
+    # one materialization: cleaned text feeds the KN model build, the
+    # bucket scoring, and both DSIR token censuses
+    cleaned = (
+        remove_repeated_spans(docs, spans)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=True)
+    )
+    buckets = perplexity_buckets(cleaned)
+    pool = (
+        buckets.where(F.col("bucket") != "tail")
+        .select("doc_id")
+        .join(cleaned, "doc_id")
+    )
+    target = pool.where(F.col("lang") == "en")
+    sel = dsir_resample(pool, target, k=100).select(
+        "doc_id", F.lit(1).alias("__sel__")
+    )
+    return (
+        buckets.join(cleaned.select("doc_id", "lang"), "doc_id")
+        .join(sel, "doc_id", "left")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__sel__"), F.lit(0))).alias("n_selected"),
+        )
+    )
