@@ -172,11 +172,15 @@ R4_EXTRA = [
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew
 # 76.8 -> 135.5 s as the inventory widened, with per-query deltas but no
-# recorded ceiling.  The budget is the r6 recorded extra_total plus slack
-# for the r7 additions; "extra_over_budget": true in the output is the
+# recorded ceiling.  "extra_over_budget": true in the output is the
 # driver-visible signal that the non-headline inventory regressed as a
-# SET, complementing the per-query "extra_deltas".
-EXTRA_BUDGET_SEC = 150.0
+# SET, complementing the per-query "extra_deltas".  175 covers the r7
+# state: the pre-r7 set measured 102-134 s across host-variance band
+# plus ~29 s of NEW r7 queries (span removal 9.4, curation v3 10.4,
+# KN 4.1, buckets 3.0, DSIR 1.8) — growth from inventory, not
+# regression; regressions show as the boolean flipping at a stable
+# inventory.
+EXTRA_BUDGET_SEC = 175.0
 
 
 def previous_times(sf: float) -> dict[str, float]:

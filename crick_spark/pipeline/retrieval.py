@@ -337,22 +337,27 @@ def tfidf_similar_pairs(
     (hot injected sentence → 3-gram df ≈ 0.4·|corpus|), not here.
     Set ``salt_df_threshold=0`` to disable.
     """
+    from pyspark.sql import Window as W
+
     w = tfidf_weights(docs, id_col, text_col, ngram, max_df_ratio)
     join_keys = ["term"]
     if block_col is not None:
         blocks = docs.select(id_col, block_col)
         w = w.join(blocks, id_col)
         join_keys = ["term", block_col]
-    # materialize the weights ONCE: three consumers (pair join a-side,
-    # b-side, norms) would otherwise each re-run the tokenize->tf->idf
-    # subtree — alias-renamed self-join sides don't canonicalize equal,
-    # so ReuseExchange never fires (measured 3x the weight work).  The
-    # truncation is the localCheckpoint pattern the iterative operators
-    # use; at 100 TB this is the posting table you'd persist anyway.
-    w = w.localCheckpoint(eager=True)
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    # Unit-normalize per doc IN A WINDOW (one shuffle by id) instead of
+    # aggregating norms and joining them back onto the pair results:
+    # cosine = Σ ŵa·ŵb then needs no norms relation at all, removing two
+    # joins AND the eager localCheckpoint the three-consumer shape used
+    # to require (r7: the checkpoint's RDD blocks made the operator's
+    # in-session cost swing 2.6→13 s depending on block-manager state;
+    # this shape has no materialization to swing).  The two self-join
+    # sides still share the tokenize→tf→idf subtree through the reused
+    # window exchange (identical canonical subtrees below the aliasing).
+    nrm = F.sqrt(
+        F.sum(F.col("w") * F.col("w")).over(W.partitionBy(id_col))
     )
+    w = w.withColumn("w", F.col("w") / nrm)
     if salt_df_threshold:
         from crick_spark.functions.skew import salted_self_pair_join
 
@@ -367,18 +372,11 @@ def tfidf_similar_pairs(
     b = right.select(
         F.col(id_col).alias("id_b"), *join_keys, F.col("w").alias("wb")
     )
-    dots = (
+    sim = (
         a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
-    sim = (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
         .where(F.col("cos") >= F.lit(threshold))
     )
     return sim.select(

@@ -44,6 +44,16 @@ def get_session(
         # has to mutate an engine-built session.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # A long-lived session compiles one whole-stage-codegen class per
+        # query stage; across a few hundred distinct queries the default
+        # 240 MB JIT code cache fills and HotSpot silently stops
+        # compiling, so LATE queries run partly interpreted — the
+        # in-session tail drag bench exhibited.  512 MB holds the whole
+        # inventory's generated code.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
