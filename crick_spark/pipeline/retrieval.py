@@ -372,8 +372,16 @@ def tfidf_similar_pairs(
     b = right.select(
         F.col(id_col).alias("id_b"), *join_keys, F.col("w").alias("wb")
     )
+    # merge hint (the jaccard_ngram_pairs precedent): left to itself
+    # Spark BROADCASTS the ~10 MB posting side — a driver collect of a
+    # computed, corpus-sized subtree (the scale-killer class outright at
+    # 100 TB, and the measured in-session instability here: the same
+    # query swung 2.5 → 31 s when the broadcast landed badly).  Forcing
+    # the shuffle join keeps both sides executor-side and lets the
+    # identical posting subtrees share work through exchange reuse.
     sim = (
-        a.join(b, join_keys)
+        a.hint("merge")
+        .join(b.hint("merge"), join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
