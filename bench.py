@@ -264,6 +264,16 @@ PREFLIGHT_SKIP_SUBSTR = (
     "incremental_dedup_clusters",
     # r7: layout write + panel probe + explain run at plan construction
     "layout_prune",
+    # r8: repeated_window_spans eagerly localCheckpoints the window-hash
+    # relation (the single-corpus-pass fix), so every caller executes
+    # the explode at plan construction; tdigest rollup's eager
+    # localCheckpoint (operators/crick_ops.py) does the same for its
+    # callers.  Preflight is documented analyze-only — skip them here,
+    # the correctness gate runs them end-to-end.
+    "repeated_substring",
+    "repeated_span",
+    "curation_pipeline_v3",
+    "tdigest_rollup",
 )
 
 

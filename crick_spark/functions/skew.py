@@ -105,9 +105,13 @@ def salted_self_pair_join(
     side is replicated into ALL ``s`` salts — so every (left, right)
     pair of a hot bucket meets in exactly ONE (key, salt) sub-bucket
     and the hottest bucket's pair work drops from df² to df²/s per
-    task.  Cold buckets (the overwhelming majority under Zipf — the
-    hot census is at most |postings|/threshold rows, which is why its
-    broadcast is bounded) pay nothing: salt 0, no replication.
+    task.  Cold buckets (the overwhelming majority under Zipf) pay
+    nothing: salt 0, no replication.  The hot-key census is at most
+    |postings|/threshold rows — usually tiny under Zipf, but still
+    corpus-scaled in the worst case (vocab-sized at degenerate
+    thresholds), so it carries NO broadcast hint: AQE broadcasts it at
+    runtime when it is actually small, the only acceptable way per the
+    r6 forced-broadcast ban.
 
     Returns ``(left, right, join_keys)`` where ``join_keys`` is
     ``keys + ["__salt__"]``; join them and aggregate as usual — results
@@ -129,7 +133,7 @@ def salted_self_pair_join(
     )
     row_hash = F.xxhash64(*[F.col(c) for c in postings.columns])
     left = (
-        postings.join(F.broadcast(census), keys, "left")
+        postings.join(census, keys, "left")
         .withColumn(
             "__salt__",
             F.when(
@@ -140,7 +144,7 @@ def salted_self_pair_join(
         .drop("__s__")
     )
     right = (
-        postings.join(F.broadcast(census), keys, "left")
+        postings.join(census, keys, "left")
         .withColumn(
             "__salt__",
             F.explode(

@@ -817,23 +817,33 @@ def repeated_window_spans(
     sub-document repeat detector that whole-doc and fixed-segment
     hashing both miss, because a repeated passage can start anywhere.
 
-    Returns (id, span_start, span_end, n_windows) in 1-based word
-    positions, spans maximal (every pair of retained spans per doc is
-    separated by at least one non-duplicated window start).
+    Returns (id, span_start, span_end, n_windows, lead_wh) in 1-based
+    word positions, spans maximal (every pair of retained spans per doc
+    is separated by at least one non-duplicated window start).
+    ``lead_wh`` is the md5 of the span's LEADING ``window_words``-word
+    window — the passage-family key ``remove_repeated_spans`` uses for
+    corpus-wide keep-first, carried out of detection so the apply step
+    never re-tokenizes the corpus.
 
     Plan: per doc, all n−L+1 rolling windows materialize ONLY as 16-byte
     md5 hashes (sequence + slice + concat_ws + md5 under codegen — the
-    window TEXT never leaves the row); one hash-aggregate census counts
-    occurrences per window hash (partial aggregation collapses repeats
-    map-side); duplicated window STARTS flow back by a hash semi-join and
-    merge into maximal spans with a gaps-and-islands running-max window
-    partitioned BY DOC (never a global sort).  Cost: two shuffles of
-    |windows| hash rows plus a per-doc window — linear in corpus size,
-    the Spark-native stand-in for the O(n) suffix array a single machine
-    would build.  At 100 TB the census is the hot aggregation: Zipf-hot
-    windows (boilerplate) are exactly what partial aggregation absorbs —
-    each mapper emits one (hash, count) row however often the window
-    repeats in its split.
+    window TEXT never leaves the row).  The (id, start, hash) relation
+    is materialized ONCE (eager ``localCheckpoint`` — executor-local
+    storage, linear in |windows|) because it has TWO consumers: the
+    census aggregate (occurrences per window hash; partial aggregation
+    collapses repeats map-side) and the probe side of the semi-join that
+    flows duplicated window STARTS back.  Without the checkpoint Spark
+    re-executes the tokenize+slice+md5 explode once per consumer — the
+    r7 plan showed two FileScan+Generate pairs and the double pass was
+    the single most expensive registered query.  Duplicated starts merge
+    into maximal spans with a gaps-and-islands running-max window
+    partitioned BY DOC (never a global sort).  Cost: ONE corpus
+    tokenize+hash pass, two shuffles of |windows| hash rows, a per-doc
+    window — linear in corpus size, the Spark-native stand-in for the
+    O(n) suffix array a single machine would build.  At 100 TB the
+    census is the hot aggregation: Zipf-hot windows (boilerplate) are
+    exactly what partial aggregation absorbs — each mapper emits one
+    (hash, count) row however often the window repeats in its split.
     """
     from pyspark.sql import Window
 
@@ -850,6 +860,9 @@ def repeated_window_spans(
     wins = docs.where(n_win >= 1).select(
         F.col(id_col), F.posexplode(win_hashes).alias("pos0", "wh")
     ).select(id_col, (F.col("pos0") + 1).alias("start"), "wh")
+    # one corpus pass: both consumers (census + semi-join probe) read the
+    # materialized hash relation, not a re-execution of the explode
+    wins = wins.localCheckpoint(eager=True)
     census = wins.groupBy("wh").agg(F.count("*").alias("occ"))
     dup = wins.join(
         census.where(F.col("occ") > 1).select("wh"), "wh", "left_semi"
@@ -862,6 +875,7 @@ def repeated_window_spans(
     flagged = dup.select(
         id_col,
         "start",
+        "wh",
         F.when(
             F.col("start") > F.coalesce(F.max("start").over(w_prev), F.lit(-L))
             + F.lit(L),
@@ -876,13 +890,17 @@ def repeated_window_spans(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(
-        id_col, "start", F.sum("__new_island__").over(w_run).alias("__isl__")
+        id_col,
+        "start",
+        "wh",
+        F.sum("__new_island__").over(w_run).alias("__isl__"),
     )
     return islands.groupBy(id_col, "__isl__").agg(
         F.min("start").alias("span_start"),
         (F.max("start") + F.lit(L - 1)).alias("span_end"),
         F.count("*").alias("n_windows"),
-    ).select(id_col, "span_start", "span_end", "n_windows")
+        F.min_by("wh", "start").alias("lead_wh"),
+    ).select(id_col, "span_start", "span_end", "n_windows", "lead_wh")
 
 
 def repeated_window_stats(
@@ -937,48 +955,60 @@ def remove_repeated_spans(
 
     ``keep_first=True`` retains each corpus-wide duplicate's FIRST
     occurrence (the span whose (doc id, start) is smallest among the
-    spans sharing its leading window — every other occurrence is cut),
-    so exactly one copy of every repeated passage survives corpus-wide;
-    with ``keep_first=False`` every duplicated span is cut everywhere.
+    spans sharing its LEADING ``window_words``-word window — the
+    ``lead_wh`` column ``repeated_window_spans`` emits); every other
+    occurrence in the family is cut, so one copy of every repeated
+    passage survives corpus-wide.  Edge case (documented contract):
+    occurrences of the same passage can be absorbed into maximal spans
+    of DIFFERENT extents (a doc that repeats the passage twice
+    back-to-back yields one long span); the family key is the shared
+    leading window, so the retained first occurrence may be shorter or
+    longer than the cut ones.  With ``keep_first=False`` every
+    duplicated span is cut everywhere.
 
-    Emits (id, text, n_words_removed).  Plan: spans aggregate to a
+    Emits (id, text, n_words_removed).  Plan (keep-first): the family
+    winner is ``min(struct(doc id, span_start))`` aggregated per
+    ``lead_wh`` — a map-side-combinable hash aggregate, so a boilerplate
+    passage repeated in millions of docs collapses to one row per
+    mapper instead of landing every occurrence in a single rank-window
+    reducer partition (the r7 skew hazard); cut spans are the
+    winner-join anti-matches.  The lead hash rides in from detection —
+    the corpus is NOT re-tokenized here.  Spans then aggregate to a
     per-doc removal list (array of [start, end] structs — bounded by
     spans-per-doc, KBs); the rebuild filters each doc's word positions
-    against its list with a rank-over-window-free ``exists`` lambda —
-    one broadcast-join of the span lists onto the docs and one codegen
-    projection; the corpus text is touched once.
+    against its list with an ``exists`` lambda — one id equi-join of
+    the span lists onto the docs and one codegen projection; the corpus
+    text is touched once.
 
     NOTE: the per-doc span-list join is an id equi-join with NO
     broadcast hint — span lists are corpus-scaled (one row per doc with
     dups), exactly the relation class the r6 verdict banned from forced
-    broadcasts; AQE picks the strategy.
+    broadcasts; AQE picks the strategy.  Same for the family-winner
+    join (one row per distinct passage family — corpus-scaled).
     """
     if keep_first:
-        from pyspark.sql import Window
-
-        first_w = Window.partitionBy("__lead__").orderBy(
-            F.col(id_col), F.col("span_start")
-        )
-        # lead window hash identifies the repeated passage family: spans
-        # sharing their first window are occurrences of the same repeat
-        lead = spans.join(
-            docs.select(id_col, text_col), id_col
-        ).withColumn(
-            "__lead__",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        words_expr(F.col(text_col)),
-                        F.col("span_start"),
-                        F.col("span_end") - F.col("span_start") + 1,
-                    ),
+        if "lead_wh" not in spans.columns:
+            raise ValueError(
+                "keep_first=True needs the lead_wh column that "
+                "repeated_window_spans emits (detection carries the "
+                "family key so the apply step never re-tokenizes)"
+            )
+        winners = spans.groupBy("lead_wh").agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("span_start").alias("s"),
                 )
-            ),
+            ).alias("__first__")
         )
         cut = (
-            lead.withColumn("__rk__", F.row_number().over(first_w))
-            .where(F.col("__rk__") > 1)
+            spans.join(winners, "lead_wh")
+            .where(
+                ~(
+                    (F.col(id_col) == F.col("__first__.i"))
+                    & (F.col("span_start") == F.col("__first__.s"))
+                )
+            )
             .select(id_col, "span_start", "span_end")
         )
     else:

@@ -1253,6 +1253,7 @@ def ivf_bulk_topk_from_layout(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_probed: bool = False,
 ) -> DataFrame:
     """Bulk IVF ANN over a ``write_ivf_layout`` directory: the panel's
     probed-cluster set (≤ |panel|·nprobe ints — bounded metadata, never
@@ -1262,7 +1263,12 @@ def ivf_bulk_topk_from_layout(
     (asserted structurally in tests).  Candidate generation and rerank
     are then exactly ``ivf_bulk_topk``'s shape over the pruned scan;
     results are identical to the in-memory path for the same corpus and
-    centroids (tested)."""
+    centroids (tested).
+
+    ``return_probed=True`` returns ``(df, probed_clusters)`` — callers
+    that verify pruning count the ACTUAL probe list instead of parsing
+    the plan rendering (which flips between ``INSET`` and ``IN (…)``
+    at ``spark.sql.optimizer.inSetConversionThreshold``)."""
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
     )
@@ -1293,6 +1299,7 @@ def ivf_bulk_topk_from_layout(
         .select(query_id_col, id_col)
     )
     corpus_vecs = pruned.select(id_col, vec_col)
-    return _bulk_rerank(
+    out = _bulk_rerank(
         cand, queries, corpus_vecs, k, query_id_col, id_col, vec_col, True
     )
+    return (out, probed) if return_probed else out

@@ -400,7 +400,7 @@ isl AS (
 spans AS (SELECT doc_id, min(s) AS ss, max(s) + 9 AS se FROM isl GROUP BY doc_id, g),
 fam AS (
   SELECT sp.doc_id, sp.ss, sp.se,
-         md5(array_to_string(w.ws[sp.ss:sp.se], ' ')) AS lead
+         md5(array_to_string(w.ws[sp.ss:sp.ss+9], ' ')) AS lead
   FROM spans sp JOIN wrd w USING (doc_id)
 ),
 cut AS (

@@ -1595,6 +1595,64 @@ def test_ivf_layout_prunes_partitions_and_matches_memory(spark, tmp_path):
     assert "PartitionFilters: [ivf_cluster" in buf.getvalue()
 
 
+def test_ivf_layout_small_probe_set_in_rendering(spark, tmp_path):
+    """r8 ADVICE fix: a probe set at/under
+    spark.sql.optimizer.inSetConversionThreshold (10) renders as
+    'IN (…)' not 'INSET' — pruning verification must count the ACTUAL
+    probe list (return_probed=True), never parse the plan text.  One
+    query × nprobe=1 guarantees the small-set rendering; the filter
+    must still reach the scan as a PartitionFilter and the probed count
+    must be strictly under the cluster total."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk_from_layout,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, k=8)
+    panel = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    write_ivf_layout(emb, cents, str(tmp_path / "layout"))
+    lay, probed = ivf_bulk_topk_from_layout(
+        spark,
+        panel,
+        str(tmp_path / "layout"),
+        cents,
+        k=5,
+        nprobe=1,
+        return_probed=True,
+    )
+    assert len(probed) == 1  # the small-set case the regex used to miss
+    n_total = (
+        spark.read.parquet(str(tmp_path / "layout"))
+        .select("ivf_cluster")
+        .distinct()
+        .count()
+    )
+    assert len(probed) < n_total
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lay.explain("formatted")
+    plan = buf.getvalue()
+    # single-cluster probes render as a plain equality, not INSET/IN —
+    # the pruning check must not depend on any particular rendering
+    assert any(
+        "PartitionFilters:" in ln and "ivf_cluster" in ln
+        for ln in plan.splitlines()
+    )
+    assert "INSET" not in plan  # this size class never renders INSET
+    assert lay.count() > 0
+
+
 def test_remove_repeated_spans_keeps_one_copy(spark):
     """Apply step of repeated-substring dedup: with keep_first=True the
     corpus-wide FIRST occurrence of each repeated passage survives and
@@ -1773,3 +1831,39 @@ def test_bpe_encode_equals_sequential_replay(spark):
         want = [t for w in text.lower().split() for t in sequential(w)]
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
         assert "".join(got[doc_id]) == text.lower().replace(" ", "")
+
+
+def test_remove_repeated_spans_lead_window_family(spark):
+    """r8 family-contract edge case (the ADVICE finding): occurrences of
+    one repeated passage absorbed into maximal spans of DIFFERENT
+    extents (back-to-back self-repeat merges into one long span) still
+    share their LEADING window, so they are ONE family — exactly one
+    occurrence (smallest (doc_id, start)) survives corpus-wide."""
+    import pandas as pd
+
+    from crick_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"{shared} unique tail one two three"),
+        # back-to-back repeat: one maximal span of 20 words whose lead
+        # window is the same passage
+        (2, f"{shared} {shared}"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    spans = repeated_window_spans(docs, window_words=10)
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.lead_wh for r in spans.collect()
+    }
+    assert set(got) == {(1, 1, 10), (2, 1, 20)}
+    # different extents, same lead window hash -> one family
+    assert got[(1, 1, 10)] == got[(2, 1, 20)]
+    cleaned = {
+        r.doc_id: (r.text, r.n_words_removed)
+        for r in remove_repeated_spans(docs, spans).collect()
+    }
+    assert cleaned[1] == (rows[0][1], 0)  # first occurrence survives
+    assert cleaned[2] == ("", 20)  # the longer absorbed span is cut whole

@@ -389,3 +389,50 @@ def test_runtime_bloom_filter_injection_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repeated_spans_single_corpus_pass(spark):
+    """The window-hash relation must be materialized ONCE: before r8 the
+    tokenize+slice+md5 posexplode executed twice (census + semi-join
+    probe — two FileScan+Generate pairs, no ReusedExchange), doubling
+    the most expensive registered query.  After the eager localCheckpoint
+    both consumers read the checkpointed RDD, so the DOWNSTREAM plan has
+    ZERO Generate nodes and scans an ExistingRDD."""
+    from crick_spark.pipeline.dedup import repeated_window_spans
+    from crick_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents").where(
+        F.col("text").isNotNull()
+    )
+    spans = repeated_window_spans(docs, window_words=10)
+    text = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in text, (
+        "the window-hash explode leaked back into the downstream plan — "
+        "the corpus would be tokenized+hashed once per consumer again"
+    )
+    assert "ExistingRDD" in text or "Scan ExistingRDD" in text
+
+
+def test_span_removal_keep_first_has_no_rank_window_or_broadcast(spark):
+    """keep-first winner selection must be a map-side-combinable
+    aggregate, not row_number over the passage family (a boilerplate
+    passage repeated in millions of docs is ONE window partition), and
+    must not force-broadcast any corpus-scaled relation."""
+    from crick_spark.pipeline.dedup import (
+        remove_repeated_spans,
+        repeated_window_spans,
+    )
+    from crick_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents").where(
+        F.col("text").isNotNull()
+    )
+    spans = repeated_window_spans(docs, window_words=10)
+    cleaned = remove_repeated_spans(docs, spans)
+    analyzed = cleaned._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    assert "row_number" not in analyzed.lower(), (
+        "keep-first fell back to a rank window over the passage family"
+    )

@@ -180,6 +180,12 @@ SKEW_PROBES = [
     # r7: hot injected 3-grams (df ~ 0.4*|corpus|) exercise the
     # results-preserving hot-term salting in the posting self-join
     "tfidf_similar_docs",
+    # r8: the injected sentence is a >=10-word passage repeated in 40% of
+    # docs — one hot window hash in the census (partial agg absorbs it)
+    # and one hot passage FAMILY in keep-first removal (min(struct) agg,
+    # map-side combinable — the r7 rank-window would have put every
+    # occurrence in one reducer partition)
+    "repeated_span_removal_documents",
 ]
 
 # One fixed sentence (12 words → ~10 rolling 3-gram shingles) appended to
