@@ -236,6 +236,7 @@ def dsir_log_ratios(
     target: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., *Data Selection for Language
     Models via Importance Resampling*, NeurIPS 2023): score every raw
@@ -248,25 +249,40 @@ def dsir_log_ratios(
     (``dsir_resample``), which provably corrects the source
     distribution toward the target.
 
-    DSIR hashes n-gram features into a fixed bucket count so the model
-    tables are O(buckets) at any corpus size; here features are raw
-    tokens (vocab is Heaps-bounded at test scale and the semantics are
-    identical — hashing is the fixed-size-table trick, noted for the
-    100 TB deployment).  Emits (id, n_tokens, log_ratio) for docs with
-    ≥ 1 token; both model tables are vocab-sized, scoring is two
-    equi-joins + a per-doc aggregate, all codegen.  Smoothing uses the
-    UNION vocabulary (V = distinct tokens across source ∪ target) so
-    both models are proper distributions over the same support and no
-    token has probability 0 under either.
+    ``n_buckets`` is the fixed-size-table trick DSIR itself uses (Xie
+    et al. hash into 10k buckets): each token maps to
+    ``md5(tok)[0:8] mod n_buckets`` (the engine's deterministic-coin
+    convention, so a DuckDB oracle reproduces the buckets exactly) and
+    the two model tables are EXACTLY ``≤ n_buckets`` rows at ANY corpus
+    size — the smoothing support is the full fixed bucket space
+    (V = n_buckets), making both models proper distributions over it.
+    With ``n_buckets=None`` features are raw tokens: model tables are
+    vocab-sized (Heaps-bounded at test scale) and smoothing uses the
+    UNION vocabulary (V = distinct tokens across source ∪ target) so no
+    token has probability 0 under either model.  Collisions under
+    hashing only blur the models (two tokens sharing a bucket share a
+    probability) — selection quality degrades gracefully as buckets
+    shrink (tested).
+
+    Emits (id, n_tokens, log_ratio) for docs with ≥ 1 token; scoring is
+    two equi-joins + a per-doc aggregate, all codegen.
     """
     from crick_spark.pipeline.retrieval import tokens_expr
 
+    def feat(col):
+        if n_buckets is None:
+            return col
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+            F.lit(int(n_buckets)),
+        )
+
     src_toks = docs.select(
-        F.explode(tokens_expr(F.col(text_col))).alias("tok")
-    )
+        F.explode(tokens_expr(F.col(text_col))).alias("__t__")
+    ).select(feat(F.col("__t__")).alias("tok"))
     tgt_toks = target.select(
-        F.explode(tokens_expr(F.col(text_col))).alias("tok")
-    )
+        F.explode(tokens_expr(F.col(text_col))).alias("__t__")
+    ).select(feat(F.col("__t__")).alias("tok"))
     src_cnt = src_toks.groupBy("tok").agg(F.count("*").alias("c_src"))
     tgt_cnt = tgt_toks.groupBy("tok").agg(F.count("*").alias("c_tgt"))
     vocab = (
@@ -284,11 +300,18 @@ def dsir_log_ratios(
     totals = vocab.agg(
         F.sum("c_src").cast("double").alias("t_src"),
         F.sum("c_tgt").cast("double").alias("t_tgt"),
-        F.count("*").cast("double").alias("v"),
+        # hashed mode: the support is the FULL fixed bucket space, seen
+        # or not — the table stays O(n_buckets) and the smoothing
+        # denominator is corpus-independent
+        (
+            F.lit(float(n_buckets))
+            if n_buckets is not None
+            else F.count("*").cast("double")
+        ).alias("v"),
     )
     doc_toks = docs.select(
-        id_col, F.explode(tokens_expr(F.col(text_col))).alias("tok")
-    )
+        id_col, F.explode(tokens_expr(F.col(text_col))).alias("__t__")
+    ).select(id_col, feat(F.col("__t__")).alias("tok"))
     scored = (
         doc_toks.join(vocab, "tok")
         .crossJoin(F.broadcast(totals))
@@ -310,6 +333,7 @@ def dsir_resample(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """DSIR selection: importance-resample ``k`` source docs toward the
     target distribution via the GUMBEL-TOP-K trick DSIR itself uses —
@@ -321,9 +345,10 @@ def dsir_resample(
     are token sums reaching ±hundreds, where the equivalent
     Efraimidis–Spirakis u^(1/w) comparator overflows exp().  The
     half-step on the 24-bit coin keeps u strictly inside (0,1) — u = 0
-    would make the Gumbel infinite.  Emits the selected
-    (id, n_tokens, log_ratio) rows."""
-    lr = dsir_log_ratios(docs, target, id_col, text_col)
+    would make the Gumbel infinite.  ``n_buckets`` selects the
+    fixed-size hashed-feature models (see ``dsir_log_ratios``) — the
+    100 TB path.  Emits the selected (id, n_tokens, log_ratio) rows."""
+    lr = dsir_log_ratios(docs, target, id_col, text_col, n_buckets)
     bits = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
     ).cast("double")

@@ -1073,6 +1073,68 @@ def knn_graph_embeddings(spark, sf_dir):
 
 
 @register(
+    "knn_graph_recall_panel",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS node_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 20
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS node_id, TRUE AS recall_ok
+""",
+    doc="Quality gate for the kNN GRAPH itself (r8, promoting "
+    "knn_graph_embeddings off the rows-only list): the exact "
+    "production graph build - the corpus LSH-self-joined, "
+    "broadcast_queries=False, self-match dropped in-plan - is scored "
+    "on a fixed 20-node panel against the brute-force exact top-6 "
+    "neighbors of those nodes.  Hash-matched booleans: per-node "
+    "recall >= 0.5 and panel-average recall >= 0.7 (same margins as "
+    "the knn_lsh_bulk_recall twin; measured well above both).  The "
+    "graph is built corpus-wide, NOT just for the panel, so the gate "
+    "certifies the same plan the rows-only headline times.",
+)
+def knn_graph_recall_panel(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    g = (
+        lsh_bulk_topk(
+            queries, emb, k=7, nbits=6, num_tables=8,
+            broadcast_queries=False,
+        )
+        .where(F.col("query_id") != F.col("vec_id"))
+        .where(F.col("rank") <= 6)
+        .select(
+            F.col("query_id").cast("bigint").alias("node_id"), "vec_id"
+        )
+    )
+    panel_q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").cast("bigint").alias("node_id"), "embedding"
+    )
+    exact = (
+        bulk_cosine_topk(
+            panel_q.withColumnRenamed("node_id", "query_id"), emb, k=7
+        )
+        .where(F.col("query_id") != F.col("vec_id"))
+        .where(F.col("rank") <= 6)
+        .select(F.col("query_id").alias("node_id"), "vec_id")
+    )
+    hits = (
+        exact.join(g, ["node_id", "vec_id"], "left_semi")
+        .groupBy("node_id")
+        .agg((F.count("*") / 6.0).alias("recall"))
+    )
+    full = panel_q.select("node_id").join(hits, "node_id", "left").select(
+        "node_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+    per_node = full.select(
+        "node_id", (F.col("recall") >= 0.5).alias("recall_ok")
+    )
+    overall = full.agg(
+        F.lit(-1).cast("bigint").alias("node_id"),
+        (F.avg("recall") >= 0.7).alias("recall_ok"),
+    )
+    return per_node.unionByName(overall)
+
+
+@register(
     "chunk_documents",
     oracle=r"""
 WITH w AS (
@@ -3119,6 +3181,69 @@ def dsir_select_documents(spark, sf_dir):
 
 
 @register(
+    "dsir_select_hashed_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+raw AS (SELECT doc_id, lang, unnest(ws) AS t FROM wrd),
+tok AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS tok
+  FROM raw
+),
+tgt_tok AS (
+  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS tok
+  FROM raw WHERE lang = 'en'
+),
+src_cnt AS (SELECT tok, count(*) AS c_src FROM tok GROUP BY tok),
+tgt_cnt AS (SELECT tok, count(*) AS c_tgt FROM tgt_tok GROUP BY tok),
+vocab AS (
+  SELECT v.tok, coalesce(s.c_src, 0) AS c_src, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM (SELECT tok FROM src_cnt UNION SELECT tok FROM tgt_cnt) v
+  LEFT JOIN src_cnt s USING (tok) LEFT JOIN tgt_cnt t USING (tok)
+),
+tot AS (SELECT CAST(sum(c_src) AS DOUBLE) AS t_src,
+               CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+               512.0 AS v FROM vocab),
+lr AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+         round(sum(ln((c_tgt + 1) / (t_tgt + v))
+                 - ln((c_src + 1) / (t_src + v))), 6) AS log_ratio
+  FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens, log_ratio FROM (
+  SELECT lr.*, row_number() OVER (ORDER BY
+    log_ratio - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                        + 0.5) / 16777216.0)) DESC, doc_id) AS rk
+  FROM lr
+) WHERE rk <= 50
+""",
+    doc="DSIR selection over HASHED features (r8, the 100 TB path the "
+    "raw-token docstring deferred): tokens map to md5-mod-512 buckets "
+    "BEFORE the censuses, so both model tables are exactly <= 512 rows "
+    "at any corpus size and smoothing runs over the fixed bucket "
+    "support (V = n_buckets) - Xie et al.'s own fixed-table trick.  "
+    "512 buckets against a corpus vocabulary in the thousands forces "
+    "real collisions, so this gate exercises the degraded-model path, "
+    "not a vacuous no-collision one.  Same Gumbel-top-k draw and "
+    "deterministic md5 coin as dsir_select_documents.  FULLY "
+    "value-oracled: DuckDB reproduces bucket ids, model weights, "
+    "Gumbel keys, and the exact selected set.",
+)
+def dsir_select_hashed_documents(spark, sf_dir):
+    from crick_spark.pipeline.sampling import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_resample(docs, target, k=50, n_buckets=512)
+
+
+@register(
     "kneser_ney_lm_scores_documents",
     oracle=r"""
 WITH wrd AS (
@@ -3288,10 +3413,12 @@ def dedup_clusters_documents(spark, sf_dir):
 @register(
     "incremental_dedup_clusters",
     oracle=_CLUSTERS_ORACLE,
-    doc="INCREMENTAL cluster maintenance (r6 VERDICT item 6): the same "
-    "exact-Jaccard pair set as dedup_clusters_documents, but delivered "
-    "in 3 deterministic batches folded one at a time into a persisted "
-    "(node, component) labeling (streaming/cluster_store.py) - per "
+    doc="INCREMENTAL cluster maintenance (r6 VERDICT item 6; r8: "
+    "bucketed snapshots - folds rewrite only touched buckets): the "
+    "same exact-Jaccard pair set as dedup_clusters_documents, but "
+    "delivered in 2 deterministic batches folded one at a time into a "
+    "persisted (node, component) labeling (streaming/cluster_store.py) "
+    "- per "
     "batch the closure runs only on the CONTRACTED graph (endpoints "
     "replaced by their stored labels, O(|batch|) edges), then a "
     "batch-bounded broadcast mapping relabels merged components; "
@@ -3311,10 +3438,10 @@ def incremental_dedup_clusters(spark, sf_dir):
     ).localCheckpoint(eager=True)
     work = run_tmpdir("crick_clusterstore_")
     store = ClusterStore(f"{work}/store")
-    for bid in range(3):
+    for bid in range(2):
         store.fold(
             pairs.where(
-                F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3)) == bid
+                F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2)) == bid
             ),
             bid,
         )

@@ -82,7 +82,13 @@ _GATE_WINDOW = [
     # monotonicity, and the job-count drop become driver-visible
     "bpe_train_batched_documents",
     "cdf_events_value",
-    "histogram_quantity",
+    # r8: histogram_quantity rotated out (tdigest histogram twin
+    # tdigest_histogram_quantity stays value-oracled outside, and the
+    # accuracy family keeps cdf + quantile slots in-window) for the
+    # de-skewed keep-first repeated-span REMOVAL - Lee et al.'s
+    # remove-the-repeated-bytes transform with the r8 lead-window family
+    # keying and min(struct) winner selection becomes driver-visible
+    "repeated_span_removal_documents",
     # r6: topk_event_types rotated out (second exact top-k in-window;
     # still oracle-checked outside) for decayed heavy hitters — the
     # SpaceSaving.scale analog of tdigest decay, bound-checked against
@@ -139,7 +145,12 @@ _GATE_WINDOW = [
     # bucket equi-join — the per-query loop form stays oracle-checked
     # outside the window)
     "knn_lsh_bulk_recall",
-    "weighted_moments_price",
+    # r8: weighted_moments_price rotated out (fourth moments form
+    # in-window; still oracle-checked outside) for the hashed-feature
+    # DSIR gate - the O(n_buckets) model tables (the 100 TB path) with
+    # DuckDB reproducing bucket ids, weights, Gumbel keys, and the
+    # exact selected set
+    "dsir_select_hashed_documents",
     # r5: equidepth_histogram_value rotated out (third histogram variant
     # in-window; still oracle-checked outside) for the sketch
     # materialized-view proof — persisted t-digest+HLL state merged with
@@ -159,7 +170,12 @@ _GATE_WINDOW = [
     # driver-visible, each invariant re-verified via an independent
     # JVM-expression path
     "semantic_dedup_embeddings",
-    "spacesaving_weighted_topk_parts",
+    # r8: spacesaving_weighted_topk_parts rotated out (fourth
+    # Space-Saving form in-window; still oracle-checked outside) for
+    # the kNN-graph recall panel - the priciest rows-only query's
+    # production plan gets a hash-matched quality oracle (VERDICT r7
+    # item 7)
+    "knn_graph_recall_panel",
     "spacesaving_persist_roundtrip",
     "moments_sketch_extendedprice",
     # r6 second half: moments_sketch_by_returnflag rotated out (second

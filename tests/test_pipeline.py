@@ -1797,6 +1797,85 @@ def test_dsir_weights_match_reference(spark):
     assert sel == {r[0] for r in want}
 
 
+def test_dsir_hashed_features_match_reference_and_overlap(spark):
+    """r8 hashed-feature DSIR: (a) with n_buckets the log-ratios equal a
+    from-scratch hashed-unigram reference (tokens -> md5[0:8] mod B,
+    smoothing over the FULL fixed bucket support V=B), so the model
+    tables are O(B) at any corpus size; (b) with generous buckets the
+    selected set overlaps the raw-token selection heavily on the
+    fixture corpus (collisions only blur the models — quality degrades
+    gracefully, it doesn't cliff); (c) tiny bucket counts still return
+    exactly k rows deterministically."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from crick_spark.pipeline.sampling import dsir_log_ratios, dsir_resample
+
+    rows = [
+        (1, "physics energy quantum field theory", "sci"),
+        (2, "quantum field equations and energy states", "sci"),
+        (3, "cheap pills buy now click here", "spam"),
+        (4, "click here for cheap deals now", "spam"),
+        (5, "energy states of the quantum field", "sci"),
+        (6, "buy cheap energy pills here now", "spam"),
+        (7, "field theory of quantum energy", "sci"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "kind"])
+    )
+    target = docs.where("kind = 'sci'")
+    B = 64
+
+    def feat(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    got = {
+        r.doc_id: (r.n_tokens, r.log_ratio)
+        for r in dsir_log_ratios(docs, target, n_buckets=B).collect()
+    }
+    src = Counter(feat(t) for _, text, _ in rows for t in text.split())
+    tgt = Counter(
+        feat(t) for _, text, k in rows if k == "sci" for t in text.split()
+    )
+    ts, tt = sum(src.values()), sum(tgt.values())
+
+    def lr(b):
+        return math.log((tgt[b] + 1) / (tt + B)) - math.log(
+            (src[b] + 1) / (ts + B)
+        )
+
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        assert got[doc_id][0] == len(toks)
+        want = round(sum(lr(feat(t)) for t in toks), 6)
+        assert abs(got[doc_id][1] - want) < 1e-9, (doc_id, got[doc_id], want)
+
+    # (b) selection overlap vs raw-token DSIR with collision-free buckets
+    k = 4
+    raw_sel = {r.doc_id for r in dsir_resample(docs, target, k=k).collect()}
+    hashed_sel = {
+        r.doc_id
+        for r in dsir_resample(
+            docs, target, k=k, n_buckets=1 << 16
+        ).collect()
+    }
+    assert len(raw_sel & hashed_sel) >= k - 1, (raw_sel, hashed_sel)
+
+    # (c) tiny table still selects exactly k rows, deterministically
+    tiny1 = sorted(
+        r.doc_id
+        for r in dsir_resample(docs, target, k=k, n_buckets=8).collect()
+    )
+    tiny2 = sorted(
+        r.doc_id
+        for r in dsir_resample(docs, target, k=k, n_buckets=8).collect()
+    )
+    assert tiny1 == tiny2 and len(tiny1) == k
+
+
 def test_bpe_encode_equals_sequential_replay(spark):
     """Rank-priority BPE encoding (merge the lowest-rank adjacent pair
     until none applies) must equal the canonical sequential replay of

@@ -684,27 +684,114 @@ def test_cluster_store_incremental_equals_full_closure(spark, tmp_path):
         ), f"divergence after batch {bid}"
 
 
-def test_cluster_store_snapshot_paths_alternate(spark, tmp_path):
-    """Label snapshots use the A/B double buffer: consecutive folds write
-    alternating paths, so the committed generation is never overwritten
-    in place."""
+def _bucket_files(path: str) -> dict[str, bytes]:
+    """{relative file path: content} for every data file under a
+    per-bucket snapshot directory."""
+    import os
+
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_cluster_store_untouched_buckets_byte_identical(spark, tmp_path):
+    """r8 bucketed snapshots: a fold rewrites ONLY the buckets holding a
+    remapped component's members or a new node; every other bucket's
+    current snapshot files stay the same on-disk files, byte for byte —
+    the rewrite is O(touched buckets), not O(|labels|)."""
     from crick_spark.streaming.cluster_store import ClusterStore
 
-    store = ClusterStore(str(tmp_path / "store"))
-    for bid in range(4):
-        df = spark.createDataFrame(
-            [(bid * 10, bid * 10 + 1)], "id_a long, id_b long"
-        )
-        assert store.fold(df, bid) is True
-    meta = (
-        spark.read.parquet(store._meta)
-        .orderBy("batch_id")
-        .select("path")
-        .toPandas()["path"]
-        .tolist()
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=8)
+    # batch 0: many independent components spread across buckets
+    b0 = [(i, i + 1000) for i in range(0, 40, 2)]
+    assert store.fold(
+        spark.createDataFrame(b0, "id_a long, id_b long"), 0
     )
-    assert meta[0] != meta[1] and meta[0] == meta[2] and meta[1] == meta[3]
-    assert set(meta) == set(store._paths)
+    _, paths0 = store.read_meta(spark)
+    before = {b: _bucket_files(p) for b, p in paths0.items()}
+    # batch 1: one new pair touching a single known node — the only
+    # buckets that may change are those of the remapped component's
+    # members (0, 1000) and of the new node (77777)
+    assert store.fold(
+        spark.createDataFrame([(0, 77777)], "id_a long, id_b long"), 1
+    )
+    _, paths1 = store.read_meta(spark)
+    from pyspark.sql import functions as F
+
+    bkt = lambda n: spark.range(1).select(  # noqa: E731
+        F.pmod(F.xxhash64(F.lit(n).cast("long")), F.lit(8)).cast("int")
+    ).collect()[0][0]
+    may_change = {bkt(0), bkt(1000), bkt(77777)}
+    touched = {b for b in paths1 if paths1[b] != paths0.get(b)}
+    assert touched, "the merge must rewrite at least one bucket"
+    assert touched <= may_change, (touched, may_change)
+    for b, p in paths1.items():
+        if b in touched:
+            continue
+        # untouched buckets: same committed path AND same bytes
+        assert p == paths0[b]
+        assert _bucket_files(p) == before[b], f"bucket {b} rewritten"
+    # labels stay exactly the full closure
+    from crick_spark.pipeline.graph import connected_components
+
+    full = connected_components(
+        spark.createDataFrame(
+            b0 + [(0, 77777)], "id_a long, id_b long"
+        ),
+        src="id_a",
+        dst="id_b",
+    )
+    assert sorted(map(tuple, store.labels(spark).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_cluster_store_meta_commits_last_and_vacuum(spark, tmp_path):
+    """Crash-safety + hygiene of the bucketed layout: a no-op batch
+    commits only a fence sentinel (replays stay fenced, labels
+    unchanged), n_buckets is pinned for the store's lifetime, and
+    vacuum() drops exactly the superseded per-bucket directories while
+    the current resolution still reads whole."""
+    import glob
+
+    import pytest
+
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=4)
+    assert store.fold(
+        spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long"), 0
+    )
+    before = sorted(map(tuple, store.labels(spark).collect()))
+    # within-component pair: no bucket content changes -> sentinel only
+    assert store.fold(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"), 1
+    )
+    assert not store.fold(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"), 1
+    )  # fenced
+    assert sorted(map(tuple, store.labels(spark).collect())) == before
+    # a merge supersedes some bucket generations; vacuum removes them
+    assert store.fold(
+        spark.createDataFrame([(2, 3)], "id_a long, id_b long"), 2
+    )
+    n_dirs_before = len(glob.glob(str(tmp_path / "store/labels/gen_*/bucket=*")))
+    removed = store.vacuum(spark)
+    assert removed > 0
+    _, current = store.read_meta(spark)
+    assert len(glob.glob(str(tmp_path / "store/labels/gen_*/bucket=*"))) == (
+        n_dirs_before - removed
+    )
+    got = sorted(map(tuple, store.labels(spark).collect()))
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1)]
+    with pytest.raises(ValueError, match="n_buckets"):
+        ClusterStore(str(tmp_path / "store"), n_buckets=8).read_meta(spark)
 
 
 def test_streaming_clusters_equal_batch_closure(spark, tmp_path):

@@ -76,6 +76,9 @@ PROBES = [
     ("incremental_dedup_clusters", "documents"),  # batch-folded label store
     ("containment_ngram_pairs_documents", "documents"),  # asymmetric containment
     ("pca_embeddings_variance", "embeddings"),   # distributed covariance + eigh
+    # round-8
+    ("dsir_select_hashed_documents", "documents"),  # O(buckets) DSIR models
+    ("repeated_substring_spans_documents", "documents"),  # 1-pass window census
 ]
 
 
