@@ -179,6 +179,9 @@ R4_EXTRA = [
     # round-8: hashed-feature DSIR (the O(buckets)-model production
     # shape; its selected-set oracle runs in the correctness harness)
     "dsir_select_hashed_documents",
+    # round-8: closed-form NB quality/domain classifier (train = two
+    # hash aggregates, score = one posting join; fully value-oracled)
+    "nb_classify_lang_documents",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew
@@ -190,7 +193,10 @@ R4_EXTRA = [
 # plus ~29 s of NEW r7 queries (span removal 9.4, curation v3 10.4,
 # KN 4.1, buckets 3.0, DSIR 1.8) — growth from inventory, not
 # regression; regressions show as the boolean flipping at a stable
-# inventory.
+# inventory.  r8 keeps 175 despite +2 new queries (~4 s): the round's
+# real savings (span detection 17.5 -> ~2.5, streaming trio ~27.5 ->
+# ~18) cover them with margin — final r8 calibration measured 160.3 s
+# with 1.3% steal; read the boolean together with host_steal_pct.
 EXTRA_BUDGET_SEC = 175.0
 
 

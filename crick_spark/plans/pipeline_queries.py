@@ -3638,3 +3638,69 @@ def seeded_shuffle_shards_documents(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return seeded_shuffle_shards(docs, n_shards=8, seed="epoch0")
+
+
+@register(
+    "nb_classify_lang_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+raw AS (SELECT doc_id, lang, unnest(ws) AS t FROM wrd),
+tr AS (SELECT lang AS label, t AS tok FROM raw WHERE doc_id % 2 = 0),
+cnt AS (SELECT label, tok, count(*) AS c FROM tr GROUP BY label, tok),
+tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS t_c FROM cnt GROUP BY label),
+voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM cnt),
+dc AS (SELECT lang AS label, count(*) AS n_docs
+       FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+na AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_all FROM dc),
+stats AS (
+  SELECT dc.label, ln(dc.n_docs / na.n_all) AS log_prior,
+         ln(1.0 / (tot.t_c + voc.v)) AS log_default
+  FROM dc CROSS JOIN na JOIN tot ON dc.label = tot.label CROSS JOIN voc
+),
+lik AS (
+  SELECT cnt.label, cnt.tok, ln((cnt.c + 1) / (tot.t_c + voc.v)) AS log_lik
+  FROM cnt JOIN tot ON cnt.label = tot.label CROSS JOIN voc
+),
+sc AS (
+  SELECT r.doc_id, s.label,
+         any_value(s.log_prior)
+           + sum(coalesce(l.log_lik, s.log_default)) AS score
+  FROM raw r CROSS JOIN stats s
+  LEFT JOIN lik l ON l.label = s.label AND l.tok = r.t
+  WHERE r.doc_id % 2 = 1
+  GROUP BY r.doc_id, s.label
+)
+SELECT doc_id, predicted, log_posterior FROM (
+  SELECT doc_id, label AS predicted, round(score, 6) AS log_posterior,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rk
+  FROM sc
+) WHERE rk = 1
+""",
+    doc="Multinomial Naive Bayes text classifier (r8) - the "
+    "fastText-classifier role of LLM curation (quality/domain "
+    "classifiers trained on seed docs, corpus scored and bucketed by "
+    "predicted class), in closed form: train = two hash aggregates "
+    "(per-(class, token) census + class totals over the even-doc_id "
+    "half), score = one posting left-join against the model with "
+    "class-default smoothing for unseen (token, class) pairs, per-doc "
+    "argmax (tie-break score desc, label asc) over the odd-doc_id "
+    "half.  Add-1 smoothing over the union training vocabulary; model "
+    "is O(|vocab| x |classes|) rows (n_buckets= hashes features for a "
+    "fixed-size model at 100 TB, same trick as DSIR).  FULLY "
+    "value-oracled per held-out doc: predicted class AND rounded log "
+    "posterior hash-match DuckDB.",
+)
+def nb_classify_lang_documents(spark, sf_dir):
+    from crick_spark.pipeline.classify import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    held = docs.where(F.col("doc_id") % 2 == 1)
+    lik, stats = nb_train(train, label_col="lang")
+    return nb_score(held, lik, stats)

@@ -1946,3 +1946,72 @@ def test_remove_repeated_spans_lead_window_family(spark):
     }
     assert cleaned[1] == (rows[0][1], 0)  # first occurrence survives
     assert cleaned[2] == ("", 20)  # the longer absorbed span is cut whole
+
+
+def test_nb_classifier_matches_reference_and_separates(spark):
+    """Multinomial NB (r8): (a) log posteriors equal a from-scratch
+    add-1 NB reference on a corpus with separable classes; (b) the
+    argmax recovers the true class on held-out docs drawn from the same
+    token distributions; (c) the n_buckets hashed-feature variant stays
+    self-consistent (same winner on collision-free buckets)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from crick_spark.pipeline.classify import nb_score, nb_train
+
+    train_rows = [
+        (0, "physics energy quantum field theory", "sci"),
+        (2, "quantum field equations and energy states", "sci"),
+        (4, "energy states of the quantum field theory", "sci"),
+        (6, "cheap pills buy now click here", "spam"),
+        (8, "click here for cheap deals now", "spam"),
+    ]
+    held_rows = [
+        (1, "quantum theory of the energy field", "sci"),
+        (3, "buy cheap pills here now", "spam"),
+    ]
+    train = spark.createDataFrame(
+        pd.DataFrame(train_rows, columns=["doc_id", "text", "kind"])
+    )
+    held = spark.createDataFrame(
+        pd.DataFrame(held_rows, columns=["doc_id", "text", "kind"])
+    )
+    lik, stats = nb_train(train, label_col="kind")
+    got = {
+        r.doc_id: (r.predicted, r.log_posterior)
+        for r in nb_score(held, lik, stats).collect()
+    }
+
+    cnt: dict = {}
+    docs_per = Counter()
+    for _, text, k in train_rows:
+        docs_per[k] += 1
+        for t in text.split():
+            cnt.setdefault(k, Counter())[t] += 1
+    vocab = {t for c in cnt.values() for t in c}
+    v = float(len(vocab))
+    n_all = sum(docs_per.values())
+
+    def score(text, k):
+        t_c = sum(cnt[k].values())
+        s = math.log(docs_per[k] / n_all)
+        for t in text.split():
+            s += math.log((cnt[k].get(t, 0) + 1) / (t_c + v))
+        return s
+
+    for doc_id, text, true_k in held_rows:
+        want = {k: score(text, k) for k in cnt}
+        best = max(want, key=lambda k: (want[k], k))
+        assert got[doc_id][0] == best == true_k
+        assert abs(got[doc_id][1] - round(want[best], 6)) < 1e-9
+
+    # hashed features, collision-free bucket count: same winners
+    B = 1 << 16
+    lik_h, stats_h = nb_train(train, label_col="kind", n_buckets=B)
+    got_h = {
+        r.doc_id: r.predicted
+        for r in nb_score(held, lik_h, stats_h, n_buckets=B).collect()
+    }
+    assert got_h == {d: k for d, (k, _) in got.items()}

@@ -37,7 +37,16 @@ def test_gate_window_family_coverage():
     assert {"dedup_exact_documents", "jaccard_ngram_dup_pairs"} <= w
     assert {"asof_join_events_orders", "range_join_event_pairs"} <= w
     assert "streaming_hourly_rollup" in w
-    assert {"spacesaving_weighted_topk_parts", "moments_persist_roundtrip"} <= w
+    # r8 rotation: weighted SS / weighted moments forms moved outside
+    # (still oracle-checked), their slots carry the r8 gates; each
+    # sketch family keeps at least one persistence + one exact-regime
+    # representative in-window
+    assert {"spacesaving_persist_roundtrip", "moments_persist_roundtrip"} <= w
+    assert {
+        "dsir_select_hashed_documents",
+        "knn_graph_recall_panel",
+        "repeated_span_removal_documents",
+    } <= w
 
 
 def test_bench_previous_times_scavenges_truncated_capture(tmp_path, monkeypatch):

@@ -79,6 +79,7 @@ PROBES = [
     # round-8
     ("dsir_select_hashed_documents", "documents"),  # O(buckets) DSIR models
     ("repeated_substring_spans_documents", "documents"),  # 1-pass window census
+    ("nb_classify_lang_documents", "documents"),  # closed-form NB classifier
 ]
 
 
