@@ -1303,3 +1303,99 @@ def ivf_bulk_topk_from_layout(
         cand, queries, corpus_vecs, k, query_id_col, id_col, vec_col, True
     )
     return (out, probed) if return_probed else out
+
+
+def ivfpq_bulk_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN (r8) — the FAISS billion-vector workhorse
+    assembled from this repo's two halves: the IVF coarse quantizer
+    restricts each query to its ``nprobe`` probed clusters (at 100 TB
+    the cluster is the write-time partition layout, so unprobed files
+    never open — ``write_ivf_layout``), and WITHIN the probed clusters
+    candidates are ranked by PQ asymmetric-distance lookups against
+    m·log2(ksub)-bit codes instead of full vectors (the 32× scan-byte
+    reduction of ``pq_topk``, non-residual variant — codes quantize the
+    normalized vectors themselves, FAISS's by_residual=false).  The top
+    ``rerank_factor·k`` ADC candidates per query are exact-reranked
+    with full-precision cosine, so approximation cost is bounded by
+    the pool and measured by the recall gate.
+
+    Per-query LUTs (m × ksub subspace dot products) are built
+    driver-side from the query PANEL — panel-bounded metadata, shipped
+    in the task closure exactly like the codebooks — so ADC scoring is
+    one Arrow kernel over (query_id, codes) with no per-row query
+    vectors.  Inherits ``_bulk_rerank``'s dropped-query contract."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    B = codebooks.astype(np.float64)
+    m, ksub, dsub = B.shape
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+    np_ = int(nprobe)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cn.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    # panel-bounded driver collect: one LUT per query (m*ksub doubles)
+    luts = {}
+    for r in queries.select(query_id_col, vec_col).collect():
+        q = np.asarray(r[1], dtype=np.float64)
+        nrm = np.linalg.norm(q)
+        q = q / nrm if nrm > 0 else q
+        luts[r[0]] = np.stack(
+            [B[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+
+    @pandas_udf("double")
+    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy())
+        out = np.empty(len(C))
+        idx = np.arange(m)
+        for qid in qids.unique():
+            mask = (qids == qid).to_numpy()
+            out[mask] = luts[qid][idx[None, :], C[mask]].sum(1)
+        return pd.Series(out)
+
+    query_probes = F.broadcast(
+        queries.select(
+            query_id_col, F.explode(probes(F.col(vec_col))).alias("ivf_cluster")
+        )
+    )
+    indexed = ivf_index(corpus.select(id_col, vec_col), centroids, vec_col)
+    coded = pq_encode(indexed, B, id_col, vec_col).join(
+        indexed.select(id_col, "ivf_cluster"), id_col
+    )
+    scored = query_probes.join(coded, "ivf_cluster").select(
+        query_id_col,
+        id_col,
+        adc(F.col(query_id_col), F.col("codes")).alias("qscore"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qscore"), F.asc(id_col)
+    )
+    pool = (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= int(rerank_factor) * int(k))
+        .select(query_id_col, id_col)
+    )
+    return _bulk_rerank(
+        pool, queries, corpus.select(id_col, vec_col), k,
+        query_id_col, id_col, vec_col, True,
+    )

@@ -1027,3 +1027,86 @@ def bpe_encode(
             "tokens",
         )
     )
+
+
+def unigram_encode(
+    docs,
+    model: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """APPLY step of the unigram LM: tokenize every document with a
+    trained piece table (``unigram_lm_train``'s output) by Viterbi
+    segmentation — the encode half of the SECOND tokenizer family,
+    completing its train→encode loop exactly as ``bpe_encode`` does for
+    BPE.
+
+    Each word takes its maximum-likelihood segmentation under the piece
+    log-probs (same ``_viterbi`` kernel as training's E-step, so encode
+    is byte-consistent with what EM optimized; deterministic tie-break
+    keeps the shortest-piece path).  Out-of-vocabulary CHARACTERS
+    (impossible when encoding the training corpus — single chars are
+    seeded unconditionally — but possible on held-out text) fall back
+    to single-char pieces so every word still segments losslessly.
+
+    The corpus is never encoded row by row: the DISTINCT word table
+    (Heaps-law ≪ corpus) is encoded once in an Arrow-batched kernel
+    with the vocab-sized piece table in the closure, then docs rebuild
+    their token sequences positionally (posexplode → join → flatten) —
+    the identical plan shape as ``bpe_encode``.
+
+    Emits (id, n_words, n_tokens, tokens array<string>); empty docs
+    emit empty arrays.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    logp = dict(model)
+    max_len = max((len(p) for p in logp), default=1)
+
+    def encode_word(word: str) -> list[str]:
+        lp = logp
+        if any(c not in lp for c in word):
+            # held-out chars: extend the table with a floor prob so the
+            # DP still covers every position (lossless fallback)
+            floor = min(lp.values(), default=0.0) - 1.0
+            lp = dict(lp)
+            for c in word:
+                lp.setdefault(c, floor)
+        pieces, _ = _viterbi(word, lp, max_len)
+        return pieces
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(words: pd.Series) -> pd.Series:
+        return words.map(encode_word)
+
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            lower_tokens_expr(F.col(text_col))
+        ).alias("__pos__", "__w__"),
+    )
+    vocab = wpos.select("__w__").where(F.col("__w__").isNotNull()).distinct()
+    encoded = vocab.withColumn("__toks__", encode(F.col("__w__")))
+    joined = wpos.join(encoded, "__w__", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_compact(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos__"), F.col("__toks__"))
+                        )
+                    ).getField("__toks__")
+                )
+            ).alias("tokens"),
+            F.count(F.col("__w__")).alias("n_words"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+        )
+    )

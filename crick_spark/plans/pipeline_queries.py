@@ -3704,3 +3704,127 @@ def nb_classify_lang_documents(spark, sf_dir):
     held = docs.where(F.col("doc_id") % 2 == 1)
     lik, stats = nb_train(train, label_col="lang")
     return nb_score(held, lik, stats)
+
+
+@register(
+    "unigram_encode_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(lower(text), '')),
+                     '\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS total_words,
+       TRUE AS roundtrip_ok, TRUE AS tokens_le_chars,
+       TRUE AS tokens_ge_words, TRUE AS pieces_in_vocab
+FROM wrd
+""",
+    doc="Unigram-LM ENCODE (r8) - the apply half of the SECOND "
+    "tokenizer family, closing its train->encode loop exactly as "
+    "bpe_encode_documents closes BPE's: the corpus is Viterbi-"
+    "segmented under a unigram_lm_train model (same kernel the E-step "
+    "optimized, deterministic tie-breaks).  The DISTINCT word table "
+    "is encoded once in an Arrow kernel (Heaps-bounded; piece table "
+    "in the closure), docs rebuild token sequences positionally.  "
+    "Oracle: n_docs and total_words value-matched vs SQL, plus "
+    "hash-matched booleans - every doc's token concatenation rebuilds "
+    "its lowercased words exactly (lossless), total tokens <= total "
+    "chars (multi-char pieces fired) and >= total words (no cross-"
+    "word merging), and every emitted piece is in the trained "
+    "vocabulary (no unk fallback fired on the training corpus - "
+    "single-char coverage is the trainer's guarantee).",
+)
+def unigram_encode_documents(spark, sf_dir):
+    from crick_spark.pipeline.text import (
+        lower_tokens_expr,
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram_lm_train(
+        docs, vocab_size=200, seed_size=1000, em_rounds=2
+    )
+    pieces = {p for p, _ in model}
+    enc = unigram_encode(docs, model)
+    ref = docs.select(
+        "doc_id",
+        F.array_join(lower_tokens_expr(F.col("text")), "").alias("__wj__"),
+    )
+    vocab_arr = F.array(*[F.lit(p) for p in sorted(pieces)])
+    return (
+        enc.join(ref, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.bool_and(
+                F.array_join("tokens", "") == F.col("__wj__")
+            ).alias("roundtrip_ok"),
+            (F.sum("n_tokens") <= F.sum(F.length("__wj__"))).alias(
+                "tokens_le_chars"
+            ),
+            (F.sum("n_tokens") >= F.sum("n_words")).alias("tokens_ge_words"),
+            F.bool_and(
+                F.forall(
+                    "tokens", lambda t: F.array_contains(vocab_arr, t)
+                )
+            ).alias("pieces_in_vocab"),
+        )
+    )
+
+
+@register(
+    "knn_ivfpq_bulk_recall",
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
+""",
+    doc="IVF-PQ composite ANN quality gate (r8) - the FAISS billion-"
+    "vector workhorse assembled from the repo's two halves: IVF coarse "
+    "quantizer prunes to nprobe probed clusters (the write-time "
+    "partition layout at 100 TB), PQ asymmetric-distance lookups rank "
+    "candidates inside them reading m*log2(ksub) BITS per vector, "
+    "exact cosine rerank bounds the approximation.  Hash-matched "
+    "booleans vs bulk exact top-10: per-query recall >= 0.3 and panel "
+    "average >= 0.55 (two stacked approximations - cluster pruning "
+    "AND code quantization - so margins sit under the single-"
+    "approximation gates' 0.5/0.7; measured well above at this "
+    "setting).",
+)
+def knn_ivfpq_bulk_recall(spark, sf_dir):
+    from crick_spark.pipeline.similarity import (
+        ivfpq_bulk_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, k=16, n_iter=5)
+    books = train_pq_codebooks(emb, m=16, ksub=16)
+    exact = bulk_cosine_topk(queries, emb, k=10).select("query_id", "vec_id")
+    ann = ivfpq_bulk_topk(
+        queries, emb, cents, books, k=10, nprobe=6, rerank_factor=4
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / 10.0).alias("recall"))
+    )
+    panel = queries.select("query_id")
+    full = panel.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+    per_query = full.select(
+        "query_id", (F.col("recall") >= 0.3).alias("recall_ok")
+    )
+    overall = full.agg(
+        F.lit(-1).cast("bigint").alias("query_id"),
+        (F.avg("recall") >= 0.55).alias("recall_ok"),
+    )
+    return per_query.unionByName(overall)

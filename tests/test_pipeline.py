@@ -2015,3 +2015,101 @@ def test_nb_classifier_matches_reference_and_separates(spark):
         for r in nb_score(held, lik_h, stats_h, n_buckets=B).collect()
     }
     assert got_h == {d: k for d, (k, _) in got.items()}
+
+
+def test_unigram_encode_optimal_lossless_and_oov(spark):
+    """Unigram ENCODE (r8): (a) each word's segmentation is the
+    maximum-likelihood one (checked against brute-force enumeration of
+    ALL segmentations on short words); (b) token concatenation rebuilds
+    every word (lossless); (c) characters outside the trained vocab
+    fall back to single-char pieces instead of failing."""
+    import itertools
+    import math
+
+    import pandas as pd
+
+    from crick_spark.pipeline.text import unigram_encode
+
+    model = [
+        ("ab", math.log(0.30)),
+        ("abc", math.log(0.25)),
+        ("c", math.log(0.15)),
+        ("a", math.log(0.12)),
+        ("b", math.log(0.10)),
+        ("d", math.log(0.08)),
+    ]
+    logp = dict(model)
+    rows = [(1, "abc abcd ab"), (2, "abab"), (3, "xa")]  # x is OOV
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got = {
+        r.doc_id: list(r.tokens) for r in unigram_encode(docs, model).collect()
+    }
+
+    def all_segs(word):
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for i, c in enumerate(cuts, 1):
+                if c:
+                    pieces.append(word[start:i])
+                    start = i
+            pieces.append(word[start:])
+            yield pieces
+
+    def best_score(word):
+        scores = [
+            sum(logp[p] for p in seg)
+            for seg in all_segs(word)
+            if all(p in logp for p in seg)
+        ]
+        return max(scores) if scores else None
+
+    # (a)+(b) per word of docs 1-2
+    for doc_id, text in rows[:2]:
+        toks, out = text.split(), got[doc_id]
+        rebuilt, i = [], 0
+        for w in toks:
+            acc = []
+            while "".join(acc) != w:
+                acc.append(out[i]); i += 1
+            rebuilt.append("".join(acc))
+            ws = best_score(w)
+            assert abs(sum(logp[p] for p in acc) - ws) < 1e-12, (w, acc)
+        assert rebuilt == toks and i == len(out)
+    # (c) OOV char: lossless single-char fallback
+    assert "".join(got[3]) == "xa" and "x" in got[3]
+
+
+def test_ivfpq_equals_ivf_when_pool_unbounded(spark):
+    """IVF-PQ sanity (r8): PQ only REORDERS the candidate shortlist —
+    with an unbounded rerank pool (rerank_factor*k >= every candidate in
+    the probed clusters) the exact rerank sees the identical candidate
+    set as plain IVF, so the results must be byte-identical.  Recall
+    loss in production settings can therefore come only from the
+    ADC-ranked pool cutoff, which the registered gate measures."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivfpq_bulk_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, k=8)
+    books = train_pq_codebooks(emb, m=16, ksub=16)
+    ivf = ivf_bulk_topk(queries, emb, cents, k=5, nprobe=2)
+    ivfpq = ivfpq_bulk_topk(
+        queries, emb, cents, books, k=5, nprobe=2, rerank_factor=10_000
+    )
+    a = sorted(map(tuple, ivf.collect()))
+    b = sorted(map(tuple, ivfpq.collect()))
+    assert a == b and len(a) > 0
