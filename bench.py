@@ -290,6 +290,8 @@ PREFLIGHT_SKIP_SUBSTR = (
     "repeated_substring",
     "repeated_span",
     "curation_pipeline_v3",
+    # r8: v4 localCheckpoints its classifier-filtered pool the same way
+    "curation_pipeline_v4",
     "tdigest_rollup",
 )
 

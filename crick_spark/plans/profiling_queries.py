@@ -536,3 +536,161 @@ def curation_pipeline_v3(spark, sf_dir):
             F.sum(F.coalesce(F.col("__sel__"), F.lit(0))).alias("n_selected"),
         )
     )
+
+
+@register(
+    "curation_pipeline_v4",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE text IS NOT NULL
+),
+wrd AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM base
+),
+raw AS (SELECT doc_id, lang, source, unnest(ws) AS t FROM wrd),
+-- stage 1: NB classifier trained on the even half (label = lang)
+tr AS (SELECT lang AS label, t AS tok FROM raw WHERE doc_id % 2 = 0),
+cnt AS (SELECT label, tok, count(*) AS c FROM tr GROUP BY label, tok),
+tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS t_c FROM cnt GROUP BY label),
+voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM cnt),
+dc AS (SELECT lang AS label, count(*) AS n_docs
+       FROM base WHERE doc_id % 2 = 0 GROUP BY lang),
+na AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_all FROM dc),
+stats AS (
+  SELECT dc.label, ln(dc.n_docs / na.n_all) AS log_prior,
+         ln(1.0 / (tot.t_c + voc.v)) AS log_default
+  FROM dc CROSS JOIN na JOIN tot ON dc.label = tot.label CROSS JOIN voc
+),
+lik AS (
+  SELECT cnt.label, cnt.tok, ln((cnt.c + 1) / (tot.t_c + voc.v)) AS log_lik
+  FROM cnt JOIN tot ON cnt.label = tot.label CROSS JOIN voc
+),
+sc AS (
+  SELECT r.doc_id, s.label,
+         any_value(s.log_prior)
+           + sum(coalesce(l.log_lik, s.log_default)) AS score
+  FROM raw r CROSS JOIN stats s
+  LEFT JOIN lik l ON l.label = s.label AND l.tok = r.t
+  WHERE r.doc_id % 2 = 1
+  GROUP BY r.doc_id, s.label
+),
+pred AS (
+  SELECT doc_id, label AS predicted FROM (
+    SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, label ASC) AS rk FROM sc
+  ) WHERE rk = 1
+),
+pool AS (
+  SELECT b.doc_id, b.source FROM base b JOIN pred USING (doc_id)
+  WHERE pred.predicted = 'en'
+),
+-- stage 2: hashed-feature DSIR from the classifier-passed pool toward
+-- the even half's true-en seed corpus (512 buckets, V = 512)
+ptok AS (
+  SELECT r.doc_id,
+         ('0x' || substr(md5(r.t), 1, 8))::BIGINT % 512 AS tok
+  FROM raw r JOIN pool USING (doc_id)
+),
+ttok AS (
+  SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS tok
+  FROM raw WHERE doc_id % 2 = 0 AND lang = 'en'
+),
+src_cnt AS (SELECT tok, count(*) AS c_src FROM ptok GROUP BY tok),
+tgt_cnt AS (SELECT tok, count(*) AS c_tgt FROM ttok GROUP BY tok),
+vocab2 AS (
+  SELECT v.tok, coalesce(s.c_src, 0) AS c_src, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM (SELECT tok FROM src_cnt UNION SELECT tok FROM tgt_cnt) v
+  LEFT JOIN src_cnt s USING (tok) LEFT JOIN tgt_cnt t USING (tok)
+),
+tot2 AS (SELECT CAST(sum(c_src) AS DOUBLE) AS t_src,
+                CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+                512.0 AS v FROM vocab2),
+lr AS (
+  SELECT ptok.doc_id, sum(ln((c_tgt + 1) / (t_tgt + v))
+                        - ln((c_src + 1) / (t_src + v))) AS log_ratio
+  FROM ptok JOIN vocab2 USING (tok) CROSS JOIN tot2
+  GROUP BY ptok.doc_id
+),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT lr.*, row_number() OVER (ORDER BY
+      log_ratio - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                          + 0.5) / 16777216.0)) DESC, doc_id) AS rk
+    FROM lr
+  ) WHERE rk <= 50
+)
+SELECT p.source,
+       count(*) AS n_pool,
+       CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       TRUE AS roundtrip_ok
+FROM pool p LEFT JOIN sel USING (doc_id)
+GROUP BY p.source
+""",
+    doc="Curation funnel v4 (r8) - the round's new operators composed "
+    "end-to-end, per source: the closed-form NB classifier (trained on "
+    "the even-doc_id half, label = lang) FILTERS the held-out half to "
+    "docs it predicts 'en' (the fastText-classifier stage of a real "
+    "pipeline); hashed-feature DSIR (512 buckets) importance-resamples "
+    "50 of them toward the even half's true-en seed corpus; the "
+    "selected docs are TOKENIZED by the unigram-LM Viterbi encoder "
+    "(model trained on the seed corpus).  Value-oracled through "
+    "selection: per-source pool and selected counts hash-match a "
+    "DuckDB replay of classifier + resampler (every stage "
+    "deterministic); the encode stage is boolean-gated in the same "
+    "row (every selected doc's token stream rebuilds its lowercased "
+    "words exactly - iterative EM training itself has no SQL analog).  "
+    "Classifier-filter -> importance-resample -> tokenize is the order "
+    "real LLM data pipelines run.",
+)
+def curation_pipeline_v4(spark, sf_dir):
+    from crick_spark.pipeline.classify import nb_score, nb_train
+    from crick_spark.pipeline.sampling import dsir_resample
+    from crick_spark.pipeline.text import (
+        lower_tokens_expr,
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text", "lang", "source")
+    )
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    held = docs.where(F.col("doc_id") % 2 == 1)
+    lik, stats = nb_train(train, label_col="lang")
+    pred = nb_score(held, lik, stats)
+    pool = held.join(
+        pred.where(F.col("predicted") == "en").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)  # feeds DSIR censuses + final rollup
+    seed = train.where(F.col("lang") == "en")
+    sel = dsir_resample(pool, seed, k=50, n_buckets=512).select("doc_id")
+    model = unigram_lm_train(seed, vocab_size=200, seed_size=1000, em_rounds=2)
+    enc = unigram_encode(pool.join(sel, "doc_id"), model)
+    ref = pool.select(
+        "doc_id",
+        F.array_join(lower_tokens_expr(F.col("text")), "").alias("__wj__"),
+    )
+    rt = enc.join(ref, "doc_id").agg(
+        F.bool_and(F.array_join("tokens", "") == F.col("__wj__")).alias(
+            "__rt__"
+        )
+    )
+    return (
+        pool.join(sel.select("doc_id", F.lit(1).alias("__s__")), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pool"),
+            F.sum(F.coalesce(F.col("__s__"), F.lit(0)))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "source", "n_pool", "n_selected", F.col("__rt__").alias("roundtrip_ok")
+        )
+    )

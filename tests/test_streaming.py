@@ -831,3 +831,77 @@ def test_streaming_clusters_equal_batch_closure(spark, tmp_path):
     got_rows = sorted(map(tuple, labels.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_cluster_store_random_fold_sequences_equal_closure(spark, tmp_path):
+    """Property (hypothesis): for RANDOM edge sets randomly partitioned
+    into batches — merges, re-merges, no-op duplicate pairs, singleton
+    extensions in arbitrary order — folding batch-wise into the bucketed
+    ClusterStore yields exactly the min-label closure of the union, and
+    the store's labels carry NO stale nodes.  Fixed-example suites pin
+    chosen shapes; this pins the algebra."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    def reference(pairs):
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {n for p in pairs for n in p}
+        return sorted((n, find(n)) for n in nodes)
+
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=24),
+                st.integers(min_value=0, max_value=24),
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=16,
+        ),
+        cut_seed=st.integers(min_value=0, max_value=1_000_000),
+    )
+    def check(edges, cut_seed):
+        import random
+
+        rng = random.Random(cut_seed)
+        n_batches = rng.randint(1, 4)
+        batches: list[list] = [[] for _ in range(n_batches)]
+        for e in edges:
+            batches[rng.randrange(n_batches)].append(e)
+        counter[0] += 1
+        store = ClusterStore(
+            str(tmp_path / f"store_{counter[0]}"), n_buckets=4
+        )
+        folded = 0
+        for bid, batch in enumerate(batches):
+            if not batch:
+                continue
+            df = spark.createDataFrame(batch, "id_a long, id_b long")
+            assert store.fold(df, bid) is True
+            folded += 1
+        if not folded:
+            return
+        got = sorted(map(tuple, store.labels(spark).collect()))
+        assert got == reference(edges)
+
+    check()
