@@ -845,8 +845,21 @@ def repeated_window_spans(
     exactly what partial aggregation absorbs — each mapper emits one
     (hash, count) row however often the window repeats in its split.
     """
-    from pyspark.sql import Window
+    wins = _window_hash_rows(docs, id_col, text_col, window_words)
+    # one corpus pass: both consumers (census + semi-join probe) read the
+    # materialized hash relation, not a re-execution of the explode
+    wins = wins.localCheckpoint(eager=True)
+    census = wins.groupBy("wh").agg(F.count("*").alias("occ"))
+    dup = wins.join(
+        census.where(F.col("occ") > 1).select("wh"), "wh", "left_semi"
+    )
+    return _starts_to_spans(dup, id_col, window_words)
 
+
+def _window_hash_rows(docs, id_col, text_col, window_words):
+    """(id, start, wh) — every rolling ``window_words``-word window of
+    every doc as a 16-byte md5, 1-based starts; the window TEXT never
+    leaves its row (sequence + slice + concat_ws + md5, codegen)."""
     L = int(window_words)
     from crick_spark.functions.skew import ensure_scan_parallelism
 
@@ -857,22 +870,24 @@ def repeated_window_spans(
         F.sequence(F.lit(1), n_win),
         lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, L))),
     )
-    wins = docs.where(n_win >= 1).select(
+    return docs.where(n_win >= 1).select(
         F.col(id_col), F.posexplode(win_hashes).alias("pos0", "wh")
     ).select(id_col, (F.col("pos0") + 1).alias("start"), "wh")
-    # one corpus pass: both consumers (census + semi-join probe) read the
-    # materialized hash relation, not a re-execution of the explode
-    wins = wins.localCheckpoint(eager=True)
-    census = wins.groupBy("wh").agg(F.count("*").alias("occ"))
-    dup = wins.join(
-        census.where(F.col("occ") > 1).select("wh"), "wh", "left_semi"
-    )
+
+
+def _starts_to_spans(hits, id_col, window_words):
+    """Gaps-and-islands merge of flagged window STARTS into maximal
+    spans, partitioned BY DOC (never a global sort).  Emits
+    (id, span_start, span_end, n_windows, lead_wh)."""
+    from pyspark.sql import Window
+
+    L = int(window_words)
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    flagged = dup.select(
+    flagged = hits.select(
         id_col,
         "start",
         "wh",
@@ -901,6 +916,42 @@ def repeated_window_spans(
         F.count("*").alias("n_windows"),
         F.min_by("wh", "start").alias("lead_wh"),
     ).select(id_col, "span_start", "span_end", "n_windows", "lead_wh")
+
+
+def contaminated_window_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 10,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Maximal TRAIN-corpus spans whose every ``window_words``-word
+    rolling window also occurs in the EVAL corpus — span-level
+    benchmark decontamination (the minimal-span refinement of
+    whole-doc n-gram decontamination: drop the contaminated PASSAGE,
+    keep the document).  Cross-corpus twin of
+    ``repeated_window_spans``: the census over train windows is
+    replaced by a semi-join against the eval corpus's DISTINCT window
+    hashes, everything else (rolling md5 windows, gaps-and-islands
+    maximal-span merge per doc) is the same machinery.  Removal is
+    ``remove_repeated_spans(docs, spans, keep_first=False)`` — every
+    contaminated occurrence is cut; there is no family to keep.
+
+    Scale shape: one tokenize+hash pass per corpus, the eval window set
+    is |eval windows| distinct 16-byte hashes (eval corpora are small —
+    benchmarks), one hash semi-join, a per-doc window.  No checkpoint:
+    the train window relation has a single consumer here."""
+    wins = _window_hash_rows(docs, id_col, text_col, window_words)
+    ev = _window_hash_rows(
+        eval_docs,
+        eval_id_col or id_col,
+        eval_text_col or text_col,
+        window_words,
+    ).select("wh").distinct()
+    hit = wins.join(ev, "wh", "left_semi")
+    return _starts_to_spans(hit, id_col, window_words)
 
 
 def repeated_window_stats(

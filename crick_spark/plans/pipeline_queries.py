@@ -3828,3 +3828,84 @@ def knn_ivfpq_bulk_recall(spark, sf_dir):
         (F.avg("recall") >= 0.55).alias("recall_ok"),
     )
     return per_query.unionByName(overall)
+
+
+@register(
+    "decontaminate_spans_documents",
+    oracle=r"""
+WITH wrd AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+win AS (
+  SELECT doc_id, i AS s, array_to_string(ws[i:i+9], ' ') AS w
+  FROM wrd, unnest(generate_series(1, len(ws) - 9)) AS t(i)
+  WHERE len(ws) >= 10
+),
+ev AS (SELECT DISTINCT w FROM win WHERE doc_id % 10 = 0),
+hit AS (
+  SELECT win.doc_id, win.s FROM win JOIN ev USING (w)
+  WHERE win.doc_id % 10 <> 0
+),
+flag AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS ni
+  FROM hit
+),
+isl AS (
+  SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flag
+),
+cut AS (
+  SELECT doc_id, min(s) AS ss, max(s) + 9 AS se FROM isl GROUP BY doc_id, g
+),
+cutlists AS (
+  SELECT doc_id, list({'s': ss, 'e': se}) AS sp FROM cut GROUP BY doc_id
+)
+SELECT w.doc_id,
+       md5(coalesce(array_to_string(list_transform(
+         list_filter(generate_series(1, len(w.ws)),
+           p -> len(list_filter(coalesce(c.sp, []),
+                    x -> p >= x.s AND p <= x.e)) = 0),
+         p -> w.ws[p]), ' '), '')) AS cleaned_md5,
+       CAST(coalesce((SELECT sum(se - ss + 1) FROM cut
+                      WHERE cut.doc_id = w.doc_id), 0) AS INT)
+         AS n_words_removed
+FROM wrd w LEFT JOIN cutlists c USING (doc_id)
+WHERE w.doc_id % 10 <> 0
+""",
+    doc="Span-level benchmark DECONTAMINATION (r8) - the minimal-span "
+    "refinement of whole-doc n-gram decontamination: every maximal "
+    "train-corpus span whose rolling 10-word windows all occur in the "
+    "EVAL corpus (here the doc_id%10==0 subset standing in for a "
+    "benchmark) is CUT from the training text, keeping the document - "
+    "the Lee et al. remove-the-bytes transform pointed across corpora "
+    "instead of at self-repeats.  Same machinery as "
+    "repeated_substring_spans (rolling md5 windows, gaps-and-islands "
+    "maximal spans) with the census swapped for a semi-join against "
+    "the eval corpus's distinct window hashes - eval window sets are "
+    "benchmark-sized, so the join side is small by construction.  "
+    "FULLY value-oracled: the md5 of every train doc's REBUILT text "
+    "and its removed-word count hash-match DuckDB.",
+)
+def decontaminate_spans_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import (
+        contaminated_window_spans,
+        remove_repeated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    evald = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    spans = contaminated_window_spans(train, evald, window_words=10)
+    out = remove_repeated_spans(train, spans, keep_first=False)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("cleaned_md5"),
+        F.col("n_words_removed").cast("int").alias("n_words_removed"),
+    )

@@ -2113,3 +2113,46 @@ def test_ivfpq_equals_ivf_when_pool_unbounded(spark):
     a = sorted(map(tuple, ivf.collect()))
     b = sorted(map(tuple, ivfpq.collect()))
     assert a == b and len(a) > 0
+
+
+def test_contaminated_window_spans_cross_corpus(spark):
+    """Span-level decontamination (r8): a train doc sharing a >=10-word
+    passage with the eval corpus loses exactly that passage (maximal
+    span, 1-based positions); self-repeats WITHIN train that never
+    appear in eval are untouched (the cross-corpus semantics that
+    differ from repeated_window_spans)."""
+    import pandas as pd
+
+    from crick_spark.pipeline.dedup import (
+        contaminated_window_spans,
+        remove_repeated_spans,
+    )
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    selfrep = "one two three four five six seven eight nine ten"
+    train_rows = [
+        (1, f"intro words here {bench} closing remarks"),
+        # self-repeated passage, absent from eval: must survive
+        (2, f"{selfrep} {selfrep}"),
+        (3, "completely clean document with enough words to stand alone"),
+    ]
+    eval_rows = [(100, f"benchmark prompt {bench} benchmark answer")]
+    train = spark.createDataFrame(
+        pd.DataFrame(train_rows, columns=["doc_id", "text"])
+    )
+    evald = spark.createDataFrame(
+        pd.DataFrame(eval_rows, columns=["doc_id", "text"])
+    )
+    spans = contaminated_window_spans(train, evald, window_words=10)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    assert got == {(1, 4, 13)}  # the benchmark passage, nothing else
+    # decontamination cuts EVERY contaminated occurrence: keep_first=False
+    cleaned = {
+        r.doc_id: (r.text, r.n_words_removed)
+        for r in remove_repeated_spans(
+            train, spans, keep_first=False
+        ).collect()
+    }
+    assert cleaned[1] == ("intro words here closing remarks", 10)
+    assert cleaned[2] == (train_rows[1][1], 0)
+    assert cleaned[3] == (train_rows[2][1], 0)
