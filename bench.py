@@ -182,6 +182,11 @@ R4_EXTRA = [
     # round-8: closed-form NB quality/domain classifier (train = two
     # hash aggregates, score = one posting join; fully value-oracled)
     "nb_classify_lang_documents",
+    # round-8 second half: span-level benchmark decontamination and the
+    # composed classifier->DSIR->tokenizer funnel (production shapes;
+    # their value oracles run in the correctness harness)
+    "decontaminate_spans_documents",
+    "curation_pipeline_v4",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew
