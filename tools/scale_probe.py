@@ -80,6 +80,8 @@ PROBES = [
     ("dsir_select_hashed_documents", "documents"),  # O(buckets) DSIR models
     ("repeated_substring_spans_documents", "documents"),  # 1-pass window census
     ("nb_classify_lang_documents", "documents"),  # closed-form NB classifier
+    ("decontaminate_spans_documents", "documents"),  # cross-corpus span cut
+    ("curation_pipeline_v4", "documents"),  # classifier->DSIR->tokenize funnel
 ]
 
 
