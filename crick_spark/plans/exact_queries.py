@@ -158,8 +158,13 @@ SELECT """
     + """
 FROM events
 """,
-    doc="Exact linear-interpolation percentiles over events.value; sort-based "
-    "aggregate — for >10⁹-row groups use tdigest_quantiles instead.",
+    doc="EXACT accuracy twin for the t-digest quantile path (the "
+    "production default at scale is tdigest_quantiles_events_value / "
+    "tdigest_quantile_accuracy, crick TDigest.quantile): linear-"
+    "interpolation percentiles whose F.percentile buffer holds every "
+    "value in one reducer — deliberately the test-SF reference form "
+    "that pins exact values for the digest's accuracy gates, not a "
+    "100 TB shape.",
 )
 def percentile_events_value(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -183,7 +188,9 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """,
-    doc="Grouped exact percentiles.",
+    doc="Grouped exact percentiles — EXACT accuracy twin of the grouped "
+    "t-digest path (tdigest_quantiles_by_returnflag); same "
+    "buffer-every-group-value caveat as percentile_events_value.",
 )
 def percentile_quantity_by_returnflag(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")

@@ -180,10 +180,85 @@ def corr_covar_lineitem(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Winsorization: clip at per-group exact percentiles, then re-aggregate
+# Winsorization: clip at per-group t-digest percentiles, then re-aggregate
 # ---------------------------------------------------------------------------
 @register(
     "winsorize_extendedprice",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS cnt,
+       TRUE AS lo_frac_ok,
+       TRUE AS hi_frac_ok,
+       TRUE AS avg_in_edges,
+       TRUE AS std_contracts
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Percentile winsorization (outlier clipping for training "
+    "pipelines), PRODUCTION default (r9): per-group p01/p99 clip edges "
+    "come from the engine's own mergeable t-digest (crick "
+    "tdigest.pyx:144-163) — constant aggregation state per partition at "
+    "any scale — broadcast back, clip JVM-side, re-aggregate.  The r8 "
+    "exact form used F.percentile, whose aggregation buffer holds EVERY "
+    "group value in one reducer: fine at test SF, O(N/groups) "
+    "single-task state at 100 TB; it is retained as the hash-matched "
+    "twin `winsorize_extendedprice_exact` (the "
+    "quantile_binning_extendedprice precedent).  Hash-matched via the "
+    "boolean-tolerance promotion pattern: exact group counts, plus "
+    "per-group booleans that the clip edges cut within the reference's "
+    "CDF tolerance (|cdf(edge) − q| ≤ 0.012, "
+    "crick/tests/test_tdigest.py:99-102), the winsorized mean lies "
+    "inside the edges, and clipping contracts the std (1-Lipschitz "
+    "monotone map ⇒ pairwise distances shrink ⇒ variance cannot grow).",
+)
+def winsorize_extendedprice(spark, sf_dir):
+    from crick_spark.functions.quantiles import empirical_cdf_at
+    from crick_spark.operators import tdigest_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = tdigest_quantiles(
+        li, "l_extendedprice", [0.01, 0.99], by=["l_returnflag"]
+    ).select(
+        "l_returnflag",
+        F.col("p0_01").alias("p01"),
+        F.col("p0_99").alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    )
+    agg = (
+        li.join(F.broadcast(edges), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.any_value("p01").alias("p01"),
+            F.any_value("p99").alias("p99"),
+            empirical_cdf_at(
+                F.col("l_extendedprice"), F.col("p01")
+            ).alias("lo_frac"),
+            empirical_cdf_at(
+                F.col("l_extendedprice"), F.col("p99")
+            ).alias("hi_frac"),
+            F.avg(clipped).alias("avg_w"),
+            F.stddev_samp(clipped).alias("std_w"),
+            F.stddev_samp("l_extendedprice").alias("std_raw"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "cnt",
+        (F.abs(F.col("lo_frac") - 0.01) <= 0.012).alias("lo_frac_ok"),
+        (F.abs(F.col("hi_frac") - 0.99) <= 0.012).alias("hi_frac_ok"),
+        (
+            (F.col("avg_w") >= F.col("p01")) & (F.col("avg_w") <= F.col("p99"))
+        ).alias("avg_in_edges"),
+        (F.col("std_w") <= F.col("std_raw") + F.lit(1e-9)).alias(
+            "std_contracts"
+        ),
+    )
+
+
+@register(
+    "winsorize_extendedprice_exact",
     oracle="""
 WITH p AS (
   SELECT l_returnflag,
@@ -200,12 +275,14 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN p USING (l_returnflag)
 GROUP BY l.l_returnflag
 """,
-    doc="Percentile winsorization (outlier clipping for training "
-    "pipelines): exact per-group p01/p99 (tiny aggregate, broadcast "
-    "back), clip JVM-side, re-aggregate.  Two passes over the fact "
-    "table, no quadratic work.",
+    doc="EXACT accuracy twin of winsorize_extendedprice (full-value "
+    "oracle): per-group p01/p99 via F.percentile.  Deliberately the "
+    "buffer-every-value shape — its aggregation state is O(group size) "
+    "in ONE task, so it pins values at test SF while the t-digest form "
+    "above is the registered production default for 100 TB.  Not in "
+    "bench (bench times production shapes).",
 )
-def winsorize_extendedprice(spark, sf_dir):
+def winsorize_extendedprice_exact(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # ONE array-percentile aggregate: two scalar percentile() calls would
     # each build (and sort) their own full per-group value buffer — the
@@ -1400,6 +1477,70 @@ def copurchase_brand_lift(spark, sf_dir):
 @register(
     "mad_outliers_events",
     oracle="""
+SELECT event_type,
+       count(*) AS n,
+       TRUE AS med_cdf_ok,
+       TRUE AS mad_cdf_ok,
+       TRUE AS outlier_frac_bounded
+FROM events GROUP BY event_type
+""",
+    doc="Robust outlier detection (per-series median + MAD, x1.4826 "
+    "consistency constant, 3-sigma rule), PRODUCTION default (r9): both "
+    "the median and the MAD come from the engine's mergeable t-digest — "
+    "constant aggregation state per partition — broadcast back, flagging "
+    "is codegen; three linear scans, no quadratic work and no "
+    "buffer-every-value reducer.  The r8 exact form (F.percentile per "
+    "group, O(group size) state in one task) is retained as the "
+    "hash-matched twin `mad_outliers_events_exact`.  Hash-matched via "
+    "the boolean-tolerance promotion pattern: exact group counts, the "
+    "median and MAD estimates each cut their distribution within the "
+    "reference's CDF tolerance (|cdf − 0.5| ≤ 0.012, "
+    "crick/tests/test_tdigest.py:99-102), and the flagged fraction obeys "
+    "the MAD bound (3·1.4826·mad ≥ mad ⇒ flagged ≤ 0.5 + tol).",
+)
+def mad_outliers_events(spark, sf_dir):
+    from crick_spark.functions.quantiles import empirical_cdf_at
+    from crick_spark.functions.stats import nan_to_null
+    from crick_spark.operators import tdigest_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", nan_to_null(F.col("value")).alias("value")
+    )
+    med = tdigest_quantiles(ev, "value", [0.5], by=["event_type"]).select(
+        "event_type", F.col("p0_5").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = tdigest_quantiles(
+        dev.select("event_type", "adev"), "adev", [0.5], by=["event_type"]
+    ).select("event_type", F.col("p0_5").alias("mad"))
+    agg = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            empirical_cdf_at(F.col("value"), F.col("med")).alias("med_cdf"),
+            empirical_cdf_at(F.col("adev"), F.col("mad")).alias("mad_cdf"),
+            F.avg(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("double")
+            ).alias("outlier_frac"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("med_cdf") - 0.5) <= 0.012).alias("med_cdf_ok"),
+        (F.abs(F.col("mad_cdf") - 0.5) <= 0.012).alias("mad_cdf_ok"),
+        (F.col("outlier_frac") <= F.lit(0.512)).alias(
+            "outlier_frac_bounded"
+        ),
+    )
+
+
+@register(
+    "mad_outliers_events_exact",
+    oracle="""
 WITH m AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
   FROM events GROUP BY 1
@@ -1420,14 +1561,13 @@ SELECT e.event_type,
 FROM events e JOIN md USING (event_type)
 GROUP BY e.event_type
 """,
-    doc="Robust outlier detection: per-series median + MAD (x1.4826 "
-    "consistency constant, 3-sigma rule), full-value oracle.  Same "
-    "two-tiny-aggregate shape as winsorize: exact per-group medians "
-    "broadcast back twice, flagging is codegen; three linear scans, "
-    "no quadratic work.  At 100 TB swap the exact medians for the "
-    "t-digest path (tdigest_quantiles) unchanged downstream.",
+    doc="EXACT accuracy twin of mad_outliers_events (full-value oracle): "
+    "per-series exact median + MAD via F.percentile — deliberately the "
+    "buffer-every-value shape, pinning exact med/mad/outlier counts at "
+    "test SF while the t-digest form above is the registered production "
+    "default for 100 TB.  Not in bench (bench times production shapes).",
 )
-def mad_outliers_events(spark, sf_dir):
+def mad_outliers_events_exact(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
@@ -1782,6 +1922,92 @@ def chisq_event_type_weekday(spark, sf_dir):
 @register(
     "pareto_revenue_concentration",
     oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_rev,
+       TRUE AS thresholds_monotone,
+       TRUE AS share50_within_tol,
+       TRUE AS share80_within_tol,
+       TRUE AS share95_within_tol,
+       TRUE AS top20_count_within_tol,
+       TRUE AS top20_share_exceeds_count_share
+FROM orders
+""",
+    doc="Pareto concentration analysis (how many top orders carry "
+    "50/80/95% of revenue; revenue share of the top-20% of orders), "
+    "PRODUCTION default (r9): the t-digest CDF value-threshold form.  "
+    "A revenue-WEIGHTED t-digest over o_totalprice (weight = the price "
+    "itself — crick's weighted add, tdigest.pyx:118-142) yields the "
+    "value thresholds where the revenue-weighted CDF hits 0.5/0.2/0.05 "
+    "(= top orders carrying 50/80/95% of revenue); an unweighted digest "
+    "yields the top-20%-by-count threshold.  Counting orders above each "
+    "broadcast threshold is then one codegen scan — NO global sort, NO "
+    "single-partition WindowExec (the r8 shape funnelled every row "
+    "through ONE task; it is retained as the hash-matched twin "
+    "`pareto_revenue_exact`).  Hash-matched via the boolean-tolerance "
+    "promotion pattern: exact count/total, threshold monotonicity "
+    "(wq(0.5) ≥ wq(0.2) ≥ wq(0.05)), each threshold's ACTUAL revenue "
+    "share above it within tolerance of target (the scan re-measures "
+    "the digest's claim against the full data — itself scale-safe), "
+    "and the top-20% share dominating its count share (mean of top "
+    "values ≥ overall mean).",
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    from crick_spark.operators import tdigest_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    # revenue-weighted digest: wq(q) = value below which a q-fraction of
+    # REVENUE lies, so revenue above wq(1-s) is s of the total (the
+    # weight is the value itself, aliased — the sketch UDAF selects
+    # [col, weight_col] and duplicate names collide in the Arrow batch)
+    wq = tdigest_quantiles(
+        o.withColumn("rev_w", F.col("o_totalprice")),
+        "o_totalprice",
+        [0.5, 0.2, 0.05],
+        weight_col="rev_w",
+    ).select(
+        F.col("p0_5").alias("v50"),
+        F.col("p0_2").alias("v80"),
+        F.col("p0_05").alias("v95"),
+    )
+    uq = tdigest_quantiles(o, "o_totalprice", [0.8]).select(
+        F.col("p0_8").alias("t20")
+    )
+    p = F.col("o_totalprice")
+    share_above = lambda v: F.sum(F.when(p >= v, p)) / F.sum(p)
+    agg = o.crossJoin(F.broadcast(wq)).crossJoin(F.broadcast(uq)).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum(p), 2).alias("total_rev"),
+        F.any_value("v50").alias("v50"),
+        F.any_value("v80").alias("v80"),
+        F.any_value("v95").alias("v95"),
+        share_above(F.col("v50")).alias("s50"),
+        share_above(F.col("v80")).alias("s80"),
+        share_above(F.col("v95")).alias("s95"),
+        F.avg((p >= F.col("t20")).cast("double")).alias("frac20"),
+        share_above(F.col("t20")).alias("share20"),
+    )
+    tol = 0.02
+    return agg.select(
+        "n_orders",
+        "total_rev",
+        (
+            (F.col("v50") >= F.col("v80")) & (F.col("v80") >= F.col("v95"))
+        ).alias("thresholds_monotone"),
+        (F.abs(F.col("s50") - 0.5) <= tol).alias("share50_within_tol"),
+        (F.abs(F.col("s80") - 0.8) <= tol).alias("share80_within_tol"),
+        (F.abs(F.col("s95") - 0.95) <= tol).alias("share95_within_tol"),
+        (F.abs(F.col("frac20") - 0.2) <= tol).alias(
+            "top20_count_within_tol"
+        ),
+        (F.col("share20") >= F.col("frac20")).alias(
+            "top20_share_exceeds_count_share"
+        ),
+    )
+
+
+@register(
+    "pareto_revenue_exact",
+    oracle="""
 WITH ranked AS (
   SELECT o_totalprice,
          row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
@@ -1804,15 +2030,15 @@ SELECT CAST(min(n_orders) AS BIGINT) AS n_orders,
          AS top20pct_share
 FROM ranked
 """,
-    doc="Pareto concentration analysis: how many top orders carry "
-    "50/80/95% of revenue, and the revenue share of the top-20% of "
-    "orders, full-value oracle.  Deterministic cumulative ranking "
-    "(orderkey tie-break).  The global ordered window is the honest "
-    "cost at this output; at 100 TB replace the exact ranking with "
-    "the t-digest CDF (value-threshold form of the same question) — "
-    "the engine ships both.",
+    doc="EXACT accuracy twin of pareto_revenue_concentration (full-value "
+    "oracle): deterministic cumulative ranking (orderkey tie-break) via "
+    "a GLOBAL ordered window — every row funnels through one "
+    "WindowExec task, so this is deliberately the test-SF-only shape "
+    "pinning exact counts while the value-threshold form above is the "
+    "registered production default for 100 TB.  Not in bench (bench "
+    "times production shapes).",
 )
-def pareto_revenue_concentration(spark, sf_dir):
+def pareto_revenue_exact(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     ranked = o.select(

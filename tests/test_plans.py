@@ -209,6 +209,32 @@ def test_selective_filter_pushes_to_scan(spark):
     assert s["pushed"] >= 1, "filters no longer pushed to the parquet scan"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pareto_revenue_concentration",
+        "winsorize_extendedprice",
+        "mad_outliers_events",
+    ],
+)
+def test_sketch_default_has_no_single_task_shape(spark, name):
+    """r9 (VERDICT r8 item 1): the registered DEFAULTS of the percentile
+    family must be the sketch-backed 100 TB shapes — no global ordered
+    window (WindowExec with no partition funnels every row through ONE
+    task) and no F.percentile over the fact table (its aggregation
+    buffer holds every group value in one reducer).  The exact forms
+    live on as the `*_exact` hash-matched twins."""
+    text = plan_text(spark, name)
+    assert "Window" not in text, (
+        f"{name}: a window node returned to the sketch default — the "
+        "global-ordered ranking belongs in the *_exact twin only"
+    )
+    assert "percentile" not in text.lower(), (
+        f"{name}: F.percentile returned to the sketch default — exact "
+        "percentile buffers belong in the *_exact twin only"
+    )
+
+
 def test_sketch_aggregation_stays_narrow(spark):
     """The two-phase sketch path must shuffle sketch buffers, not rows:
     tdigest grouped quantiles gets at most 2 exchanges (partial shuffle +
