@@ -6,16 +6,23 @@ Timing protocol: JVM+session startup is excluded (session built first, one
 warmup action runs); each HEADLINE query then executes three times — the
 first execution absorbs one-time per-plan costs that a long-running
 cluster amortizes (parquet file listing, schema read, whole-stage codegen
-compilation), and the MIN of the two following executions is recorded
+compilation), and the MIN of the following timed executions is recorded
 (full plan → run → collect each time, data NOT cached — IO is real).
 Min-of-2 (r8) separates plan cost from host noise: the r7 driver run
 recorded a +4.4 s total that smeared +0.1–0.4 s uniformly across all 38
 headline queries — a session/host-drag signature no single-execution
-protocol can distinguish from a real regression.  Extra-set queries run
-warmup + one timed execution (the set has a budget, not a baseline, and
-tripling ~120 executions would lengthen the session more than it would
-stabilize it); the inter-query cache-drop+GC sweep runs between headline
-queries too, so each is timed against a clean executor.
+protocol can distinguish from a real regression.  r9 (VERDICT r8 item 9
++ ADVICE): ALL samples are recorded under "headline_samples" (the min
+is a one-sided estimator — the artifact now preserves the dispersion),
+a THIRD timed execution runs whenever the hypervisor stole >0.3% of CPU
+during a query's timed window or the two samples disagree by >1.5x and
+>0.5 s, and the summary carries "headline_median_total" beside the
+min-based total so round-over-round comparisons have a steal-robust
+second estimator without breaking baseline comparability.  Extra-set
+queries run warmup + one timed execution (the set has a budget, not a
+baseline, and tripling ~120 executions would lengthen the session more
+than it would stabilize it); the inter-query cache-drop+GC sweep runs
+between headline queries too, so each is timed against a clean executor.
 
 Robustness (round-2 lesson: one broken plan zeroed the whole round's perf
 signal): every query runs under its own try/except — a failure is recorded
@@ -389,18 +396,36 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         try:
             fn(spark, sf_dir).collect()  # warmup: metadata + codegen
             samples = []
+            qt0, qs0 = cpu_ticks()
             for _ in range(2):  # min-of-2: host noise ≠ plan regression
                 t0 = time.time()
                 n = fn(spark, sf_dir).collect()
                 samples.append(time.time() - t0)
                 assert len(n) >= 0
+            qt1, qs1 = cpu_ticks()
+            q_steal = (
+                100.0 * (qs1 - qs0) / (qt1 - qt0) if qt1 > qt0 else 0.0
+            )
+            disperse = max(samples) > 1.5 * min(samples) and (
+                max(samples) - min(samples) > 0.5
+            )
+            if q_steal > 0.3 or disperse:
+                # steal-robust third sample (r9): one bad sample under
+                # hypervisor contention must not decide the query
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                samples.append(time.time() - t0)
             times[name] = round(min(samples), 3)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+            all_samples[name] = [round(s, 3) for s in samples]
         except Exception as exc:  # isolate: one broken query ≠ no bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH FAIL {name}", file=sys.stderr)
@@ -453,6 +478,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "headline_samples": all_samples,
         "sf": sf,
     }
     if extra:
@@ -474,6 +500,9 @@ def main() -> None:
     # the full JSON is also written next to the harness for the judge.
     out["summary"] = {
         "headline_total": total,
+        "headline_median_total": round(sum(medians.values()), 3)
+        if medians
+        else None,
         "headline_delta_total": round(sum(deltas.values()), 3)
         if deltas
         else None,

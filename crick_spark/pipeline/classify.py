@@ -31,14 +31,11 @@ from pyspark.sql import functions as F
 
 
 def _feat(col, n_buckets: int | None):
-    if n_buckets is None:
-        return col
-    # the engine's deterministic-coin convention (cf. dsir_log_ratios):
-    # md5 first 8 hex chars mod n_buckets, reproducible in DuckDB
-    return F.pmod(
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
-        F.lit(int(n_buckets)),
-    )
+    # ONE shared definition with dsir_log_ratios (retrieval.hashed_feature)
+    # so the NB/DSIR same-bucketing claim holds by construction
+    from crick_spark.pipeline.retrieval import hashed_feature
+
+    return hashed_feature(col, n_buckets)
 
 
 def nb_train(

@@ -39,6 +39,24 @@ def tokens_expr(text: Column) -> Column:
     )
 
 
+def hashed_feature(col: Column, n_buckets: int | None) -> Column:
+    """THE engine-wide hashed-feature convention: ``md5(tok)[0:8]`` (hex)
+    mod ``n_buckets`` — deterministic, RNG-free, and reproducible in
+    DuckDB (``pmod(conv(substr(md5(t),1,8),16,10), B)``), so every
+    oracle can re-derive the exact bucket ids.  ``n_buckets=None``
+    passes the raw token through.  One definition shared by the NB
+    classifier (classify.nb_train/nb_score) and hashed DSIR
+    (sampling.dsir_log_ratios) — the cross-module claim that they
+    bucket identically holds by construction, not by parallel copies
+    (r9 ADVICE fix)."""
+    if n_buckets is None:
+        return col
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

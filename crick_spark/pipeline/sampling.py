@@ -267,15 +267,11 @@ def dsir_log_ratios(
     Emits (id, n_tokens, log_ratio) for docs with ≥ 1 token; scoring is
     two equi-joins + a per-doc aggregate, all codegen.
     """
-    from crick_spark.pipeline.retrieval import tokens_expr
+    from crick_spark.pipeline.retrieval import hashed_feature, tokens_expr
 
-    def feat(col):
-        if n_buckets is None:
-            return col
-        return F.pmod(
-            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
-            F.lit(int(n_buckets)),
-        )
+    # ONE shared definition with the NB classifier (classify._feat) —
+    # the cross-module same-bucketing claim holds by construction
+    feat = lambda col: hashed_feature(col, n_buckets)  # noqa: E731
 
     src_toks = docs.select(
         F.explode(tokens_expr(F.col(text_col))).alias("__t__")

@@ -1379,8 +1379,15 @@ def ivfpq_bulk_topk(
         )
     )
     indexed = ivf_index(corpus.select(id_col, vec_col), centroids, vec_col)
-    coded = pq_encode(indexed, B, id_col, vec_col).join(
-        indexed.select(id_col, "ivf_cluster"), id_col
+    # project the full-precision vector OUT before the probe join: the
+    # ADC scan's whole point is m·log2(ksub) bits per candidate, and
+    # keeping vec_col here would materialize the full embedding per
+    # (query, candidate) row in the shuffle (r9 ADVICE fix); vectors
+    # re-enter only for the rerank_factor·k pool in _bulk_rerank
+    coded = (
+        pq_encode(indexed, B, id_col, vec_col)
+        .select(id_col, "codes")
+        .join(indexed.select(id_col, "ivf_cluster"), id_col)
     )
     scored = query_probes.join(coded, "ivf_cluster").select(
         query_id_col,

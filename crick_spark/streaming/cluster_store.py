@@ -23,27 +23,42 @@ min-over-members and the incremental labeling is IDENTICAL to a full
 re-closure over the union of all folded pairs (asserted in tests and by
 the registered query's recursive-CTE oracle).
 
-State layout (r8 — the O(|labels|)-rewrite fix the r7 docstring
-conceded): the labeling is BUCKETED by ``pmod(xxhash64(node),
-n_buckets)`` and each fold writes ONE generation directory
-``labels/gen_<batch>/bucket=K/`` holding ONLY the buckets the batch
-touched — buckets containing a node whose component was remapped, or
-receiving a new node.  An APPEND-ONLY meta log carries one
-``(batch_id, bucket, path)`` row per touched bucket, committed LAST as
-a single file (task-commit rename — a crash mid-fold re-surfaces the
-previous generation whole); the current labeling is, per bucket, the
-path from the latest batch that touched it.  Untouched buckets' files
-are never rewritten — byte-identical across folds (tested).  Per-fold
-cost: the label READ stays O(|labels|) but column-pruned (node,
-component only; remap probes are row-group-skippable), while the
-REWRITE — the expensive side on a real filesystem — is
-O(|touched buckets|), the same commit confinement a transactional
-table format (Delta/Iceberg) would give.  The bucket id is derived
-from the node, never stored, so ``n_buckets`` must stay fixed for a
-store's lifetime (recorded in meta and asserted on reopen).
-Superseded generation directories accumulate one per fold and hold
-only that fold's touched buckets; ``vacuum()`` drops the ones no meta
-row references.
+State layout (r8: bucketed snapshots; r9: O(touched)-READ folds — the
+r8 docstring conceded folds still read the label table O(|labels|)
+column-pruned).  Two bucketed relations, both generation-directory +
+append-only-meta committed:
+
+* ``labels/gen_<batch>/bucket=K/`` — (node, component) rows bucketed by
+  ``pmod(xxhash64(node), n_buckets)``.  Each fold writes ONLY the
+  buckets the batch touched; untouched buckets' files are never
+  rewritten (byte-identical across folds, tested).
+* ``cindex/gen_<batch>/cbucket=K/`` — the component→location index:
+  distinct (component, nbucket) pairs of the CURRENT labeling,
+  partitioned by ``pmod(xxhash64(component), n_buckets)``.  It answers
+  "which label buckets hold members of this component" without
+  scanning the label table.
+
+Per-fold reads are now all batch-proportional (``last_fold_stats``
+records the exact counts for the pytest):
+
+1. endpoint resolution reads ONLY the label buckets the batch's
+   endpoint node-hashes land in (a stored node can live nowhere else);
+2. the remap probe reads ONLY the cindex partitions of the remapped
+   old component ids;
+3. the rewrite reads ONLY the touched label buckets, and the index
+   update ONLY the cindex partitions of old + new component ids.
+
+The meta log carries one ``(batch_id, kind, bucket, path)`` row per
+touched bucket of each relation, committed LAST as a single file
+(task-commit rename — a crash mid-fold re-surfaces the previous
+generation whole); a ``path = '' `` row marks a partition the fold
+emptied (all its components remapped away), so readers stop at the
+sentinel instead of falling back to a stale generation.  Bucket ids are
+derived from hashes, never stored, so ``n_buckets`` must stay fixed for
+a store's lifetime (recorded in meta and asserted on reopen).
+Superseded generation directories accumulate one per fold and hold only
+that fold's touched buckets; ``vacuum()`` drops the ones no meta row
+references.
 """
 
 from __future__ import annotations
@@ -59,24 +74,32 @@ class ClusterStore:
         self.base = base_dir
         self.n_buckets = int(n_buckets)
         self._labels_root = f"{base_dir}/labels"
+        self._cindex_root = f"{base_dir}/cindex"
         self._meta = f"{base_dir}/meta"
+        #: per-fold read/write accounting (how many bucket files each
+        #: phase touched) — the O(touched-buckets) proof the scale test
+        #: asserts on; refreshed by every fold()
+        self.last_fold_stats: dict[str, int] = {}
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
     def read_meta(self, spark: SparkSession):
-        """Returns (last_batch_id, {bucket: current_path}) — per bucket,
-        the snapshot path of the LATEST batch that touched it."""
+        """Returns (last_batch_id, {bucket: path} for labels,
+        {cbucket: path} for the component index) — per bucket, the
+        snapshot path of the LATEST batch that touched it.  A path of
+        ``''`` (fold emptied the partition) resolves to an entry with
+        path None: current, but containing no rows."""
         from pyspark.errors import AnalysisException
 
         try:
             rows = spark.read.parquet(self._meta).collect()
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return -1, {}
+                return -1, {}, {}
             raise
         if not rows:
-            return -1, {}
+            return -1, {}, {}
         last_id = max(int(r["batch_id"]) for r in rows)
         stored_nb = {int(r["n_buckets"]) for r in rows}
         if stored_nb != {self.n_buckets}:
@@ -86,30 +109,46 @@ class ClusterStore:
                 "from node hashes, so n_buckets is fixed for the store's "
                 "lifetime"
             )
-        current: dict[int, tuple[int, str]] = {}
+        current: dict[tuple[str, int], tuple[int, str | None]] = {}
         for r in rows:
             b = int(r["bucket"])
             if b < 0:  # no-op-batch fence sentinel
                 continue
+            kind = r["kind"]
             bid = int(r["batch_id"])
-            if b not in current or bid > current[b][0]:
-                current[b] = (bid, r["path"])
-        return last_id, {b: p for b, (_, p) in current.items()}
+            key = (kind, b)
+            if key not in current or bid > current[key][0]:
+                current[key] = (bid, r["path"] or None)
+        labels = {b: p for (k, b), (_, p) in current.items() if k == "labels"}
+        cindex = {b: p for (k, b), (_, p) in current.items() if k == "cindex"}
+        return last_id, labels, cindex
 
-    def _read_labels(
-        self, spark: SparkSession, bucket_paths: dict[int, str]
+    @staticmethod
+    def _read_buckets(
+        spark: SparkSession,
+        bucket_paths: dict[int, str | None],
+        buckets,
+        cols: list[str],
     ) -> DataFrame | None:
-        if not bucket_paths:
+        """Read only the requested buckets' current snapshot files
+        (``buckets=None`` reads all).  Emptied partitions (path None)
+        contribute no rows by construction."""
+        paths = [
+            p
+            for b, p in bucket_paths.items()
+            if p is not None and (buckets is None or b in buckets)
+        ]
+        if not paths:
             return None
-        return spark.read.parquet(*bucket_paths.values()).select(
-            "node", "component"
-        )
+        return spark.read.parquet(*paths).select(*cols)
 
     def labels(self, spark: SparkSession) -> DataFrame | None:
         """Current committed (node, component) labeling, or None before
         the first fold."""
-        _, bucket_paths = self.read_meta(spark)
-        return self._read_labels(spark, bucket_paths)
+        _, lab_paths, _ = self.read_meta(spark)
+        return self._read_buckets(
+            spark, lab_paths, None, ["node", "component"]
+        )
 
     # contracted graphs at or under this edge count close driver-side
     # (one collect + union-find) instead of spinning up the iterative
@@ -123,11 +162,15 @@ class ClusterStore:
         """(node, component=min id of its component) over contracted
         edges — driver union-find when the batch is small, distributed
         hash-min otherwise.  Identical output either way (min-root
-        union preserves the min-label invariant)."""
+        union preserves the min-label invariant).  The size probe is a
+        COUNT of limit(cap+1) — a 1-column job, not a collect: the r8
+        shape collected up to cap+1 Row objects to the driver just to
+        DECIDE, a multi-hundred-MB transfer discarded on the
+        distributed path (r9 ADVICE fix)."""
         cap = self.DRIVER_CLOSE_MAX_EDGES
-        head = e.limit(cap + 1).collect()
-        if len(head) > cap:
+        if e.limit(cap + 1).count() > cap:
             return connected_components(e, src="u", dst="v")
+        head = e.collect()
         parent: dict = {}
 
         def find(x):
@@ -157,11 +200,18 @@ class ClusterStore:
             ),
         )
 
+    @staticmethod
+    def _distinct_ints(df: DataFrame, col) -> set[int]:
+        return {
+            int(r["__b__"])
+            for r in df.select(col.alias("__b__")).distinct().collect()
+        }
+
     def fold(self, pairs: DataFrame, batch_id: int) -> bool:
         """Fold one batch of near-dup pairs (id_a, id_b) into the stored
         labeling; returns False for a fenced replay."""
         s = pairs.sparkSession
-        last_id, bucket_paths = self.read_meta(s)
+        last_id, lab_paths, idx_paths = self.read_meta(s)
         if int(batch_id) <= last_id:
             return False
         p = (
@@ -170,17 +220,67 @@ class ClusterStore:
             .where(F.col("id_a") != F.col("id_b"))
             .distinct()
         )
-        labels = self._read_labels(s, bucket_paths)
-        if labels is not None:
-            la = labels.select(
-                F.col("node").alias("id_a"), F.col("component").alias("__ca__")
+        stats = {
+            "label_buckets_read": 0,
+            "index_partitions_read": 0,
+            "label_buckets_written": 0,
+            "index_partitions_written": 0,
+        }
+        if lab_paths:
+            ok = self._fold_incremental(
+                s, p, batch_id, lab_paths, idx_paths, stats
             )
-            lb = labels.select(
-                F.col("node").alias("id_b"), F.col("component").alias("__cb__")
+        else:
+            ok = self._fold_initial(s, p, batch_id, stats)
+        self.last_fold_stats = stats
+        return ok
+
+    def _fold_initial(self, s, p, batch_id, stats) -> bool:
+        e = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        final = self._close(s, e)
+        touched, ic = self._write_generation(s, final, batch_id, None, None)
+        stats["label_buckets_written"] = len(touched)
+        stats["index_partitions_written"] = len(ic)
+        self._commit_meta(
+            s,
+            batch_id,
+            [("labels", b, f"{self._gen(batch_id)}/bucket={b}") for b in touched]
+            + [
+                ("cindex", b, f"{self._cgen(batch_id)}/cbucket={b}")
+                for b in ic
+            ],
+        )
+        return True
+
+    def _fold_incremental(
+        self, s, p, batch_id, lab_paths, idx_paths, stats
+    ) -> bool:
+        # 1. endpoint resolution against ONLY the buckets the batch's
+        #    endpoints hash into — a stored node lives nowhere else
+        ep_nodes = (
+            p.select(F.col("id_a").alias("node"))
+            .unionByName(p.select(F.col("id_b").alias("node")))
+            .distinct()
+        )
+        be = self._distinct_ints(ep_nodes, self._bucket(F.col("node")))
+        ep_labels = self._read_buckets(
+            s, lab_paths, be, ["node", "component"]
+        )
+        stats["label_buckets_read"] += sum(
+            1 for b in be if lab_paths.get(b) is not None
+        )
+        if ep_labels is not None:
+            la = ep_labels.select(
+                F.col("node").alias("id_a"),
+                F.col("component").alias("__ca__"),
+            )
+            lb = ep_labels.select(
+                F.col("node").alias("id_b"),
+                F.col("component").alias("__cb__"),
             )
             # batch pairs resolve their endpoints' current labels: two
-            # id equi-joins of the SMALL batch against the label table —
-            # no hint; AQE broadcasts whichever side is actually small
+            # id equi-joins of the SMALL batch against the PRUNED label
+            # read — no hint; AQE broadcasts the actually-small side
             e = (
                 p.join(la, "id_a", "left")
                 .join(lb, "id_b", "left")
@@ -189,92 +289,176 @@ class ClusterStore:
                     F.coalesce("__cb__", "id_b").alias("v"),
                 )
             )
+            new_nodes = ep_nodes.join(ep_labels, "node", "left_anti")
         else:
-            e = p.select(
-                F.col("id_a").alias("u"), F.col("id_b").alias("v")
-            )
+            e = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+            new_nodes = ep_nodes
         e = e.where(F.col("u") != F.col("v"))
-        # closure over the CONTRACTED graph only: O(|batch|) edges
+        # 2. closure over the CONTRACTED graph only: O(|batch|) edges
         cc = self._close(s, e)
-        if labels is not None:
-            # old-rep -> new-component mapping; batch-bounded, broadcast
-            mapping = cc.where(F.col("node") != F.col("component")).select(
-                F.col("node").alias("__old__"),
-                F.col("component").alias("__new__"),
-            )
-            # touched buckets: where a remapped component's members live
-            # (column-pruned probe of the store) ∪ where new nodes land
+        mapping = cc.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__old__"),
+            F.col("component").alias("__new__"),
+        )
+        # 3. remap probe via the component index: read ONLY the cindex
+        #    partitions of the remapped old ids
+        bc = self._distinct_ints(mapping, self._bucket(F.col("__old__")))
+        idx = self._read_buckets(
+            s, idx_paths, bc, ["component", "nbucket"]
+        )
+        stats["index_partitions_read"] += sum(
+            1 for b in bc if idx_paths.get(b) is not None
+        )
+        remap_bkts: set[int] = set()
+        if idx is not None:
             remap_bkts = {
-                r["b"]
-                for r in labels.join(
+                int(r["nbucket"])
+                for r in idx.join(
                     F.broadcast(mapping),
-                    labels.component == F.col("__old__"),
+                    idx.component == F.col("__old__"),
                     "left_semi",
                 )
-                .select(self._bucket(F.col("node")).alias("b"))
+                .select("nbucket")
                 .distinct()
                 .collect()
             }
-            batch_nodes = (
-                p.select(F.col("id_a").alias("node"))
-                .unionByName(p.select(F.col("id_b").alias("node")))
-                .distinct()
-            )
-            new_nodes = batch_nodes.join(labels, "node", "left_anti")
-            new_bkts = {
-                r["b"]
-                for r in new_nodes.select(
-                    self._bucket(F.col("node")).alias("b")
-                )
-                .distinct()
-                .collect()
-            }
-            touched = sorted(remap_bkts | new_bkts)
-            if not touched:
-                # within-component pairs only: nothing changes — commit a
-                # fence sentinel so the replay guard still advances
-                self._commit_meta(s, batch_id, [])
-                return True
-            updated = (
-                labels.where(
-                    self._bucket(F.col("node")).isin(touched)
-                )
-                .join(
+        new_bkts = self._distinct_ints(new_nodes, self._bucket(F.col("node")))
+        touched = sorted(remap_bkts | new_bkts)
+        if not touched:
+            # within-component pairs only: nothing changes — commit a
+            # fence sentinel so the replay guard still advances
+            self._commit_meta(s, batch_id, [])
+            return True
+        # 4. rewrite ONLY the touched label buckets
+        touched_labels = self._read_buckets(
+            s, lab_paths, set(touched), ["node", "component"]
+        )
+        stats["label_buckets_read"] += sum(
+            1 for b in touched if lab_paths.get(b) is not None
+        )
+        parts = []
+        if touched_labels is not None:
+            parts.append(
+                touched_labels.join(
                     F.broadcast(mapping),
-                    labels.component == F.col("__old__"),
+                    touched_labels.component == F.col("__old__"),
                     "left",
-                )
-                .select(
+                ).select(
                     "node",
                     F.coalesce("__new__", "component").alias("component"),
                 )
             )
-            new_labels = new_nodes.join(
+        parts.append(
+            new_nodes.join(
                 F.broadcast(cc.withColumnRenamed("component", "__c__")),
                 "node",
                 "left",
             ).select("node", F.coalesce("__c__", "node").alias("component"))
-            final = updated.unionByName(new_labels)
-        else:
-            final = cc
-            touched = None  # resolved from the written content below
-        gen_dir = f"{self._labels_root}/gen_{int(batch_id)}"
-        out = final.withColumn("bucket", self._bucket(F.col("node")))
-        out.write.partitionBy("bucket").mode("overwrite").parquet(gen_dir)
-        if touched is None:
-            touched = sorted(
-                r["bucket"]
-                for r in s.read.parquet(gen_dir)
-                .select("bucket")
-                .distinct()
-                .collect()
-            )
+        )
+        final = parts[0]
+        for extra in parts[1:]:
+            final = final.unionByName(extra)
+        touched_w, ic = self._write_generation(
+            s, final, batch_id, mapping, (idx_paths, bc, stats)
+        )
+        stats["label_buckets_written"] = len(touched_w)
+        stats["index_partitions_written"] = len(ic)
+        gen, cgen = self._gen(batch_id), self._cgen(batch_id)
+        import glob as _glob
+
+        written_c = {
+            int(d.rsplit("=", 1)[1])
+            for d in _glob.glob(f"{cgen}/cbucket=*")
+        }
         self._commit_meta(
             s,
             batch_id,
-            [(b, f"{gen_dir}/bucket={b}") for b in touched],
+            [("labels", b, f"{gen}/bucket={b}") for b in touched_w]
+            + [
+                (
+                    "cindex",
+                    b,
+                    f"{cgen}/cbucket={b}" if b in written_c else "",
+                )
+                for b in ic
+            ],
         )
         return True
+
+    def _gen(self, batch_id) -> str:
+        return f"{self._labels_root}/gen_{int(batch_id)}"
+
+    def _cgen(self, batch_id) -> str:
+        return f"{self._cindex_root}/gen_{int(batch_id)}"
+
+    def _write_generation(
+        self, s, final: DataFrame, batch_id, mapping, idx_ctx
+    ):
+        """Write the label generation (partitioned by node bucket) and
+        the matching cindex generation (partitioned by component
+        bucket); returns (label buckets written, cindex partitions
+        touched — including ones the fold emptied)."""
+        gen = self._gen(batch_id)
+        out = final.withColumn("bucket", self._bucket(F.col("node")))
+        out.write.partitionBy("bucket").mode("overwrite").parquet(gen)
+        import glob as _glob
+
+        touched = sorted(
+            int(d.rsplit("=", 1)[1]) for d in _glob.glob(f"{gen}/bucket=*")
+        )
+        # component index update: new (component, nbucket) pairs come
+        # from the generation just written — it covers every member
+        # bucket of every changed component, because remapped members
+        # all live in touched buckets, and a SURVIVING component never
+        # loses a bucket (its members' rows only change when the
+        # component itself is remapped).  So the delta is exactly:
+        # drop pairs of remapped-away old ids, union the rewritten
+        # buckets' fresh pairs; partitions to rewrite are the old ids'
+        # (rows dropped) plus the new pairs' components'.
+        new_pairs = (
+            s.read.parquet(gen)
+            .select(
+                "component", F.col("bucket").cast("int").alias("nbucket")
+            )
+            .distinct()
+            .withColumn("cbucket", self._bucket(F.col("component")))
+        )
+        ic = self._distinct_ints(new_pairs, F.col("cbucket"))
+        idx_final = new_pairs.select("component", "nbucket", "cbucket")
+        if idx_ctx is not None:
+            idx_paths, bc, stats = idx_ctx
+            ic = set(ic) | set(bc)
+            old_idx = self._read_buckets(
+                s, idx_paths, ic, ["component", "nbucket"]
+            )
+            stats["index_partitions_read"] += sum(
+                1 for b in ic if idx_paths.get(b) is not None
+            )
+            if old_idx is not None:
+                retained = (
+                    old_idx.join(
+                        F.broadcast(mapping),
+                        old_idx.component == F.col("__old__"),
+                        "left_anti",
+                    )
+                    .select("component", "nbucket")
+                    .withColumn("cbucket", self._bucket(F.col("component")))
+                )
+                idx_final = idx_final.unionByName(retained).distinct()
+        cgen = self._cgen(batch_id)
+        idx_final.write.partitionBy("cbucket").mode("overwrite").parquet(
+            cgen
+        )
+        return touched, sorted(ic)
+
+    @staticmethod
+    def _label_buckets(gen_dir: str) -> list[int]:
+        import glob as _glob
+
+        return [
+            int(d.rsplit("=", 1)[1])
+            for d in _glob.glob(f"{gen_dir}/bucket=*")
+        ]
 
     def _commit_meta(
         self, s: SparkSession, batch_id: int, bucket_rows: list
@@ -284,10 +468,14 @@ class ClusterStore:
         local-relation write measures ~5 s against repartition's ~0.6),
         so a crash anywhere earlier in the fold re-surfaces the previous
         generation whole."""
-        rows = bucket_rows or [(-1, None)]
+        rows = bucket_rows or [("labels", -1, None)]
         s.createDataFrame(
-            [(int(batch_id), b, p, self.n_buckets) for b, p in rows],
-            "batch_id long, bucket int, path string, n_buckets int",
+            [
+                (int(batch_id), k, b, p, self.n_buckets)
+                for k, b, p in rows
+            ],
+            "batch_id long, kind string, bucket int, path string, "
+            "n_buckets int",
         ).repartition(1).write.mode("append").parquet(self._meta)
 
     def vacuum(self, spark: SparkSession) -> int:
@@ -298,10 +486,14 @@ class ClusterStore:
         import glob
         import shutil
 
-        _, current = self.read_meta(spark)
-        keep = set(current.values())
+        _, lab_current, idx_current = self.read_meta(spark)
+        keep = {p for p in lab_current.values() if p} | {
+            p for p in idx_current.values() if p
+        }
         removed = 0
-        for d in glob.glob(f"{self._labels_root}/gen_*/bucket=*"):
+        for d in glob.glob(
+            f"{self._labels_root}/gen_*/bucket=*"
+        ) + glob.glob(f"{self._cindex_root}/gen_*/cbucket=*"):
             if d not in keep:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1

@@ -713,7 +713,7 @@ def test_cluster_store_untouched_buckets_byte_identical(spark, tmp_path):
     assert store.fold(
         spark.createDataFrame(b0, "id_a long, id_b long"), 0
     )
-    _, paths0 = store.read_meta(spark)
+    _, paths0, _ = store.read_meta(spark)
     before = {b: _bucket_files(p) for b, p in paths0.items()}
     # batch 1: one new pair touching a single known node — the only
     # buckets that may change are those of the remapped component's
@@ -721,7 +721,7 @@ def test_cluster_store_untouched_buckets_byte_identical(spark, tmp_path):
     assert store.fold(
         spark.createDataFrame([(0, 77777)], "id_a long, id_b long"), 1
     )
-    _, paths1 = store.read_meta(spark)
+    _, paths1, _ = store.read_meta(spark)
     from pyspark.sql import functions as F
 
     bkt = lambda n: spark.range(1).select(  # noqa: E731
@@ -749,6 +749,64 @@ def test_cluster_store_untouched_buckets_byte_identical(spark, tmp_path):
     )
     assert sorted(map(tuple, store.labels(spark).collect())) == sorted(
         map(tuple, full.collect())
+    )
+
+
+def test_cluster_store_fold_reads_o_touched_buckets(spark, tmp_path):
+    """r9 (VERDICT r8 item 3): a fold's READS are O(touched buckets),
+    not O(|labels|).  Endpoint resolution reads only the buckets the
+    batch's endpoints hash into; the remap probe goes through the
+    component→bucket index (cindex, partitioned by component hash)
+    instead of scanning the label table; the rewrite reads only the
+    touched buckets.  With 64 buckets and a 2-pair batch, every phase
+    must touch a small constant number of bucket files — and the
+    labeling must still equal the full re-closure."""
+    from crick_spark.pipeline.graph import connected_components
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=64)
+    b0 = [(i, i + 10_000) for i in range(0, 40, 2)]  # 20 tiny components
+    assert store.fold(
+        spark.createDataFrame(b0, "id_a long, id_b long"), 0
+    )
+    # batch 1: merge two known components + attach one new node —
+    # endpoints {0, 2, 123456} (≤3 buckets), remapped members
+    # {0, 10000, 2, 10002} + new node 123456 (≤5 touched buckets)
+    b1 = [(0, 2), (123456, 0)]
+    assert store.fold(
+        spark.createDataFrame(b1, "id_a long, id_b long"), 1
+    )
+    st = store.last_fold_stats
+    assert st["label_buckets_read"] <= 8, st  # 3 endpoint + 5 touched « 64
+    assert st["label_buckets_written"] <= 5, st
+    # index: ≤2 old-id partitions probed + old+new partitions for the
+    # rewrite (touched buckets hold ≤2 bystander components each)
+    assert st["index_partitions_read"] <= 16, st
+    assert st["index_partitions_written"] <= 16, st
+    full = connected_components(
+        spark.createDataFrame(b0 + b1, "id_a long, id_b long"),
+        src="id_a",
+        dst="id_b",
+    )
+    assert sorted(map(tuple, store.labels(spark).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # batch 2: new-nodes-only fold — no remap, so no index probe beyond
+    # the new components' own partitions
+    b2 = [(555_001, 555_002)]
+    assert store.fold(
+        spark.createDataFrame(b2, "id_a long, id_b long"), 2
+    )
+    st2 = store.last_fold_stats
+    assert st2["label_buckets_read"] <= 4, st2
+    assert st2["label_buckets_written"] <= 2, st2
+    full2 = connected_components(
+        spark.createDataFrame(b0 + b1 + b2, "id_a long, id_b long"),
+        src="id_a",
+        dst="id_b",
+    )
+    assert sorted(map(tuple, store.labels(spark).collect())) == sorted(
+        map(tuple, full2.collect())
     )
 
 
@@ -781,13 +839,16 @@ def test_cluster_store_meta_commits_last_and_vacuum(spark, tmp_path):
     assert store.fold(
         spark.createDataFrame([(2, 3)], "id_a long, id_b long"), 2
     )
-    n_dirs_before = len(glob.glob(str(tmp_path / "store/labels/gen_*/bucket=*")))
+    def n_dirs():
+        return len(
+            glob.glob(str(tmp_path / "store/labels/gen_*/bucket=*"))
+        ) + len(glob.glob(str(tmp_path / "store/cindex/gen_*/cbucket=*")))
+
+    n_dirs_before = n_dirs()
     removed = store.vacuum(spark)
     assert removed > 0
-    _, current = store.read_meta(spark)
-    assert len(glob.glob(str(tmp_path / "store/labels/gen_*/bucket=*"))) == (
-        n_dirs_before - removed
-    )
+    _, current, _ = store.read_meta(spark)
+    assert n_dirs() == n_dirs_before - removed
     got = sorted(map(tuple, store.labels(spark).collect()))
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1)]
     with pytest.raises(ValueError, match="n_buckets"):
