@@ -366,16 +366,26 @@ def tfidf_similar_pairs(
     # Unit-normalize per doc IN A WINDOW (one shuffle by id) instead of
     # aggregating norms and joining them back onto the pair results:
     # cosine = Σ ŵa·ŵb then needs no norms relation at all, removing two
-    # joins AND the eager localCheckpoint the three-consumer shape used
-    # to require (r7: the checkpoint's RDD blocks made the operator's
-    # in-session cost swing 2.6→13 s depending on block-manager state;
-    # this shape has no materialization to swing).  The two self-join
-    # sides still share the tokenize→tf→idf subtree through the reused
-    # window exchange (identical canonical subtrees below the aliasing).
+    # joins.  The normalized postings are then materialized ONCE
+    # (eager localCheckpoint) before the self-join: salting rewrites the
+    # two sides differently (left gets hash-salt, right explodes the
+    # salt range on hot keys), so their subtrees are NOT canonically
+    # identical and Catalyst's exchange reuse cannot kick in — without
+    # the checkpoint each side recomputes the full tokenize→explode→
+    # tf→idf→window chain, the pinned root cause of the r7/r8
+    # round-over-round swings (stage probe: three ~90 s-executor-time
+    # stages with 7–23 s GC each on recompute; measured sweep of 6 runs
+    # per variant at sf0.1: recompute min/med/max 5.6/7.6/12.4 s,
+    # checkpoint 3.3/4.9/5.6 s).  The earlier r7 checkpoint that was
+    # removed sat under THREE consumers incl. a norms join; this one
+    # has exactly the two join sides reading materialized blocks.  At
+    # cluster scale the same materialization is a persist of the
+    # posting relation — shuffle-sized, the footprint the join pays
+    # anyway.
     nrm = F.sqrt(
         F.sum(F.col("w") * F.col("w")).over(W.partitionBy(id_col))
     )
-    w = w.withColumn("w", F.col("w") / nrm)
+    w = w.withColumn("w", F.col("w") / nrm).localCheckpoint(eager=True)
     if salt_df_threshold:
         from crick_spark.functions.skew import salted_self_pair_join
 

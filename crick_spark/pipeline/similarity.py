@@ -1074,12 +1074,20 @@ def train_pq_codebooks(
     sample_rows: int = 10_000,
     seed: int = 42,
     iters: int = 10,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace k-means codebooks (Jégou, Douze, Schmid, *Product
     quantization for nearest neighbor search*, TPAMI 2011): the d-dim
     space splits into ``m`` contiguous subspaces and each gets its own
     ``ksub``-centroid codebook, so a vector compresses to m small codes
     (m·log2(ksub) bits) while distances remain computable per subspace.
+
+    With ``centroids`` (the IVF coarse quantizer), codebooks are trained
+    on RESIDUALS x_norm − c(x) — FAISS ``by_residual=true`` (r9):
+    residual vectors are concentrated around the origin, so the same
+    code budget quantizes a much smaller cell and ADC error drops;
+    encode/search must then use the same centroids (``pq_encode`` /
+    ``ivfpq_bulk_topk`` residual mode).
 
     Training runs on a BOUNDED deterministic sample (orderBy(xxhash64)
     + limit — one job, ≤ sample_rows·d floats to the driver), the FAISS
@@ -1096,6 +1104,9 @@ def train_pq_codebooks(
     )
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
     X = _l2_normalize(X)
+    if centroids is not None:
+        cn = _l2_normalize(centroids.astype(np.float64))
+        X = X - cn[(X @ cn.T).argmax(axis=1)]
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -1140,19 +1151,29 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed PQ encoding: one Arrow-batched pass assigns each
     subvector its nearest codebook centroid — output (id, vec, codes:
     array<int> of length m).  The codebooks ship in the task closure
-    (m·ksub·dsub floats, KBs)."""
+    (m·ksub·dsub floats, KBs).
+
+    With ``centroids``, codes quantize the RESIDUAL x_norm − c(x)
+    (FAISS ``by_residual``, r9): the coarse assignment is recomputed
+    inside the same Arrow batch from the shared normalized-centroid
+    matrix — the identical argmax ``_assign_udf``/``ivf_index`` use, so
+    encode and probe agree on the cluster without a join."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     B = codebooks.astype(np.float64)
     m, ksub, dsub = B.shape
+    cn = None if centroids is None else _l2_normalize(centroids.astype(np.float64))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(vecs: pd.Series) -> pd.Series:
         X = _l2_normalize(np.stack(vecs.to_numpy()).astype(np.float64))
+        if cn is not None:
+            X = X - cn[(X @ cn.T).argmax(axis=1)]
         codes = np.empty((X.shape[0], m), dtype=np.int32)
         for j in range(m):
             S = X[:, j * dsub : (j + 1) * dsub]
@@ -1316,6 +1337,7 @@ def ivfpq_bulk_topk(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN (r8) — the FAISS billion-vector workhorse
     assembled from this repo's two halves: the IVF coarse quantizer
@@ -1324,11 +1346,28 @@ def ivfpq_bulk_topk(
     never open — ``write_ivf_layout``), and WITHIN the probed clusters
     candidates are ranked by PQ asymmetric-distance lookups against
     m·log2(ksub)-bit codes instead of full vectors (the 32× scan-byte
-    reduction of ``pq_topk``, non-residual variant — codes quantize the
-    normalized vectors themselves, FAISS's by_residual=false).  The top
+    reduction of ``pq_topk``).  The top
     ``rerank_factor·k`` ADC candidates per query are exact-reranked
     with full-precision cosine, so approximation cost is bounded by
     the pool and measured by the recall gate.
+
+    ``by_residual=True`` (r9, FAISS's default for IVF-PQ): codes
+    quantize x_norm − c(x) — ``codebooks`` must then come from
+    ``train_pq_codebooks(..., centroids=centroids)``.  The ADC score
+    decomposes exactly as q·x̃ = q·c(x) + q·r̃: the q·c term is a
+    panel×k matrix built driver-side with the LUTs (bounded metadata),
+    added per row by cluster id inside the same Arrow kernel.  Measured
+    honestly (r9 sweep, sf0.01 panel of 20): at THIS regime — 16
+    coarse lists, one pooled residual codebook per subspace — residual
+    coding is slightly WORSE than plain (0.705 vs 0.740 mean at
+    nprobe=6/rerank=4): with so few lists the pooled residuals are a
+    16-mode mixture that 16 codewords per subspace can't localize.
+    The registered gate therefore runs plain codes with a deeper
+    shortlist (nprobe=8, rerank_factor=8 → 0.870 mean / 0.700 min,
+    equal to the pure-IVF coverage bound, i.e. zero shortlist loss);
+    residual mode stays available for the large-nlist regime it was
+    designed for (FAISS practice: nlist ~ √N, where per-cell residuals
+    are unimodal).
 
     Per-query LUTs (m × ksub subspace dot products) are built
     driver-side from the query PANEL — panel-bounded metadata, shipped
@@ -1353,8 +1392,10 @@ def ivfpq_bulk_topk(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
         return pd.Series([row.astype(np.int32) for row in top])
 
-    # panel-bounded driver collect: one LUT per query (m*ksub doubles)
+    # panel-bounded driver collect: one LUT per query (m*ksub doubles),
+    # plus (residual mode) the q·centroid row — k doubles per query
     luts = {}
+    qdotc = {}
     for r in queries.select(query_id_col, vec_col).collect():
         q = np.asarray(r[1], dtype=np.float64)
         nrm = np.linalg.norm(q)
@@ -1362,15 +1403,20 @@ def ivfpq_bulk_topk(
         luts[r[0]] = np.stack(
             [B[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
         )
+        if by_residual:
+            qdotc[r[0]] = q @ cn.T
 
     @pandas_udf("double")
-    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+    def adc(qids: pd.Series, clusters: pd.Series, codes: pd.Series) -> pd.Series:
         C = np.stack(codes.to_numpy())
+        cl = clusters.to_numpy()
         out = np.empty(len(C))
         idx = np.arange(m)
         for qid in qids.unique():
             mask = (qids == qid).to_numpy()
             out[mask] = luts[qid][idx[None, :], C[mask]].sum(1)
+            if by_residual:
+                out[mask] += qdotc[qid][cl[mask]]
         return pd.Series(out)
 
     query_probes = F.broadcast(
@@ -1385,14 +1431,19 @@ def ivfpq_bulk_topk(
     # (query, candidate) row in the shuffle (r9 ADVICE fix); vectors
     # re-enter only for the rerank_factor·k pool in _bulk_rerank
     coded = (
-        pq_encode(indexed, B, id_col, vec_col)
+        pq_encode(
+            indexed, B, id_col, vec_col,
+            centroids=centroids if by_residual else None,
+        )
         .select(id_col, "codes")
         .join(indexed.select(id_col, "ivf_cluster"), id_col)
     )
     scored = query_probes.join(coded, "ivf_cluster").select(
         query_id_col,
         id_col,
-        adc(F.col(query_id_col), F.col("codes")).alias("qscore"),
+        adc(
+            F.col(query_id_col), F.col("ivf_cluster"), F.col("codes")
+        ).alias("qscore"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("qscore"), F.asc(id_col)

@@ -3797,17 +3797,18 @@ FROM embeddings WHERE vec_id < 5
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
 """,
-    doc="IVF-PQ composite ANN quality gate (r8) - the FAISS billion-"
-    "vector workhorse assembled from the repo's two halves: IVF coarse "
-    "quantizer prunes to nprobe probed clusters (the write-time "
-    "partition layout at 100 TB), PQ asymmetric-distance lookups rank "
-    "candidates inside them reading m*log2(ksub) BITS per vector, "
-    "exact cosine rerank bounds the approximation.  Hash-matched "
-    "booleans vs bulk exact top-10: per-query recall >= 0.3 and panel "
-    "average >= 0.55 (two stacked approximations - cluster pruning "
-    "AND code quantization - so margins sit under the single-"
-    "approximation gates' 0.5/0.7; measured well above at this "
-    "setting).",
+    doc="IVF-PQ composite ANN quality gate (r8; thresholds raised r9) "
+    "- the FAISS billion-vector workhorse assembled from the repo's "
+    "two halves: IVF coarse quantizer prunes to nprobe probed clusters "
+    "(the write-time partition layout at 100 TB), PQ asymmetric-"
+    "distance lookups rank candidates inside them reading "
+    "m*log2(ksub) BITS per vector, exact cosine rerank bounds the "
+    "approximation.  Hash-matched booleans vs bulk exact top-10: "
+    "per-query recall >= 0.5 and panel average >= 0.7 - the same bar "
+    "as the single-approximation LSH/IVF gates, reachable because "
+    "nprobe=8/rerank_factor=8 drives shortlist loss to zero (panel-20 "
+    "sweep: 0.870 mean / 0.700 min, exactly the pure-IVF coverage "
+    "bound; rerank pool is still only 80 full vectors per query).",
 )
 def knn_ivfpq_bulk_recall(spark, sf_dir):
     from crick_spark.pipeline.similarity import (
@@ -3824,7 +3825,7 @@ def knn_ivfpq_bulk_recall(spark, sf_dir):
     books = train_pq_codebooks(emb, m=16, ksub=16)
     exact = bulk_cosine_topk(queries, emb, k=10).select("query_id", "vec_id")
     ann = ivfpq_bulk_topk(
-        queries, emb, cents, books, k=10, nprobe=6, rerank_factor=4
+        queries, emb, cents, books, k=10, nprobe=8, rerank_factor=8
     ).select("query_id", "vec_id")
     hits = (
         exact.join(ann, ["query_id", "vec_id"], "left_semi")
@@ -3836,11 +3837,11 @@ def knn_ivfpq_bulk_recall(spark, sf_dir):
         "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
     )
     per_query = full.select(
-        "query_id", (F.col("recall") >= 0.3).alias("recall_ok")
+        "query_id", (F.col("recall") >= 0.5).alias("recall_ok")
     )
     overall = full.agg(
         F.lit(-1).cast("bigint").alias("query_id"),
-        (F.avg("recall") >= 0.55).alias("recall_ok"),
+        (F.avg("recall") >= 0.7).alias("recall_ok"),
     )
     return per_query.unionByName(overall)
 

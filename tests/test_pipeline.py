@@ -1279,6 +1279,75 @@ def test_unigram_lm_em_monotone_and_segmentation(spark):
     assert score > char_score
 
 
+def test_viterbi_batch_equals_scalar():
+    """r9 (VERDICT item 6): the vectorized E-step trellis must be
+    byte-identical to the scalar kernel — same pieces AND bit-equal
+    scores — across random vocabularies and words, including ties
+    (shortest-piece rule), length-1 words, words at max piece length,
+    and the padding boundary (mixed word lengths in one batch)."""
+    import math
+    import random
+
+    from crick_spark.pipeline.text import _viterbi, _viterbi_batch
+
+    rng = random.Random(13)
+    chars = list("abcdef")
+    logp = {c: math.log(rng.uniform(0.01, 0.1)) for c in chars}
+    # deliberate exact-tie pieces: p('xy') == p('x')+p('y') cases arise
+    # naturally from the log-uniform draws; add composites anyway
+    for _ in range(60):
+        p = "".join(rng.choice(chars) for _ in range(rng.randint(2, 6)))
+        logp.setdefault(p, math.log(rng.uniform(0.001, 0.05)))
+    ab = logp["a"] + logp["b"]
+    logp["ab"] = ab  # exact tie: scalar keeps the shortest-piece path
+    words = [
+        "".join(rng.choice(chars) for _ in range(rng.randint(1, 15)))
+        for _ in range(400)
+    ] + ["a", "ab", "abcdef" * 3, "f" * 20]
+    got = _viterbi_batch(words, logp, 6)
+    for w, g in zip(words, got):
+        exp = _viterbi(w, logp, 6)
+        assert g[0] == exp[0], (w, g[0], exp[0])
+        assert g[1] == exp[1], (w, g[1], exp[1])
+    assert _viterbi_batch([], logp, 6) == []
+
+
+def test_estep_batch_equals_scalar_loop():
+    """r9: the vectorized E-step (lockstep backtrack + bincount) must
+    produce EXACTLY the scalar loop's piece counts — integer-equal, the
+    property that keeps EM piece tables byte-identical — and the same
+    log-likelihood up to summation order (counts drive the M-step; ll
+    only feeds the monotonicity trace)."""
+    import math
+    import random
+
+    from crick_spark.pipeline.text import _estep_batch, _viterbi
+
+    rng = random.Random(99)
+    chars = list("abcdefgh")
+    logp = {c: math.log(rng.uniform(0.01, 0.1)) for c in chars}
+    for _ in range(80):
+        p = "".join(rng.choice(chars) for _ in range(rng.randint(2, 6)))
+        logp.setdefault(p, math.log(rng.uniform(0.001, 0.05)))
+    words = [
+        "".join(rng.choice(chars) for _ in range(rng.randint(1, 18)))
+        for _ in range(800)
+    ] + ["abab" * 3]  # repeated piece inside one word: counts multiply
+    wfreqs = [rng.randint(1, 50) for _ in words]
+
+    exp_counts: dict = {}
+    exp_ll = 0.0
+    for w, wf in zip(words, wfreqs):
+        pieces, score = _viterbi(w, logp, 6)
+        exp_ll += float(wf) * score
+        for p in pieces:
+            exp_counts[p] = exp_counts.get(p, 0) + int(wf)
+    got_counts, got_ll = _estep_batch(words, wfreqs, logp, 6)
+    assert got_counts == exp_counts
+    assert abs(got_ll - exp_ll) <= 1e-9 * abs(exp_ll)
+    assert _estep_batch([], [], logp, 6) == ({}, 0.0)
+
+
 def test_ivf_bulk_matches_per_query_on_panel(spark):
     """Bulk IVF (one job) must return EXACTLY the per-query IVF path's
     top-k for every query on a 10-query panel — same centroids, same
@@ -2109,6 +2178,57 @@ def test_ivfpq_equals_ivf_when_pool_unbounded(spark):
     ivf = ivf_bulk_topk(queries, emb, cents, k=5, nprobe=2)
     ivfpq = ivfpq_bulk_topk(
         queries, emb, cents, books, k=5, nprobe=2, rerank_factor=10_000
+    )
+    a = sorted(map(tuple, ivf.collect()))
+    b = sorted(map(tuple, ivfpq.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivfpq_residual_mode(spark):
+    """FAISS by_residual (r9): codes quantize x_norm − c(x).  Three
+    invariants: (a) residual training/encoding is deterministic,
+    (b) residual codes genuinely differ from plain codes (the mode is
+    wired through, not ignored), (c) with an unbounded rerank pool the
+    residual path equals plain IVF byte-for-byte — the ADC decomposition
+    q·c + q·r̃ only REORDERS the shortlist, exact rerank fixes the rest."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivfpq_bulk_topk,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(emb, k=8)
+    books1 = train_pq_codebooks(emb, m=16, ksub=16, centroids=cents)
+    books2 = train_pq_codebooks(emb, m=16, ksub=16, centroids=cents)
+    assert (books1 == books2).all()
+
+    plain = train_pq_codebooks(emb, m=16, ksub=16)
+    codes_res = (
+        pq_encode(emb, books1, centroids=cents)
+        .toPandas()
+        .set_index("vec_id")["codes"]
+    )
+    codes_plain = (
+        pq_encode(emb, plain).toPandas().set_index("vec_id")["codes"]
+    )
+    assert any(
+        tuple(codes_res[i]) != tuple(codes_plain[i]) for i in codes_res.index
+    )
+
+    ivf = ivf_bulk_topk(queries, emb, cents, k=5, nprobe=2)
+    ivfpq = ivfpq_bulk_topk(
+        queries, emb, cents, books1, k=5, nprobe=2,
+        rerank_factor=10_000, by_residual=True,
     )
     a = sorted(map(tuple, ivf.collect()))
     b = sorted(map(tuple, ivfpq.collect()))

@@ -235,6 +235,29 @@ def test_sketch_default_has_no_single_task_shape(spark, name):
     )
 
 
+def test_tfidf_pair_join_reads_materialized_postings(spark):
+    """r9 (VERDICT r8 item 2): tfidf_similar_pairs materializes the
+    normalized posting relation ONCE (eager localCheckpoint) before the
+    salted self-join — salting rewrites the two sides differently, so
+    without the checkpoint Catalyst cannot reuse the exchange and each
+    side recomputes the tokenize→explode→tf→idf→window chain (the
+    pinned cause of the r7/r8 timing swings: 5.6/7.6/12.4 s min/med/max
+    recomputing vs 3.3/4.9/5.6 s materialized, 6-run sweep at sf0.1).
+    Pin the shape: both join sides scan the checkpointed RDD, so no
+    parquet scan of documents survives anywhere in the pair-join plan
+    (the salt-range explode above the checkpoint is fine — it's the
+    term explode whose recompute hurt)."""
+    text = plan_text(spark, "tfidf_similar_docs")
+    assert text.count("ExistingRDD") >= 2, (
+        "tfidf pair join no longer reads the materialized postings — "
+        "the duplicate-subtree recompute is back"
+    )
+    assert "Scan parquet" not in text, (
+        "a parquet scan survives in the pair-join plan: the posting "
+        "subtree is being recomputed past the checkpoint"
+    )
+
+
 def test_sketch_aggregation_stays_narrow(spark):
     """The two-phase sketch path must shuffle sketch buffers, not rows:
     tdigest grouped quantiles gets at most 2 exchanges (partial shuffle +

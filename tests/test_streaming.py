@@ -240,6 +240,31 @@ def test_spacesaving_stream_topk_tws_port(spark):
     assert results["tws"].equals(results["apips"])
 
 
+def test_tws_probe_consistency():
+    """CI-style loud-fail probe (r9 verdict item 10): if the runtime
+    HAS protobuf, ``tws_available`` must report available — otherwise a
+    rotted TWS path would hide behind the env skip forever.  When the
+    driver image gains protobuf, this test (plus the equivalence test
+    above, which then runs for real) auto-activates the path; it cannot
+    silently stay skipped."""
+    from crick_spark.streaming.sketch_state import tws_available
+
+    ok, reason = tws_available()
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    if has_pb:
+        assert ok, (
+            f"protobuf present but TWS probe reports unavailable: {reason} "
+            "— the transformWithStateInPandas path has rotted"
+        )
+    else:
+        assert not ok and "protobuf" in reason
+
+
 def test_incremental_dedup_equals_batch_lsh(spark, tmp_path):
     """The streaming incremental candidate set (4 micro-batches folding
     into a persisted bucket store) must equal the single-batch
