@@ -214,7 +214,13 @@ _GATE_WINDOW = [
     "asof_join_events_orders",
     "range_join_event_pairs",
     # streaming representative
-    "streaming_hourly_rollup",
+    # r9: streaming_hourly_rollup rotated out (its TUMBLING semantics
+    # stay driver-visible through the batch twin events_hourly_rollup
+    # in-window, and the streamed form stays oracle-checked outside)
+    # for the SESSION-window streaming rollup — merging-session state +
+    # watermark eviction hash-matched against the gaps-and-islands SQL
+    # oracle, stream≡batch pinned by pytest (VERDICT r8 item 7)
+    "streaming_session_rollup",
 ]
 
 

@@ -36,7 +36,10 @@ def test_gate_window_family_coverage():
     assert {"tpch_q9_product_profit", "tpch_q21_waiting_orders"} <= w
     assert {"dedup_exact_documents", "jaccard_ngram_dup_pairs"} <= w
     assert {"asof_join_events_orders", "range_join_event_pairs"} <= w
-    assert "streaming_hourly_rollup" in w
+    # r9 rotation: the streaming slot upgraded from the tumbling rollup
+    # (batch twin events_hourly_rollup keeps tumbling in-window) to the
+    # session-window streaming rollup (merging state + watermark)
+    assert "streaming_session_rollup" in w
     # r8 rotation: weighted SS / weighted moments forms moved outside
     # (still oracle-checked), their slots carry the r8 gates; each
     # sketch family keeps at least one persistence + one exact-regime

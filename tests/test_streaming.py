@@ -61,6 +61,33 @@ def test_session_rollup_conservation(spark):
     assert (per_user == sizes).all()
 
 
+def test_streaming_session_equals_batch(spark):
+    """Stream ≡ batch for SESSION windows (r9, VERDICT item 7): the
+    Structured Streaming session_window rollup (watermark + complete
+    mode, availableNow over multi-file micro-batches) must equal the
+    batch session_window rollup row-for-row — merging-session state
+    across micro-batches cannot change the final sessionization."""
+    from crick_spark.plans import QUERIES
+
+    streamed = (
+        QUERIES["streaming_session_rollup"].fn(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = (
+        session_rollup_batch(ev, "10 minutes")
+        .withColumn(
+            "session_start", F.col("session_start").cast("timestamp_ntz")
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert streamed[cols].equals(batch[cols])
+    assert len(streamed) > 0
+
+
 def test_tdigest_stream_state_matches_batch(spark):
     """Final streaming-state digest ≈ batch digest over the same data,
     fed through multiple triggers (maxFilesPerTrigger=1 still gives ≥1
