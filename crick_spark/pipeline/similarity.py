@@ -1326,6 +1326,87 @@ def ivf_bulk_topk_from_layout(
     return (out, probed) if return_probed else out
 
 
+def ivf_layout_append(
+    new_batch: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a micro-batch of new vectors into an existing
+    ``write_ivf_layout`` directory — continuous-ingestion maintenance
+    of the inverted-file index (r9): a 100 TB training-data pipeline
+    ingests embeddings continuously, and rebuilding the layout per
+    batch re-shuffles the resident corpus; appending does not.
+
+    The batch takes the SAME deterministic assignment as the resident
+    layout (one Arrow matmul against the frozen centroid matrix), is
+    hash-repartitioned so each touched cluster gets exactly one new
+    file per fold, and lands via ``mode("append")`` + dynamic
+    partition dirs — resident files are never opened, never rewritten
+    (pytest-pinned byte-identical).  Readers
+    (``ivf_bulk_topk_from_layout``) see the union immediately: probes
+    prune on the partition value, which is identical for old and new
+    files of a cluster, and results equal a from-scratch build over
+    the union corpus EXACTLY (same centroids ⇒ same assignment ⇒ same
+    candidate sets; registered-query oracle).
+
+    Returns fold stats: rows appended, touched cluster ids, and
+    ``mean_top_cosine`` — the batch's mean cosine to its assigned
+    centroid, the drift signal: a falling value against the build-time
+    baseline says the frozen coarse quantizer no longer fits the
+    incoming distribution and a re-layout (one-shot
+    ``write_ivf_layout`` rebuild) is due.  The stats aggregate is one
+    1-row job over the batch; nothing here scales with the resident
+    corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+    )
+
+    @pandas_udf("struct<cluster: int, topcos: double>")
+    def assign_scored(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cn.T
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "topcos": sims[np.arange(len(best)), best],
+            }
+        )
+
+    assigned = (
+        new_batch.select(id_col, vec_col)
+        .withColumn("__a__", assign_scored(F.col(vec_col)))
+        .select(
+            id_col,
+            vec_col,
+            F.col("__a__.cluster").alias("ivf_cluster"),
+            F.col("__a__.topcos").alias("__topcos__"),
+        )
+        .localCheckpoint(eager=True)  # assignment computes once: stats + write
+    )
+    stats_row = assigned.agg(
+        F.count("*").alias("rows"),
+        F.round(F.avg("__topcos__"), 6).alias("mean_top_cosine"),
+        F.collect_set("ivf_cluster").alias("clusters"),
+    ).collect()[0]
+    n_clusters = centroids.shape[0]
+    assigned.drop("__topcos__").repartition(
+        n_clusters, F.col("ivf_cluster")
+    ).write.mode("append").partitionBy("ivf_cluster").parquet(path)
+    return {
+        "rows": int(stats_row["rows"]),
+        "clusters_touched": sorted(int(c) for c in stats_row["clusters"]),
+        "mean_top_cosine": float(stats_row["mean_top_cosine"])
+        if stats_row["mean_top_cosine"] is not None
+        else None,
+    }
+
+
 def ivfpq_bulk_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1048,6 +1048,87 @@ def knn_ivf_layout_prune(spark, sf_dir):
 
 
 @register(
+    "ivf_layout_incremental",
+    oracle="""
+SELECT TRUE AS results_match_full_build,
+       TRUE AS resident_files_untouched,
+       TRUE AS drift_signal_present,
+       count(*) AS rows_indexed
+FROM embeddings
+""",
+    doc="Continuous-ingestion ANN index maintenance (r9): a third of "
+    "the corpus builds the IVF layout one-shot, the other two thirds "
+    "fold in as micro-batch APPENDS (ivf_layout_append - same frozen "
+    "centroid assignment, one new file per touched cluster partition, "
+    "resident files never opened).  Hash-matched: panel results over "
+    "the appended layout equal the in-memory ivf_bulk_topk over the "
+    "full corpus EXACTLY (same centroids => same assignment => same "
+    "candidate sets); every pre-append file survives byte-identical "
+    "(size+mtime snapshot); each fold reports the mean-top-cosine "
+    "drift signal; and rows_indexed hash-matches DuckDB's corpus "
+    "count - no row lost or duplicated across the three writes.  At "
+    "100 TB this is the difference between re-shuffling the resident "
+    "corpus per ingest batch and touching only batch-sized files.",
+)
+def ivf_layout_incremental(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivf_bulk_topk_from_layout,
+        ivf_layout_append,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+    from crick_spark.tmpdirs import run_tmpdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=16, n_iter=5)
+    work = run_tmpdir("crick_ivf_inc_")
+    path = f"{work}/layout"
+    write_ivf_layout(emb.where(F.col("vec_id") % 3 == 0), centroids, path)
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{path}/ivf_cluster=*/*.parquet")
+        }
+
+    before = snap()
+    stats = [
+        ivf_layout_append(
+            emb.where(F.col("vec_id") % 3 == m), centroids, path
+        )
+        for m in (1, 2)
+    ]
+    after = snap()
+    untouched = all(after.get(p) == v for p, v in before.items())
+    drift_ok = all(
+        s["mean_top_cosine"] is not None and s["rows"] > 0 for s in stats
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    mem = ivf_bulk_topk(queries, emb, centroids, k=10, nprobe=4)
+    lay = ivf_bulk_topk_from_layout(
+        spark, queries, path, centroids, k=10, nprobe=4
+    )
+    diff = mem.exceptAll(lay).unionByName(lay.exceptAll(mem))
+    rows_indexed = spark.read.parquet(path).count()
+    out = diff.agg(F.count("*").alias("__d__")).select(
+        (F.col("__d__") == 0).alias("results_match_full_build"),
+        F.lit(untouched).alias("resident_files_untouched"),
+        F.lit(drift_ok).alias("drift_signal_present"),
+        F.lit(rows_indexed).cast("long").alias("rows_indexed"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "knn_graph_embeddings",
     doc="kNN graph over the whole embedding corpus (rows-only headline; "
     "hash path): the corpus queries ITSELF through the bulk LSH join — "

@@ -1664,6 +1664,70 @@ def test_ivf_layout_prunes_partitions_and_matches_memory(spark, tmp_path):
     assert "PartitionFilters: [ivf_cluster" in buf.getvalue()
 
 
+def test_ivf_layout_append_incremental(spark, tmp_path):
+    """ivf_layout_append (r9): folding micro-batches into a resident
+    IVF layout must (a) never touch resident files (size+mtime
+    byte-identity), (b) add exactly ONE file per touched cluster per
+    fold (the scale write shape), (c) leave layout queries equal to a
+    from-scratch build over the union corpus, and (d) report the
+    drift-signal stats."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivf_bulk_topk_from_layout,
+        ivf_layout_append,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, k=8)
+    path = str(tmp_path / "layout")
+    write_ivf_layout(emb.where(F.col("vec_id") % 2 == 0), cents, path)
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{path}/ivf_cluster=*/*.parquet")
+        }
+
+    before = snap()
+    stats = ivf_layout_append(
+        emb.where(F.col("vec_id") % 2 == 1), cents, path
+    )
+    after = snap()
+    # (a) resident files byte-identical
+    assert all(after.get(p) == v for p, v in before.items())
+    # (b) one new file per touched cluster
+    new_files = [p for p in after if p not in before]
+    per_cluster: dict = {}
+    for p in new_files:
+        c = int(p.split("ivf_cluster=")[1].split(os.sep)[0])
+        per_cluster[c] = per_cluster.get(c, 0) + 1
+    assert set(per_cluster) == set(stats["clusters_touched"])
+    assert all(v == 1 for v in per_cluster.values()), per_cluster
+    # (d) stats shape
+    assert stats["rows"] == emb.where(F.col("vec_id") % 2 == 1).count()
+    assert 0.0 < stats["mean_top_cosine"] <= 1.0
+    # (c) query equivalence vs from-scratch build on the union
+    panel = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = ivf_bulk_topk(panel, emb, cents, k=5, nprobe=2)
+    lay = ivf_bulk_topk_from_layout(spark, panel, path, cents, k=5, nprobe=2)
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, lay.collect())
+    )
+    # total rows conserved across the two writes
+    assert spark.read.parquet(path).count() == emb.count()
+
+
 def test_ivf_layout_small_probe_set_in_rendering(spark, tmp_path):
     """r8 ADVICE fix: a probe set at/under
     spark.sql.optimizer.inSetConversionThreshold (10) renders as
