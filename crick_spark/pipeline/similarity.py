@@ -1455,7 +1455,55 @@ def ivfpq_bulk_topk(
     in the task closure exactly like the codebooks — so ADC scoring is
     one Arrow kernel over (query_id, codes) with no per-row query
     vectors.  Inherits ``_bulk_rerank``'s dropped-query contract."""
-    from pyspark.sql import Window
+    probes, adc = _ivfpq_scorers(
+        queries, centroids, codebooks, nprobe, by_residual,
+        query_id_col, vec_col,
+    )
+    query_probes = F.broadcast(
+        queries.select(
+            query_id_col, F.explode(probes(F.col(vec_col))).alias("ivf_cluster")
+        )
+    )
+    indexed = ivf_index(corpus.select(id_col, vec_col), centroids, vec_col)
+    # project the full-precision vector OUT before the probe join: the
+    # ADC scan's whole point is m·log2(ksub) bits per candidate, and
+    # keeping vec_col here would materialize the full embedding per
+    # (query, candidate) row in the shuffle (r9 ADVICE fix); vectors
+    # re-enter only for the rerank_factor·k pool in _bulk_rerank
+    coded = (
+        pq_encode(
+            indexed, codebooks.astype(np.float64), id_col, vec_col,
+            centroids=centroids if by_residual else None,
+        )
+        .select(id_col, "codes")
+        .join(indexed.select(id_col, "ivf_cluster"), id_col)
+    )
+    pool = _ivfpq_pool(
+        query_probes, coded, adc, query_id_col, id_col, rerank_factor, k
+    )
+    return _bulk_rerank(
+        pool, queries, corpus.select(id_col, vec_col), k,
+        query_id_col, id_col, vec_col, True,
+    )
+
+
+def _ivfpq_scorers(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int,
+    by_residual: bool,
+    query_id_col: str,
+    vec_col: str,
+):
+    """Shared IVF-PQ kernels (r9 refactor for the layout variant):
+    returns (probes, adc) pandas UDFs.  ``probes`` maps a query vector
+    to its nprobe nearest coarse centroids; ``adc`` maps (query_id,
+    cluster, codes) to the asymmetric-distance score — LUT lookups
+    plus, in residual mode, the exact q·centroid term.  Per-query LUTs
+    (m × ksub subspace dot products) build driver-side from the query
+    PANEL — panel-bounded metadata shipped in the task closure exactly
+    like the codebooks."""
     from pyspark.sql.functions import pandas_udf
 
     B = codebooks.astype(np.float64)
@@ -1473,8 +1521,6 @@ def ivfpq_bulk_topk(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
         return pd.Series([row.astype(np.int32) for row in top])
 
-    # panel-bounded driver collect: one LUT per query (m*ksub doubles),
-    # plus (residual mode) the q·centroid row — k doubles per query
     luts = {}
     qdotc = {}
     for r in queries.select(query_id_col, vec_col).collect():
@@ -1500,25 +1546,16 @@ def ivfpq_bulk_topk(
                 out[mask] += qdotc[qid][cl[mask]]
         return pd.Series(out)
 
-    query_probes = F.broadcast(
-        queries.select(
-            query_id_col, F.explode(probes(F.col(vec_col))).alias("ivf_cluster")
-        )
-    )
-    indexed = ivf_index(corpus.select(id_col, vec_col), centroids, vec_col)
-    # project the full-precision vector OUT before the probe join: the
-    # ADC scan's whole point is m·log2(ksub) bits per candidate, and
-    # keeping vec_col here would materialize the full embedding per
-    # (query, candidate) row in the shuffle (r9 ADVICE fix); vectors
-    # re-enter only for the rerank_factor·k pool in _bulk_rerank
-    coded = (
-        pq_encode(
-            indexed, B, id_col, vec_col,
-            centroids=centroids if by_residual else None,
-        )
-        .select(id_col, "codes")
-        .join(indexed.select(id_col, "ivf_cluster"), id_col)
-    )
+    return probes, adc
+
+
+def _ivfpq_pool(
+    query_probes, coded, adc, query_id_col, id_col, rerank_factor, k
+) -> DataFrame:
+    """ADC-score the probed candidates and keep the per-query top
+    rerank_factor·k shortlist (engine tie-break: score desc, id asc)."""
+    from pyspark.sql import Window
+
     scored = query_probes.join(coded, "ivf_cluster").select(
         query_id_col,
         id_col,
@@ -1529,12 +1566,90 @@ def ivfpq_bulk_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("qscore"), F.asc(id_col)
     )
-    pool = (
+    return (
         scored.withColumn("__rk__", F.row_number().over(w))
         .where(F.col("__rk__") <= int(rerank_factor) * int(k))
         .select(query_id_col, id_col)
     )
-    return _bulk_rerank(
-        pool, queries, corpus.select(id_col, vec_col), k,
+
+
+def write_ivfpq_layout(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_residual: bool = False,
+) -> None:
+    """Persist the corpus as the FULL IVF-PQ index layout (r9): rows
+    (id, vec, codes) Hive-partitioned by coarse cluster.  This is the
+    write-time form of the billion-vector index where BOTH pruning
+    levers are physical: a probe opens only its clusters' files
+    (PartitionFilters) and the ADC pass reads only the ``codes``
+    column (ReadSchema — m·log2(ksub) bits per candidate on disk, the
+    full-precision vector column stays unread until the
+    rerank_factor·k pool).  Encode is one distributed Arrow pass; one
+    file per cluster partition."""
+    indexed = ivf_index(corpus.select(id_col, vec_col), centroids, vec_col)
+    coded = pq_encode(
+        indexed,
+        codebooks.astype(np.float64),
+        id_col,
+        vec_col,
+        centroids=centroids if by_residual else None,
+    ).join(indexed.select(id_col, "ivf_cluster"), id_col)
+    coded.select(id_col, vec_col, "codes", "ivf_cluster").repartition(
+        int(centroids.shape[0]), F.col("ivf_cluster")
+    ).write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+
+
+def ivfpq_bulk_topk_from_layout(
+    spark,
+    queries: DataFrame,
+    layout_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_residual: bool = False,
+    return_probed: bool = False,
+) -> DataFrame:
+    """Bulk IVF-PQ ANN over a ``write_ivfpq_layout`` directory — the
+    100 TB read path with both physical pruning levers engaged (r9):
+    the panel's probed-cluster set applies as a literal isin on the
+    partition column (unprobed clusters' files never open), and the
+    ADC candidate scan selects ONLY (id, cluster, codes) so parquet
+    column pruning keeps the full-precision vectors on disk; vectors
+    are read by a SECOND pruned scan only for the rerank pool's rows.
+    Results are identical to the in-memory ``ivfpq_bulk_topk`` for the
+    same corpus/centroids/codebooks (registered-query oracle), because
+    assignment, codes, LUTs, and tie-breaks are all shared kernels."""
+    probes, adc = _ivfpq_scorers(
+        queries, centroids, codebooks, nprobe, by_residual,
+        query_id_col, vec_col,
+    )
+    query_probes = queries.select(
+        query_id_col, F.explode(probes(F.col(vec_col))).alias("ivf_cluster")
+    ).localCheckpoint(eager=True)  # probes compute once: isin + join reuse
+    probed = sorted(
+        r["ivf_cluster"]
+        for r in query_probes.select("ivf_cluster").distinct().collect()
+    )
+    pruned = spark.read.parquet(layout_path).where(
+        F.col("ivf_cluster").isin(probed)
+    )
+    coded = pruned.select(id_col, "ivf_cluster", "codes")
+    pool = _ivfpq_pool(
+        F.broadcast(query_probes), coded, adc,
+        query_id_col, id_col, rerank_factor, k,
+    )
+    out = _bulk_rerank(
+        pool, queries, pruned.select(id_col, vec_col), k,
         query_id_col, id_col, vec_col, True,
     )
+    return (out, probed) if return_probed else out

@@ -1129,6 +1129,91 @@ def ivf_layout_incremental(spark, sf_dir):
 
 
 @register(
+    "knn_ivfpq_layout_prune",
+    oracle="SELECT TRUE AS results_match_memory, "
+    "TRUE AS partition_filter_present, "
+    "TRUE AS codes_scan_column_pruned, TRUE AS pruning_effective",
+    doc="Write-time IVF-PQ index layout end-to-end (r9): the corpus "
+    "persists as (id, vec, codes) Hive-partitioned by coarse cluster "
+    "(write_ivfpq_layout), and the bulk panel runs with BOTH physical "
+    "pruning levers: the probed-cluster isin reaches the scan as a "
+    "PartitionFilter (unprobed files never open), and the ADC "
+    "candidate scan's ReadSchema carries codes WITHOUT the embedding "
+    "column - the full-precision vectors stay on disk until the "
+    "rerank pool.  Hash-matched booleans: results byte-identical to "
+    "the in-memory ivfpq_bulk_topk (shared assignment/code/LUT/"
+    "tie-break kernels), both plan properties present, probe count "
+    "strictly under the cluster count.  This is the billion-vector "
+    "FAISS shape expressed as partition layout + column pruning - "
+    "Catalyst does the index lookup.",
+)
+def knn_ivfpq_layout_prune(spark, sf_dir):
+    import io
+    import shutil
+    from contextlib import redirect_stdout
+
+    from crick_spark.pipeline.similarity import (
+        ivfpq_bulk_topk,
+        ivfpq_bulk_topk_from_layout,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivfpq_layout,
+    )
+    from crick_spark.tmpdirs import run_tmpdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=16, n_iter=5)
+    books = train_pq_codebooks(emb, m=16, ksub=16)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("bigint").alias("query_id"), "embedding"
+    )
+    work = run_tmpdir("crick_ivfpq_layout_")
+    write_ivfpq_layout(emb, cents, books, f"{work}/layout")
+    mem = ivfpq_bulk_topk(
+        queries, emb, cents, books, k=10, nprobe=6, rerank_factor=4
+    )
+    lay, probed = ivfpq_bulk_topk_from_layout(
+        spark,
+        queries,
+        f"{work}/layout",
+        cents,
+        books,
+        k=10,
+        nprobe=6,
+        rerank_factor=4,
+        return_probed=True,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lay.explain("formatted")
+    plan = buf.getvalue()
+    has_pf = any(
+        "PartitionFilters:" in ln and "ivf_cluster" in ln
+        for ln in plan.splitlines()
+    )
+    codes_pruned = any(
+        "ReadSchema:" in ln and "codes" in ln and "embedding" not in ln
+        for ln in plan.splitlines()
+    )
+    n_total = (
+        spark.read.parquet(f"{work}/layout")
+        .select("ivf_cluster")
+        .distinct()
+        .count()
+    )
+    diff = mem.exceptAll(lay).unionByName(lay.exceptAll(mem))
+    out = diff.agg(F.count("*").alias("__d__")).select(
+        (F.col("__d__") == 0).alias("results_match_memory"),
+        F.lit(has_pf).alias("partition_filter_present"),
+        F.lit(codes_pruned).alias("codes_scan_column_pruned"),
+        F.lit(len(probed) < n_total).alias("pruning_effective"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
     "knn_graph_embeddings",
     doc="kNN graph over the whole embedding corpus (rows-only headline; "
     "hash path): the corpus queries ITSELF through the bulk LSH join — "

@@ -1728,6 +1728,54 @@ def test_ivf_layout_append_incremental(spark, tmp_path):
     assert spark.read.parquet(path).count() == emb.count()
 
 
+def test_ivfpq_layout_matches_memory_and_prunes_columns(spark, tmp_path):
+    """write_ivfpq_layout + ivfpq_bulk_topk_from_layout (r9): the
+    layout path must return byte-identical results to the in-memory
+    IVF-PQ (shared assignment/code/LUT kernels), carry a
+    PartitionFilter on the probe set, and — the layout's point — scan
+    codes WITHOUT the embedding column for ADC (ReadSchema-pinned:
+    full vectors stay on disk until the rerank pool)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivfpq_bulk_topk,
+        ivfpq_bulk_topk_from_layout,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivfpq_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, k=8)
+    books = train_pq_codebooks(emb, m=16, ksub=16)
+    panel = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pqlayout")
+    write_ivfpq_layout(emb, cents, books, path)
+    mem = ivfpq_bulk_topk(panel, emb, cents, books, k=5, nprobe=2)
+    lay = ivfpq_bulk_topk_from_layout(
+        spark, panel, path, cents, books, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, lay.collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lay.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [ivf_cluster" in plan
+    assert any(
+        "ReadSchema:" in ln and "codes" in ln and "embedding" not in ln
+        for ln in plan.splitlines()
+    ), "ADC scan reads the embedding column - column pruning regressed"
+
+
 def test_ivf_layout_small_probe_set_in_rendering(spark, tmp_path):
     """r8 ADVICE fix: a probe set at/under
     spark.sql.optimizer.inSetConversionThreshold (10) renders as
