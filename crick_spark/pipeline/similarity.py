@@ -1332,6 +1332,8 @@ def ivf_layout_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    by_residual: bool = False,
 ) -> dict:
     """Fold a micro-batch of new vectors into an existing
     ``write_ivf_layout`` directory — continuous-ingestion maintenance
@@ -1358,7 +1360,13 @@ def ivf_layout_append(
     incoming distribution and a re-layout (one-shot
     ``write_ivf_layout`` rebuild) is due.  The stats aggregate is one
     1-row job over the batch; nothing here scales with the resident
-    corpus."""
+    corpus.
+
+    With ``codebooks`` the appended rows also carry PQ ``codes``
+    (same encode kernel as ``write_ivfpq_layout``), so the fold
+    maintains the full IVF-PQ index layout — appended files are
+    schema-identical to the resident ones and
+    ``ivfpq_bulk_topk_from_layout`` reads the union immediately."""
     from pyspark.sql.functions import pandas_udf
 
     cn = centroids / np.maximum(
@@ -1378,24 +1386,35 @@ def ivf_layout_append(
             }
         )
 
-    assigned = (
-        new_batch.select(id_col, vec_col)
-        .withColumn("__a__", assign_scored(F.col(vec_col)))
-        .select(
+    assigned = new_batch.select(id_col, vec_col).withColumn(
+        "__a__", assign_scored(F.col(vec_col))
+    ).select(
+        id_col,
+        vec_col,
+        F.col("__a__.cluster").alias("ivf_cluster"),
+        F.col("__a__.topcos").alias("__topcos__"),
+    )
+    if codebooks is not None:
+        coded = pq_encode(
+            assigned,
+            codebooks.astype(np.float64),
             id_col,
             vec_col,
-            F.col("__a__.cluster").alias("ivf_cluster"),
-            F.col("__a__.topcos").alias("__topcos__"),
-        )
-        .localCheckpoint(eager=True)  # assignment computes once: stats + write
-    )
+            centroids=centroids if by_residual else None,
+        ).select(id_col, "codes")
+        assigned = assigned.join(coded, id_col)
+    # assignment computes once: stats + write
+    assigned = assigned.localCheckpoint(eager=True)
     stats_row = assigned.agg(
         F.count("*").alias("rows"),
         F.round(F.avg("__topcos__"), 6).alias("mean_top_cosine"),
         F.collect_set("ivf_cluster").alias("clusters"),
     ).collect()[0]
     n_clusters = centroids.shape[0]
-    assigned.drop("__topcos__").repartition(
+    out_cols = [id_col, vec_col] + (
+        ["codes"] if codebooks is not None else []
+    ) + ["ivf_cluster"]
+    assigned.select(*out_cols).repartition(
         n_clusters, F.col("ivf_cluster")
     ).write.mode("append").partitionBy("ivf_cluster").parquet(path)
     return {

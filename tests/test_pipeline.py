@@ -1728,6 +1728,47 @@ def test_ivf_layout_append_incremental(spark, tmp_path):
     assert spark.read.parquet(path).count() == emb.count()
 
 
+def test_ivfpq_layout_append_with_codes(spark, tmp_path):
+    """ivf_layout_append(codebooks=...) maintains the FULL IVF-PQ
+    layout: appended files are schema-identical to the resident ones
+    (codes included), and the layout read path over build+append
+    equals the in-memory IVF-PQ over the union corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_layout_append,
+        ivfpq_bulk_topk,
+        ivfpq_bulk_topk_from_layout,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivfpq_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, k=8)
+    books = train_pq_codebooks(emb, m=16, ksub=16)
+    path = str(tmp_path / "pqlayout")
+    write_ivfpq_layout(emb.where(F.col("vec_id") % 2 == 0), cents, books, path)
+    stats = ivf_layout_append(
+        emb.where(F.col("vec_id") % 2 == 1), cents, path, codebooks=books
+    )
+    assert stats["rows"] > 0
+    assert "codes" in spark.read.parquet(path).columns
+    panel = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = ivfpq_bulk_topk(panel, emb, cents, books, k=5, nprobe=2)
+    lay = ivfpq_bulk_topk_from_layout(
+        spark, panel, path, cents, books, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, lay.collect())
+    )
+    assert spark.read.parquet(path).count() == emb.count()
+
+
 def test_ivfpq_layout_matches_memory_and_prunes_columns(spark, tmp_path):
     """write_ivfpq_layout + ivfpq_bulk_topk_from_layout (r9): the
     layout path must return byte-identical results to the in-memory
