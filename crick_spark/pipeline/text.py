@@ -652,7 +652,9 @@ def _trellis_groups(words: list, logp: dict, max_len: int):
         {ord(c) for entries in by_len.values() for p, _ in entries for c in p}
     )
     K = len(piece_cps) + 1
-    if K ** ml >= 2 ** 63:
+    # no usable piece (or an alphabet too large to pack): defer to the
+    # scalar kernel so degenerate inputs fail/behave exactly as before
+    if not piece_cps or K ** ml >= 2 ** 63:
         yield None
         return
     vocab_cps = np.asarray(piece_cps, dtype=np.uint32)
