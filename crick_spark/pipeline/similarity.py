@@ -1618,9 +1618,14 @@ def write_ivfpq_layout(
         vec_col,
         centroids=centroids if by_residual else None,
     ).join(indexed.select(id_col, "ivf_cluster"), id_col)
+    # sortWithinPartitions(id) gives every row group a tight id range,
+    # so the rerank's pool-id isin prunes at the parquet footer — the
+    # third pruning lever (partition → column → row group)
     coded.select(id_col, vec_col, "codes", "ivf_cluster").repartition(
         int(centroids.shape[0]), F.col("ivf_cluster")
-    ).write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    ).sortWithinPartitions(id_col).write.mode("overwrite").partitionBy(
+        "ivf_cluster"
+    ).parquet(path)
 
 
 def ivfpq_bulk_topk_from_layout(
@@ -1663,12 +1668,30 @@ def ivfpq_bulk_topk_from_layout(
         F.col("ivf_cluster").isin(probed)
     )
     coded = pruned.select(id_col, "ivf_cluster", "codes")
+    # pool is ≤ |panel|·rerank_factor·k rows; persist (not checkpoint)
+    # so the ids collect materializes it ONCE for the rerank join while
+    # the ADC subtree stays visible in the final plan (the codes-only
+    # ReadSchema the gate pins); the cache is panel-bounded and the
+    # ContextCleaner reaps it when the plan is dropped
     pool = _ivfpq_pool(
         F.broadcast(query_probes), coded, adc,
         query_id_col, id_col, rerank_factor, k,
-    )
+    ).persist()
+    # third pruning lever (r9): the pool is panel-bounded metadata, so
+    # its DISTINCT ids push down onto the vector scan as an isin —
+    # with the write-time sortWithinPartitions(id) ordering, parquet
+    # row-group min/max skip everything but the pool's row groups, and
+    # the rerank reads ~pool vectors instead of every probed cluster's.
+    # Above the cap the literal list would bloat the plan; the plain
+    # join still reads only probed PARTITIONS (levers one and two).
+    pool_ids = [
+        r[0] for r in pool.select(id_col).distinct().limit(10_001).collect()
+    ]
+    vecs = pruned.select(id_col, vec_col)
+    if len(pool_ids) <= 10_000:
+        vecs = vecs.where(F.col(id_col).isin(pool_ids))
     out = _bulk_rerank(
-        pool, queries, pruned.select(id_col, vec_col), k,
+        pool, queries, vecs, k,
         query_id_col, id_col, vec_col, True,
     )
     return (out, probed) if return_probed else out

@@ -1815,6 +1815,12 @@ def test_ivfpq_layout_matches_memory_and_prunes_columns(spark, tmp_path):
         "ReadSchema:" in ln and "codes" in ln and "embedding" not in ln
         for ln in plan.splitlines()
     ), "ADC scan reads the embedding column - column pruning regressed"
+    # third lever: pool ids push onto the VECTOR scan (write-time
+    # sortWithinPartitions(id) makes the In(...) a row-group skip)
+    assert any(
+        "PushedFilters:" in ln and "In(vec_id" in ln
+        for ln in plan.splitlines()
+    ), "pool ids no longer push down to the rerank vector scan"
 
 
 def test_ivf_layout_small_probe_set_in_rendering(spark, tmp_path):
