@@ -755,6 +755,15 @@ def _viterbi_batch(
         for j in range(len(rows)):
             r = int(rows[j])
             w = words[r]
+            if best[j, n] == float("-inf"):
+                # unsegmentable word (a char no piece covers): the DP
+                # wrote argmax backpointers over all-(−inf) candidates,
+                # so the walk would emit a bogus segmentation — the
+                # scalar kernel raises here (back[i] is None); match it
+                raise TypeError(
+                    f"word {w!r} is not segmentable under the piece "
+                    "table (out-of-vocabulary character)"
+                )
             pieces = []
             i = n
             while i > 0:
@@ -806,7 +815,16 @@ def _estep_batch(
             continue
         g = len(rows)
         wf_g = wf[rows]
-        ll += float(np.dot(best[:, n], wf_g))
+        finals = best[:, n]
+        if np.isinf(finals).any():
+            bad = words[int(rows[int(np.isinf(finals).argmax())])]
+            # unsegmentable word — scalar-kernel parity (raises on
+            # back[i] is None) instead of bogus argmax backpointers
+            raise TypeError(
+                f"word {bad!r} is not segmentable under the piece "
+                "table (out-of-vocabulary character)"
+            )
+        ll += float(np.dot(finals, wf_g))
         cur = np.full(g, n, dtype=np.int64)
         gr = np.arange(g)
         while True:

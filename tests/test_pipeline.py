@@ -1311,6 +1311,27 @@ def test_viterbi_batch_equals_scalar():
         assert g[1] == exp[1], (w, g[1], exp[1])
     assert _viterbi_batch([], logp, 6) == []
 
+    # scalar-parity on unsegmentable words: the scalar kernel raises
+    # (back[i] is None) on a char no piece covers; batch must match,
+    # never emit a bogus -inf segmentation or livelock
+    import pytest
+
+    from crick_spark.pipeline.text import _estep_batch
+
+    with pytest.raises(TypeError, match="not segmentable"):
+        _viterbi_batch(["ab", "aß"], {"a": -1.0, "b": -1.0}, 6)
+    with pytest.raises(TypeError, match="not segmentable"):
+        _estep_batch(["ab", "aß"], [1, 1], {"a": -1.0, "b": -1.0}, 6)
+
+    # astral-plane codepoints exercise the UCS4 uint32-view path
+    emoji = "\U0001F600\U0001F680"
+    lp2 = {c: math.log(0.2) for c in set("ab" + emoji)}
+    lp2[emoji] = math.log(0.3)
+    uwords = ["a" + emoji, emoji + "b", emoji * 3, "ab"]
+    for w, g in zip(uwords, _viterbi_batch(uwords, lp2, 6)):
+        e = _viterbi(w, lp2, 6)
+        assert g[0] == e[0] and g[1] == e[1], (w, g, e)
+
 
 def test_estep_batch_equals_scalar_loop():
     """r9: the vectorized E-step (lockstep backtrack + bincount) must
