@@ -1000,10 +1000,14 @@ def unigram_lm_train(
     multi = [p for p in logp if len(p) > 1]
     losses = []
     for p in multi:
-        without = {q: v for q, v in logp.items() if q != p}
-        _, alt = _viterbi(p, without, int(max_piece_len))
+        # exclude the piece by pop/restore instead of copying the whole
+        # table per piece (r9: the copy made the prune loop O(V²) dict
+        # work at seed-size vocabularies; identical lookups either way)
+        own = logp.pop(p)
+        _, alt = _viterbi(p, logp, int(max_piece_len))
+        logp[p] = own
         used = counts.get(p, 0)
-        losses.append((used * (logp[p] - alt), p))
+        losses.append((used * (own - alt), p))
     losses.sort(key=lambda t: (-t[0], t[1]))
     keep_multi = {p for _, p in losses[: max(0, int(vocab_size) - len(chars))]}
     pruned = {
