@@ -172,3 +172,57 @@ def test_cms_inner_product_never_underestimates(a_keys, b_keys):
     ca, cb = Counter(a_keys.tolist()), Counter(b_keys.tolist())
     exact = sum(ca[k] * cb.get(k, 0) for k in ca)
     assert A.inner_product(B) >= exact
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=1,
+                max_codepoint=0x10FFFF,
+                blacklist_categories=("Cs",),
+            ),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_viterbi_batch_property_equals_scalar(words, seed):
+    """Property: the vectorized trellis is byte-identical to the scalar
+    kernel on ARBITRARY unicode batches (mixed lengths incl. empty
+    words, astral-plane codepoints, random vocabularies with every
+    char seeded — the trainer's coverage guarantee).  Pieces AND
+    bit-equal scores; counts path cross-checked via _estep_batch."""
+    import math
+    import random
+
+    from crick_spark.pipeline.text import (
+        _estep_batch,
+        _viterbi,
+        _viterbi_batch,
+    )
+
+    rng = random.Random(seed)
+    chars = {c for w in words for c in w}
+    logp_raw = {c: rng.uniform(0.001, 0.2) for c in chars}
+    for w in words:
+        if len(w) >= 2 and rng.random() < 0.5:
+            i = rng.randrange(len(w) - 1)
+            l = rng.randint(2, min(6, len(w) - i))
+            logp_raw.setdefault(w[i : i + l], rng.uniform(0.001, 0.1))
+    total = sum(logp_raw.values()) or 1.0
+    logp = {p: math.log(v / total) for p, v in logp_raw.items()}
+
+    got = _viterbi_batch(words, logp, 6)
+    exp_counts: dict = {}
+    for w, g in zip(words, got):
+        e = _viterbi(w, logp, 6) if w else ([], 0.0)
+        assert g[0] == e[0] and g[1] == e[1], (w, g, e)
+        for p in e[0]:
+            exp_counts[p] = exp_counts.get(p, 0) + 1
+    counts, _ = _estep_batch(words, [1] * len(words), logp, 6)
+    assert counts == exp_counts
