@@ -424,7 +424,15 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 samples.append(time.time() - t0)
             times[name] = round(min(samples), 3)
-            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+            # true median (r10 ADVICE: picking index n//2 returned the
+            # MAX on the default 2-sample runs — an upward-biased value
+            # under the "median" name); even n averages the middle two
+            srt = sorted(samples)
+            mid = len(srt) // 2
+            medians[name] = round(
+                srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2,
+                3,
+            )
             all_samples[name] = [round(s, 3) for s in samples]
         except Exception as exc:  # isolate: one broken query ≠ no bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -435,15 +443,21 @@ def main() -> None:
     prev = previous_times(sf)
     extra: dict[str, float] = {}
     outlier_reruns: dict[str, float] = {}
+    extra_samples: dict[str, list[float]] = {}
     for name in R4_EXTRA:
         fn = QUERIES[name].fn
         try:
             tw = time.time()
             fn(spark, sf_dir).collect()
             t_warm = time.time() - tw
+            qt0, qs0 = cpu_ticks()
             t0 = time.time()
             fn(spark, sf_dir).collect()
             t1 = time.time() - t0
+            qt1, qs1 = cpu_ticks()
+            q_steal = (
+                100.0 * (qs1 - qs0) / (qt1 - qt0) if qt1 > qt0 else 0.0
+            )
             # Adaptive outlier guard (r8): the host occasionally stalls
             # one query per session ~2-7x (observed: the same plan 4 s
             # warm standalone, 30 s once in-bench, normal again after;
@@ -454,14 +468,27 @@ def main() -> None:
             # "outlier_reruns" so the artifact shows how often the guard
             # fired.  A genuine plan regression stays slow on the rerun
             # and is recorded at its true cost.
+            #
+            # r10 (VERDICT #1): the headline's steal-triggered resample
+            # now covers extras too — a timed run that executed under
+            # measurable hypervisor steal gets one more sample and the
+            # min wins, so round-over-round extra deltas stop smearing
+            # host contention across ~12 queries (r9's +22.9 s
+            # extra_delta_total at 1.43% steal).  All samples of any
+            # resampled query are recorded under "extra_samples" so a
+            # surviving delta is attributable from the artifact alone.
             ref = min(prev.get(name, float("inf")), 2.0 * t_warm)
-            if t1 > 2.0 and t1 > 1.5 * ref:
+            samples = [t1]
+            stalled = t1 > 2.0 and t1 > 1.5 * ref
+            if stalled or (q_steal > 0.3 and t1 > 1.0):
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
-                t2 = time.time() - t0
-                outlier_reruns[name] = round(t1, 3)
-                t1 = min(t1, t2)
-            extra[name] = round(t1, 3)
+                samples.append(time.time() - t0)
+                if stalled:
+                    outlier_reruns[name] = round(t1, 3)
+            if len(samples) > 1:
+                extra_samples[name] = [round(s, 3) for s in samples]
+            extra[name] = round(min(samples), 3)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH FAIL {name}", file=sys.stderr)
@@ -492,6 +519,8 @@ def main() -> None:
         out["extra_deltas"] = extra_deltas
     if outlier_reruns:
         out["outlier_reruns"] = outlier_reruns
+    if extra_samples:
+        out["extra_samples"] = extra_samples
     if errors:
         out["errors"] = errors
     # The driver records only the LAST ~2000 chars of this line once the

@@ -104,6 +104,159 @@ def _decode_bytes(data: bytes, kind: str) -> np.ndarray:
     return rng.integers(0, 256, size=256, dtype=np.int64)
 
 
+# --------------------------------------------------------------------------
+# REAL decoders (r10): the container has no PIL/ffmpeg, but uncompressed
+# raster formats need none — P6/P5/P3/P2 Netpbm and 24-bit BI_RGB BMP
+# parse in pure Python + numpy.  These plug into the same ``Decoder``
+# seam as a production PIL kernel, so decode→feature→column runs
+# end-to-end on REAL image bytes (tested through mapInPandas and the
+# registered ``image_decode_features_documents`` query).
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(px: np.ndarray, width: int, height: int) -> bytes:
+    """Binary P6 PPM (RGB, maxval 255) from a flat/shaped uint8 pixel
+    stream of length width*height*3 — the deterministic real-bytes
+    source for the seam tests and the registered query."""
+    px = np.asarray(px, dtype=np.uint8).reshape(-1)
+    if len(px) != width * height * 3:
+        raise ValueError(
+            f"P6 needs width*height*3={width * height * 3} bytes, got {len(px)}"
+        )
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + px.tobytes()
+
+
+def _pnm_header(data: bytes):
+    """Parse a Netpbm header (magic, width, height, maxval) tolerating
+    comments and arbitrary whitespace; returns (magic, w, h, maxval,
+    payload_offset).  P1/P4 bitmaps have no maxval token."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"23456":
+        raise ValueError("not a Netpbm image")
+    magic = data[:2].decode("ascii")
+    tokens_needed = 3 if magic in ("P2", "P3", "P5", "P6") else 2
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < tokens_needed:
+        while i < len(data) and data[i] in b" \t\r\n":
+            i += 1
+        if i < len(data) and data[i] in b"#":  # comment to end of line
+            while i < len(data) and data[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and data[j] not in b" \t\r\n":
+            j += 1
+        if j == i:
+            raise ValueError("truncated Netpbm header")
+        tokens.append(int(data[i:j]))
+        i = j
+    # exactly ONE whitespace byte separates header from binary payload
+    if magic in ("P5", "P6"):
+        i += 1
+    w, h = tokens[0], tokens[1]
+    maxval = tokens[2] if tokens_needed == 3 else 1
+    return magic, w, h, maxval, i
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Decode P6/P5 (binary) and P3/P2 (ASCII) Netpbm images to a flat
+    int64 intensity stream (RGB interleaved for color), matching the
+    ``Decoder`` contract the stub uses."""
+    magic, w, h, maxval, off = _pnm_header(bytes(data))
+    if maxval > 255:
+        raise ValueError("16-bit Netpbm not supported by this decoder")
+    n = w * h * (3 if magic in ("P3", "P6") else 1)
+    if magic in ("P5", "P6"):
+        payload = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    else:
+        payload = np.array(data[off:].split()[:n], dtype=np.int64)
+        if len(payload) != n:
+            raise ValueError("truncated ASCII Netpbm payload")
+    return payload.astype(np.int64)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to a flat int64 RGB
+    stream, top-down row order (BMP stores bottom-up BGR with rows
+    padded to 4 bytes — both undone here)."""
+    data = bytes(data)
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP image")
+
+    def _u32(o):
+        return int.from_bytes(data[o : o + 4], "little")
+
+    def _i32(o):
+        return int.from_bytes(data[o : o + 4], "little", signed=True)
+
+    off = _u32(10)
+    w, h_raw = _i32(18), _i32(22)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = _u32(30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3]
+    if h_raw > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return rgb.reshape(-1).astype(np.int64)
+
+
+def attach_ppm_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 4,
+) -> DataFrame:
+    """Attach REAL P6 PPM bytes to each row: pixel byte i of doc d is
+    ``(d*7 + i*13) % 256`` — deterministic arithmetic an external oracle
+    can reproduce without decoding, so the decode→feature path over real
+    image bytes is fully value-checkable (registered query
+    ``image_decode_features_documents``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w, h = int(width), int(height)
+    n_px = w * h * 3
+
+    @pandas_udf(BinaryType())
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        i = np.arange(n_px, dtype=np.int64)
+        return pd.Series(
+            [encode_ppm((int(d) * 7 + i * 13) % 256, w, h) for d in ids]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        make_ppm(F.col(id_col)).alias("media"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit(0).cast("int").alias("sample_rate"),
+            F.lit(0.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def real_image_decoder(data: bytes, kind: str) -> np.ndarray:
+    """A REAL ``Decoder`` for the seam: sniffs the magic bytes and
+    decodes Netpbm or BMP; non-image kinds and unknown formats raise,
+    exactly like a production codec."""
+    if kind != "image":
+        raise NotImplementedError(
+            f"real_image_decoder only decodes images, got {kind!r}"
+        )
+    b = bytes(data)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    return decode_pnm(b)
+
+
 def decode_media_batch(
     pdfs: Iterable[pd.DataFrame], decoder: Decoder | None = None
 ) -> Iterator[pd.DataFrame]:

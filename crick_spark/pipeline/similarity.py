@@ -1369,6 +1369,33 @@ def ivf_layout_append(
     ``ivfpq_bulk_topk_from_layout`` reads the union immediately."""
     from pyspark.sql.functions import pandas_udf
 
+    # schema fence (r10 ADVICE): appending codes onto a plain
+    # write_ivf_layout dir — or omitting them on a write_ivfpq_layout
+    # dir — silently produces a mixed-schema directory that a plain
+    # (no-mergeSchema) read misparses depending on which footer Spark
+    # samples.  One resident footer decides what this fold MUST write.
+    from pyspark.errors import AnalysisException
+
+    try:
+        resident_cols = set(
+            new_batch.sparkSession.read.parquet(path).columns
+        )
+    except AnalysisException as exc:
+        raise ValueError(
+            f"ivf_layout_append requires an existing layout at {path!r} "
+            "— build it with write_ivf_layout/write_ivfpq_layout first"
+        ) from exc
+    expected_cols = {id_col, vec_col, "ivf_cluster"} | (
+        {"codes"} if codebooks is not None else set()
+    )
+    if resident_cols != expected_cols:
+        raise ValueError(
+            f"appended schema {sorted(expected_cols)} does not match the "
+            f"resident layout's {sorted(resident_cols)} at {path!r} — "
+            "pass codebooks iff the layout was written by "
+            "write_ivfpq_layout, and use the same id/vector column names"
+        )
+
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
     )

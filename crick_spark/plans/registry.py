@@ -144,7 +144,14 @@ _GATE_WINDOW = [
     # LSH quality gate, but the whole panel resolves in ONE job via the
     # bucket equi-join — the per-query loop form stays oracle-checked
     # outside the window)
-    "knn_lsh_bulk_recall",
+    # r10: knn_lsh_bulk_recall rotated out (LSH quality stays
+    # driver-visible through knn_graph_recall_panel, which gates the
+    # same LSH self-join path; both LSH forms stay oracle-checked
+    # outside) for the IVF-PQ index LAYOUT gate — the billion-vector
+    # read path with all three pruning levers physically asserted
+    # in-plan (partition prune, codes-only ADC scan, pool-id row-group
+    # skip) becomes driver-visible (VERDICT r9 item 2)
+    "knn_ivfpq_layout_prune",
     # r8: weighted_moments_price rotated out (fourth moments form
     # in-window; still oracle-checked outside) for the hashed-feature
     # DSIR gate - the O(n_buckets) model tables (the 100 TB path) with
@@ -184,7 +191,14 @@ _GATE_WINDOW = [
     # mass pinned to exact per-period counts, the materialized-rollup
     # pattern crick's merge exists for
     "tdigest_rollup_hierarchy_events",
-    "moments_persist_roundtrip",
+    # r10: moments_persist_roundtrip rotated out (second persistence
+    # roundtrip in-window — spacesaving_persist_roundtrip and
+    # incremental_sketch_merge keep sketch persistence driver-visible;
+    # still oracle-checked outside) for incremental IVF layout
+    # maintenance — frozen-centroid appends with resident files
+    # byte-identical and the drift signal, the ANN index's
+    # ingest-without-reshuffle path (VERDICT r9 item 2)
+    "ivf_layout_incremental",
     # r6 second half: approx_distinct_users rotated out (HLL estimate
     # also exercised by kmv/hll set-op queries outside; still
     # oracle-checked) for the pair->cluster closure — connected
@@ -201,7 +215,12 @@ _GATE_WINDOW = [
     "cms_freq_event_types",
     # TPC-H multi-join representatives (q1 is slot 1)
     "tpch_q9_product_profit",
-    "tpch_q21_waiting_orders",
+    # r10: tpch_q21_waiting_orders rotated out (second TPC-H multi-join
+    # in-window — q9 keeps the shape driver-visible; q21 still
+    # oracle-checked outside) for streaming ANN index maintenance —
+    # foreachBatch folds of a file stream into the IVF layout, panel
+    # equality vs the in-memory path asserted (VERDICT r9 item 2)
+    "streaming_ann_index_maintenance",
     # LLM-pipeline representatives
     "dedup_exact_documents",
     "jaccard_ngram_dup_pairs",

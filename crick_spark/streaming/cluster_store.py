@@ -71,6 +71,19 @@ from crick_spark.pipeline.graph import connected_components
 
 class ClusterStore:
     def __init__(self, base_dir: str, n_buckets: int = 16):
+        # data reads/writes go through Spark (FS-agnostic), but the meta
+        # COMMIT protocol is publish-by-atomic-rename via the driver's
+        # local filesystem (pyarrow write + os.replace) — on an object
+        # store it must be swapped for a conditional-put, so refuse
+        # remote schemes loudly rather than silently committing nothing
+        scheme = base_dir.split("://", 1)[0] if "://" in base_dir else ""
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"ClusterStore meta commits use the driver-local "
+                f"filesystem (atomic rename); base_dir scheme "
+                f"'{scheme}://' is not supported — use a local path or "
+                "adapt _commit_meta/vacuum to the store's conditional-put"
+            )
         self.base = base_dir
         self.n_buckets = int(n_buckets)
         self._labels_root = f"{base_dir}/labels"
@@ -93,13 +106,32 @@ class ClusterStore:
         from pyspark.errors import AnalysisException
 
         try:
-            rows = spark.read.parquet(self._meta).collect()
+            # mergeSchema: a meta dir mixing generations of the layout
+            # must surface EVERY column, not whichever footer Spark
+            # samples first — the format guard below then fails loudly
+            # instead of misparsing
+            meta_df = spark.read.option("mergeSchema", "true").parquet(
+                self._meta
+            )
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
                 return -1, {}, {}
             raise
+        if "kind" not in meta_df.columns:
+            raise ValueError(
+                "cluster store meta has no 'kind' column — this store "
+                "was written by an older (pre-bucketed-index) layout; "
+                "rebuild it from the pair history instead of reopening"
+            )
+        rows = meta_df.collect()
         if not rows:
             return -1, {}, {}
+        if any(r["kind"] is None and int(r["bucket"]) >= 0 for r in rows):
+            raise ValueError(
+                "cluster store meta mixes old-layout rows (kind=NULL) "
+                "with current-layout rows — the store is not readable "
+                "under this version; rebuild it from the pair history"
+            )
         last_id = max(int(r["batch_id"]) for r in rows)
         stored_nb = {int(r["n_buckets"]) for r in rows}
         if stored_nb != {self.n_buckets}:
@@ -237,6 +269,15 @@ class ClusterStore:
             "label_buckets_written": 0,
             "index_partitions_written": 0,
         }
+        if not p.take(1):
+            # an empty (or all-null / all-self-pair) batch folds to a
+            # fence: nothing to write — an empty FIRST batch would
+            # otherwise produce a zero-file generation dir that
+            # spark.read.parquet cannot infer a schema from, killing
+            # the stream instead of committing the replay guard
+            self._commit_meta(s, batch_id, [])
+            self.last_fold_stats = stats
+            return True
         if lab_paths:
             ok = self._fold_incremental(
                 s, p, batch_id, lab_paths, idx_paths, stats
@@ -249,7 +290,9 @@ class ClusterStore:
     def _fold_initial(self, s, p, batch_id, stats) -> bool:
         e = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         final = self._close(s, e)
-        touched, ic = self._write_generation(s, final, batch_id, None, None)
+        touched, ic, written_c = self._write_generation(
+            s, final, batch_id, None, None
+        )
         stats["label_buckets_written"] = len(touched)
         stats["index_partitions_written"] = len(ic)
         self._commit_meta(
@@ -257,7 +300,13 @@ class ClusterStore:
             batch_id,
             [("labels", b, f"{self._gen(batch_id)}/bucket={b}") for b in touched]
             + [
-                ("cindex", b, f"{self._cgen(batch_id)}/cbucket={b}")
+                (
+                    "cindex",
+                    b,
+                    f"{self._cgen(batch_id)}/cbucket={b}"
+                    if b in written_c
+                    else "",
+                )
                 for b in ic
             ],
         )
@@ -372,18 +421,12 @@ class ClusterStore:
         final = parts[0]
         for extra in parts[1:]:
             final = final.unionByName(extra)
-        touched_w, ic = self._write_generation(
+        touched_w, ic, written_c = self._write_generation(
             s, final, batch_id, mapping, (idx_paths, bc, stats)
         )
         stats["label_buckets_written"] = len(touched_w)
         stats["index_partitions_written"] = len(ic)
         gen, cgen = self._gen(batch_id), self._cgen(batch_id)
-        import glob as _glob
-
-        written_c = {
-            int(d.rsplit("=", 1)[1])
-            for d in _glob.glob(f"{cgen}/cbucket=*")
-        }
         self._commit_meta(
             s,
             batch_id,
@@ -423,11 +466,16 @@ class ClusterStore:
         out.repartition(self.n_buckets, F.col("bucket")).write.partitionBy(
             "bucket"
         ).mode("overwrite").parquet(gen)
-        import glob as _glob
-
-        touched = sorted(
-            int(d.rsplit("=", 1)[1]) for d in _glob.glob(f"{gen}/bucket=*")
+        # written buckets are derived from the generation READ BACK
+        # through Spark (r10: an earlier revision glob.glob'd the
+        # driver-local path — on storage not mounted on the driver,
+        # HDFS/S3, glob silently returns [] and the fold would commit
+        # zero rows while advancing batch_id); the read-back relation is
+        # micro-batch-proportional and also feeds the index delta below
+        gen_df = s.read.parquet(gen).select(
+            "node", "component", F.col("bucket").cast("int").alias("bucket")
         )
+        touched = sorted(self._distinct_ints(gen_df, F.col("bucket")))
         # component index update: new (component, nbucket) pairs come
         # from the generation just written — it covers every member
         # bucket of every changed component, because remapped members
@@ -438,9 +486,8 @@ class ClusterStore:
         # buckets' fresh pairs; partitions to rewrite are the old ids'
         # (rows dropped) plus the new pairs' components'.
         new_pairs = (
-            s.read.parquet(gen)
-            .select(
-                "component", F.col("bucket").cast("int").alias("nbucket")
+            gen_df.select(
+                "component", F.col("bucket").alias("nbucket")
             )
             .distinct()
             .withColumn("cbucket", self._bucket(F.col("component")))
@@ -471,16 +518,13 @@ class ClusterStore:
         idx_final.repartition(
             self.n_buckets, F.col("cbucket")
         ).write.partitionBy("cbucket").mode("overwrite").parquet(cgen)
-        return touched, sorted(ic)
-
-    @staticmethod
-    def _label_buckets(gen_dir: str) -> list[int]:
-        import glob as _glob
-
-        return [
-            int(d.rsplit("=", 1)[1])
-            for d in _glob.glob(f"{gen_dir}/bucket=*")
-        ]
+        # written cindex partitions likewise come from a Spark read-back
+        # (idx_final is never empty here: gen_df has rows, so new_pairs
+        # does too), never a driver-local directory listing
+        written_c = self._distinct_ints(
+            s.read.parquet(cgen), F.col("cbucket").cast("int")
+        )
+        return touched, sorted(ic), written_c
 
     def _commit_meta(
         self, s: SparkSession, batch_id: int, bucket_rows: list
@@ -501,6 +545,9 @@ class ClusterStore:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        meta_local = self._meta
+        if meta_local.startswith("file://"):
+            meta_local = meta_local[len("file://"):]
         rows = bucket_rows or [("labels", -1, None)]
         table = pa.table(
             {
@@ -515,11 +562,11 @@ class ClusterStore:
                 ),
             }
         )
-        os.makedirs(self._meta, exist_ok=True)
+        os.makedirs(meta_local, exist_ok=True)
         name = f"part-{int(batch_id):05d}-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(self._meta, f".{name}.tmp")
+        tmp = os.path.join(meta_local, f".{name}.tmp")
         pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(self._meta, name))
+        os.replace(tmp, os.path.join(meta_local, name))
 
     def vacuum(self, spark: SparkSession) -> int:
         """Best-effort removal of superseded per-bucket snapshot dirs (no
@@ -533,10 +580,15 @@ class ClusterStore:
         keep = {p for p in lab_current.values() if p} | {
             p for p in idx_current.values() if p
         }
+
+        def _local(path: str) -> str:
+            return path[len("file://"):] if path.startswith("file://") else path
+
+        keep = {_local(p) for p in keep}
         removed = 0
         for d in glob.glob(
-            f"{self._labels_root}/gen_*/bucket=*"
-        ) + glob.glob(f"{self._cindex_root}/gen_*/cbucket=*"):
+            _local(f"{self._labels_root}/gen_*/bucket=*")
+        ) + glob.glob(_local(f"{self._cindex_root}/gen_*/cbucket=*")):
             if d not in keep:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1

@@ -2456,3 +2456,135 @@ def test_contaminated_window_spans_cross_corpus(spark):
     assert cleaned[1] == ("intro words here closing remarks", 10)
     assert cleaned[2] == (train_rows[1][1], 0)
     assert cleaned[3] == (train_rows[2][1], 0)
+
+
+def test_ivf_layout_append_schema_fence(spark, tmp_path):
+    """r10 ADVICE: ivf_layout_append must refuse to create a
+    mixed-schema layout directory — codes passed against a plain IVF
+    layout, codes omitted on an IVF-PQ layout, or a missing resident
+    layout all raise instead of silently writing files a plain
+    (no-mergeSchema) read would misparse."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.similarity import (
+        ivf_layout_append,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivf_layout,
+        write_ivfpq_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    cents = train_ivf_centroids(even, k=4)
+    cbs = train_pq_codebooks(even, m=4, ksub=16)
+
+    plain = str(tmp_path / "plain")
+    write_ivf_layout(even, cents, plain)
+    with pytest.raises(ValueError, match="does not match"):
+        ivf_layout_append(odd, cents, plain, codebooks=cbs)
+
+    pq_path = str(tmp_path / "pq")
+    write_ivfpq_layout(even, cents, cbs, pq_path)
+    with pytest.raises(ValueError, match="does not match"):
+        ivf_layout_append(odd, cents, pq_path)  # codes omitted
+
+    with pytest.raises(ValueError, match="existing layout"):
+        ivf_layout_append(odd, cents, str(tmp_path / "nowhere"))
+
+    # matching schemas still append (both layouts)
+    assert ivf_layout_append(odd, cents, plain)["rows"] > 0
+    assert ivf_layout_append(odd, cents, pq_path, codebooks=cbs)["rows"] > 0
+
+
+def test_real_image_decoders_roundtrip_and_formats():
+    """r10 (VERDICT #6): the pure-Python Netpbm/BMP decoders parse real
+    bytes exactly — P6 roundtrips the encoder, ASCII P3/P2 and binary P5
+    parse with comments/whitespace, BMP undoes bottom-up BGR row padding."""
+    import numpy as np
+    import pytest
+
+    from crick_spark.pipeline.multimodal import (
+        decode_bmp,
+        decode_pnm,
+        encode_ppm,
+        real_image_decoder,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=8 * 4 * 3, dtype=np.int64)
+    blob = encode_ppm(px, 8, 4)
+    assert blob[:11] == b"P6\n8 4\n255\n" and len(blob) == 11 + 96
+    assert np.array_equal(real_image_decoder(blob, "image"), px)
+
+    # header comments + arbitrary whitespace (Netpbm spec)
+    commented = b"P6 # cmt\n# another\n 8\t4 # dims\n255\n" + bytes(
+        px.astype(np.uint8)
+    )
+    assert np.array_equal(decode_pnm(commented), px)
+
+    # ASCII P3 and grayscale P2/P5
+    p3 = ("P3\n2 1\n255\n" + " ".join("1 2 3 4 5 6".split())).encode()
+    assert decode_pnm(p3).tolist() == [1, 2, 3, 4, 5, 6]
+    assert decode_pnm(b"P2\n3 1\n255\n9 8 7").tolist() == [9, 8, 7]
+    assert decode_pnm(b"P5\n3 1\n255\n" + bytes([9, 8, 7])).tolist() == [9, 8, 7]
+
+    # BMP: 2x2 24-bit, bottom-up BGR, 8-byte stride (2 pad bytes/row)
+    top = [(10, 20, 30), (40, 50, 60)]     # row 0 (R,G,B)
+    bottom = [(70, 80, 90), (11, 12, 13)]  # row 1
+    def bgr_row(pxs):
+        return b"".join(bytes([b, g, r]) for r, g, b in pxs) + b"\x00\x00"
+    payload = bgr_row(bottom) + bgr_row(top)  # stored bottom-up
+    header = (
+        b"BM" + (54 + len(payload)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    got = decode_bmp(header + payload)
+    want = [v for row in (top, bottom) for pxl in row for v in pxl]
+    assert got.tolist() == want
+
+    with pytest.raises(ValueError):
+        decode_pnm(b"JFIF not a pnm")
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0
+    with pytest.raises(NotImplementedError):
+        real_image_decoder(blob, "audio")
+
+
+def test_real_decode_through_mapinpandas(spark):
+    """Real PPM bytes flow decode→feature→column through the SAME
+    mapInPandas seam as the stub: per-doc mean/std equal numpy over the
+    known pixel formula, n_bytes = header + payload."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import (
+        attach_ppm_media,
+        extract_image_features,
+        real_image_decoder,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "t") for d in (0, 1, 5, 254)], "doc_id long, text string"
+    )
+    media = attach_ppm_media(docs)
+    feats = {
+        r["doc_id"]: r
+        for r in extract_image_features(
+            media, decoder=real_image_decoder
+        ).collect()
+    }
+    i = np.arange(96, dtype=np.int64)
+    for d in (0, 1, 5, 254):
+        px = (d * 7 + i * 13) % 256
+        assert feats[d]["n_bytes"] == 11 + 96
+        assert abs(feats[d]["mean_intensity"] - px.mean()) < 1e-9
+        assert abs(feats[d]["std_intensity"] - px.std()) < 1e-9

@@ -1018,3 +1018,90 @@ def test_cluster_store_random_fold_sequences_equal_closure(spark, tmp_path):
         assert got == reference(edges)
 
     check()
+
+
+def test_cluster_store_empty_first_batch_commits_fence(spark, tmp_path):
+    """r10 ADVICE: an empty (or all-null / all-self-pair) FIRST batch
+    must commit the replay fence and return, not write a zero-file
+    generation dir that spark.read.parquet cannot infer a schema from
+    (which killed the stream on the next read)."""
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=4)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    self_pairs = spark.createDataFrame(
+        [(7, 7), (None, 3)], "id_a long, id_b long"
+    )
+    assert store.fold(empty, 0) is True
+    assert store.fold(empty, 0) is False  # fence advanced
+    assert store.labels(spark) is None
+    assert store.fold(self_pairs, 1) is True  # normalizes to empty
+    assert store.labels(spark) is None
+    # a real batch after the fences folds normally
+    real = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    assert store.fold(real, 2) is True
+    assert sorted(map(tuple, store.labels(spark).collect())) == [
+        (1, 1),
+        (2, 1),
+        (3, 1),
+    ]
+
+
+def test_cluster_store_rejects_old_layout_meta(spark, tmp_path):
+    """r10 ADVICE: meta files written by the pre-r9 layout (no 'kind'
+    column) must fail loudly on reopen, not misparse into an empty
+    labels view; a meta dir MIXING old and new files must fail too."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    base = tmp_path / "store"
+    meta = base / "meta"
+    os.makedirs(meta)
+    old = pa.table(
+        {
+            "batch_id": pa.array([0], pa.int64()),
+            "bucket": pa.array([1], pa.int32()),
+            "path": pa.array(["labels/gen_0/bucket=1"], pa.string()),
+            "n_buckets": pa.array([4], pa.int32()),
+        }
+    )
+    pq.write_table(old, str(meta / "part-old.parquet"))
+    store = ClusterStore(str(base), n_buckets=4)
+    with pytest.raises(ValueError, match="older"):
+        store.read_meta(spark)
+    # mixed old + new files: mergeSchema surfaces kind with NULLs for
+    # the old rows — still a loud failure, never a silent misparse
+    new = pa.table(
+        {
+            "batch_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["labels"], pa.string()),
+            "bucket": pa.array([2], pa.int32()),
+            "path": pa.array(["labels/gen_1/bucket=2"], pa.string()),
+            "n_buckets": pa.array([4], pa.int32()),
+        }
+    )
+    pq.write_table(new, str(meta / "part-new.parquet"))
+    with pytest.raises(ValueError, match="older|mixes"):
+        store.read_meta(spark)
+
+
+def test_cluster_store_rejects_remote_scheme(tmp_path):
+    """r10 ADVICE: meta commits are driver-local atomic renames, so a
+    remote base_dir scheme must be refused at construction instead of
+    silently committing nothing on HDFS/S3."""
+    import pytest
+
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    with pytest.raises(ValueError, match="scheme"):
+        ClusterStore("s3a://bucket/store")
+    with pytest.raises(ValueError, match="scheme"):
+        ClusterStore("hdfs://nn/store")
+    # local schemes construct fine
+    ClusterStore(str(tmp_path / "a"))
+    ClusterStore(f"file://{tmp_path}/b")
