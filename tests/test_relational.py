@@ -461,3 +461,51 @@ def test_apply_changes_schema_evolution(spark):
     got = sorted(tuple(r) for r in rebuilt.collect())
     want = sorted(tuple(r) for r in new.collect())
     assert got == want
+
+
+def test_copurchase_minsupport_apriori_equivalence(spark):
+    """r10 (VERDICT #5): the a-priori brand prune is results-preserving
+    — for any support threshold s, pruning brands with cnt < s BEFORE
+    pair expansion yields exactly the all-pairs result filtered to
+    pair_cnt >= s (pair_cnt <= min(cnt_a, cnt_b) guarantees no
+    qualifying pair loses a brand).  Thresholds are chosen from the
+    data so at least one run actually prunes brands."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.plans.relational_queries import (
+        copurchase_brand_lift,
+        copurchase_lift_minsupport,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    full = copurchase_brand_lift(spark, SF_SMALL).collect()
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, SF_SMALL, "part").select(
+        "p_partkey", "p_brand"
+    )
+    singles = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("p_brand")
+        .count()
+        .collect()
+    )
+    brand_counts = sorted(r["count"] for r in singles)
+    max_pair = max(r["pair_cnt"] for r in full)
+    # s beyond the smallest brand count prunes >=1 brand; a low s and a
+    # mid-pair-count s cover the no-prune and deep-filter regimes
+    thresholds = {2, brand_counts[0] + 1, max(2, max_pair // 2)}
+    pruned_somewhere = False
+    for s in sorted(thresholds):
+        got = sorted(
+            map(tuple, copurchase_lift_minsupport(spark, SF_SMALL, s).collect())
+        )
+        want = sorted(tuple(r) for r in full if r["pair_cnt"] >= s)
+        assert got == want, f"divergence at min_support={s}"
+        if any(c < s for c in brand_counts):
+            pruned_somewhere = True
+    assert pruned_somewhere, "no threshold exercised the brand prune"
