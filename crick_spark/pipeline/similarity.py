@@ -1491,10 +1491,21 @@ def ivfpq_bulk_topk(
     16-mode mixture that 16 codewords per subspace can't localize.
     The registered gate therefore runs plain codes with a deeper
     shortlist (nprobe=8, rerank_factor=8 → 0.870 mean / 0.700 min,
-    equal to the pure-IVF coverage bound, i.e. zero shortlist loss);
-    residual mode stays available for the large-nlist regime it was
-    designed for (FAISS practice: nlist ~ √N, where per-cell residuals
-    are unimodal).
+    equal to the pure-IVF coverage bound, i.e. zero shortlist loss).
+
+    Residual mode is EXPERIMENTAL on this engine's corpora (r10,
+    VERDICT #4): the large-nlist claim was tested at nlist=64 on sf0.1
+    (2000 vectors, nlist ≈ 1.4·√N — FAISS's nlist~√N regime) and
+    residual coding still does not win; isolating pure ADC shortlist
+    quality (probe EVERY list, rerank pool = k) gives plain 0.425 vs
+    residual 0.380 mean recall@10 at nlist=64 (0.425 vs 0.400 at 16).
+    The synthetic embedding corpus has no cluster structure, so
+    per-cell residuals are as spread as the raw vectors and the q·c
+    offset just burns codebook capacity.  Keep ``by_residual=False``
+    unless the target corpus is measurably clustered (falling
+    mean-top-cosine drift from ``ivf_layout_append`` is the signal to
+    re-run this calibration); the unbounded-pool equivalence pytest
+    still pins the residual path's correctness either way.
 
     Per-query LUTs (m × ksub subspace dot products) are built
     driver-side from the query PANEL — panel-bounded metadata, shipped
