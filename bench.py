@@ -194,6 +194,14 @@ R4_EXTRA = [
     # their value oracles run in the correctness harness)
     "decontaminate_spans_documents",
     "curation_pipeline_v4",
+    # round-10: a-priori-pruned basket pairs and the REAL image-decode
+    # seam (value oracles run in the correctness harness); the r9/r10
+    # ANN-layout and streaming-maintenance queries are NOT here — they
+    # are driver-gate slots now (timed in CORRECTNESS) and carry
+    # SCALE.md rows, and their protocol cost would eat the extras
+    # budget without adding signal
+    "copurchase_lift_minsupport",
+    "image_decode_features_documents",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

@@ -82,6 +82,15 @@ PROBES = [
     ("nb_classify_lang_documents", "documents"),  # closed-form NB classifier
     ("decontaminate_spans_documents", "documents"),  # cross-corpus span cut
     ("curation_pipeline_v4", "documents"),  # classifier->DSIR->tokenize funnel
+    # round-9 (VERDICT r9 item 3: the newest scale-critical additions)
+    ("ivf_layout_incremental", "embeddings"),   # frozen-centroid index append
+    ("knn_ivfpq_layout_prune", "embeddings"),   # 3-lever pruned ANN read path
+    ("streaming_session_rollup", "events"),     # merging-session state stream
+    ("streaming_ann_index_maintenance", "embeddings"),  # foreachBatch folds
+    # round-10
+    ("copurchase_lift_minsupport", "lineitem"),  # a-priori pruned basket pairs
+    ("image_decode_features_documents", "documents"),  # real decode seam
+    ("unigram_lm_invariants", "documents"),     # driver-EM trainer path
 ]
 
 
@@ -171,6 +180,21 @@ def main() -> None:
         "operators (near-dup pairs, all-pairs similarity) are bounded by "
         "posting/block sparsity, not row-pair count (see PLANS.md and the "
         "dedup docstrings)."
+    )
+    print()
+    print(
+        "Adjudications (r10): `copurchase_brand_lift`'s pair expansion "
+        "is O(Σ|basket|²) with |basket| bounded by lineitems-per-order "
+        "(≤7 in this schema at EVERY scale factor — basket size is a "
+        "property of an order, not of the corpus), so the expansion is "
+        "data-LINEAR here; its measured ratio is fixed-cost-dominated "
+        "shuffle latency, not growth in per-row work.  For schemas where "
+        "the item dictionary (and so basket width) is unbounded, "
+        "`copurchase_lift_minsupport` is the a-priori-pruned form probed "
+        "above.  Streaming probes measure protocol cost (2 micro-batches "
+        "+ state-store setup) plus data cost; their near-flat ratios say "
+        "the per-batch fold is batch-proportional, which is the claim "
+        "that matters at 100 TB."
     )
     skew_section(spark)
 
