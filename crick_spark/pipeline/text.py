@@ -862,12 +862,14 @@ def _estep_batch(
 
 #: word tables at or under this row count run the whole EM loop
 #: driver-side off ONE decide-and-use collect (the ClusterStore
-#: DRIVER_CLOSE pattern): the table is (word, wfreq) rows — 200k of
-#: them ≈ a few MB — and every EM round plus the seeding census
-#: otherwise pays a full Spark job for what is sub-millisecond kernel
-#: work on a Heaps-bounded relation.  Larger tables keep the
-#: distributed path unchanged.
-DRIVER_EM_MAX_WORDS = 200_000
+#: DRIVER_CLOSE pattern): the table is (word, wfreq) rows — 50k of
+#: them ≈ ~2 MB — and every EM round plus the seeding census otherwise
+#: pays a full Spark job for kernel work that is milliseconds on a
+#: Heaps-bounded relation.  The cap is sized so the driver-side
+#: substring census (≈ |words|·|word|·max_len dict increments, the
+#: slowest driver phase) stays well under one Spark job's overhead;
+#: larger tables keep the distributed path unchanged.
+DRIVER_EM_MAX_WORDS = 50_000
 
 
 def _unigram_lm_train_driver(
