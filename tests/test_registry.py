@@ -33,22 +33,28 @@ def test_gate_window_family_coverage():
 
     w = set(_GATE_WINDOW)
     # one representative per family the judge reads off CORRECTNESS_r{N}
-    assert {"tpch_q9_product_profit", "tpch_q21_waiting_orders"} <= w
+    # (r10 rotation: tpch_q21 / moments_persist / knn_lsh_bulk moved
+    # outside — q9, the spacesaving roundtrip + incremental_sketch_merge,
+    # and knn_graph_recall_panel keep those families in-window — for the
+    # r9 ANN layout/maintenance flagships)
+    assert "tpch_q9_product_profit" in w
     assert {"dedup_exact_documents", "jaccard_ngram_dup_pairs"} <= w
     assert {"asof_join_events_orders", "range_join_event_pairs"} <= w
     # r9 rotation: the streaming slot upgraded from the tumbling rollup
     # (batch twin events_hourly_rollup keeps tumbling in-window) to the
     # session-window streaming rollup (merging state + watermark)
     assert "streaming_session_rollup" in w
-    # r8 rotation: weighted SS / weighted moments forms moved outside
-    # (still oracle-checked), their slots carry the r8 gates; each
-    # sketch family keeps at least one persistence + one exact-regime
-    # representative in-window
-    assert {"spacesaving_persist_roundtrip", "moments_persist_roundtrip"} <= w
+    assert {"spacesaving_persist_roundtrip", "incremental_sketch_merge"} <= w
     assert {
         "dsir_select_hashed_documents",
         "knn_graph_recall_panel",
         "repeated_span_removal_documents",
+    } <= w
+    # r10 rotation: the billion-vector index paths are gate-visible
+    assert {
+        "knn_ivfpq_layout_prune",
+        "ivf_layout_incremental",
+        "streaming_ann_index_maintenance",
     } <= w
 
 
