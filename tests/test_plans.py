@@ -58,6 +58,9 @@ CARTESIAN_ALLOWED = {
     # r6: ~170-row level/period rollup broadcast, CASE non-equi join back
     # to events for the per-period empirical-CDF accuracy check
     "tdigest_rollup_hierarchy_events",
+    # r10: 1-row n_orders total broadcast cross-joined onto the
+    # support-filtered pair rows (same shape as copurchase_brand_lift)
+    "copurchase_lift_minsupport",
 }
 
 # (query, max shuffle exchanges) — the shuffle budget the current plan
@@ -485,3 +488,14 @@ def test_span_removal_keep_first_has_no_rank_window_or_broadcast(spark):
     assert "row_number" not in analyzed.lower(), (
         "keep-first fell back to a rank window over the passage family"
     )
+
+
+def test_image_decode_plan_is_map_only(spark):
+    """The real-decode query (r10) is embarrassingly parallel: one
+    column-pruned scan of doc_id, two Arrow-batched python stages
+    (attach PPM bytes, decode+feature), ZERO exchanges — the plan a
+    100 TB media pipeline needs (decode never shuffles)."""
+    s = plan_summary(spark, "image_decode_features_documents")
+    assert s["exchange_nodes"] == 0, "decode path grew a shuffle"
+    assert s["scan_cols"] == [1], "scan reads more than doc_id"
+    assert s["python_nodes"] >= 1
