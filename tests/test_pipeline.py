@@ -2624,3 +2624,22 @@ def test_unigram_driver_path_equals_distributed(spark):
     )
     tr = s_fast["loglik_trace"]
     assert all(tr[i] <= tr[i + 1] + 1e-9 for i in range(len(tr) - 2))
+
+
+def test_bpe_driver_path_equals_distributed(spark):
+    """r10: the BPE driver merge-loop fast path returns a merge list
+    byte-identical to the distributed loop, with the same round count
+    (the batched-greedy exactness guarantee is path-independent)."""
+    from crick_spark.pipeline.text import bpe_train
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    s_fast: dict = {}
+    s_dist: dict = {}
+    fast = bpe_train(docs, n_merges=10, batch_size=6, stats=s_fast)
+    dist = bpe_train(
+        docs, n_merges=10, batch_size=6, stats=s_dist, driver_max_words=0
+    )
+    assert fast == dist
+    assert s_fast == s_dist
