@@ -495,6 +495,11 @@ def test_image_decode_plan_is_map_only(spark):
     column-pruned scan of doc_id, two Arrow-batched python stages
     (attach PPM bytes, decode+feature), ZERO exchanges — the plan a
     100 TB media pipeline needs (decode never shuffles)."""
+    # another test's cached documents relation would substitute an
+    # InMemoryTableScan for the parquet scan here (CacheManager matches
+    # subtrees session-wide), hiding the pruned ReadSchema this test
+    # asserts on — order-independence needs a clean cache
+    spark.catalog.clearCache()
     s = plan_summary(spark, "image_decode_features_documents")
     assert s["exchange_nodes"] == 0, "decode path grew a shuffle"
     assert s["scan_cols"] == [1], "scan reads more than doc_id"
