@@ -422,7 +422,8 @@ class ClusterStore:
         for extra in parts[1:]:
             final = final.unionByName(extra)
         touched_w, ic, written_c = self._write_generation(
-            s, final, batch_id, mapping, (idx_paths, bc, stats)
+            s, final, batch_id, mapping, (idx_paths, bc, stats),
+            known_touched=touched,
         )
         stats["label_buckets_written"] = len(touched_w)
         stats["index_partitions_written"] = len(ic)
@@ -449,12 +450,21 @@ class ClusterStore:
         return f"{self._cindex_root}/gen_{int(batch_id)}"
 
     def _write_generation(
-        self, s, final: DataFrame, batch_id, mapping, idx_ctx
+        self, s, final: DataFrame, batch_id, mapping, idx_ctx,
+        known_touched=None,
     ):
         """Write the label generation (partitioned by node bucket) and
         the matching cindex generation (partitioned by component
         bucket); returns (label buckets written, cindex partitions
-        touched — including ones the fold emptied)."""
+        touched — including ones the fold emptied, cindex partitions
+        actually written).  ``known_touched``: the incremental fold
+        already knows the exact label-bucket set it writes (remap ∪ new
+        buckets — each provably non-empty: a remapped component's
+        members stay in their hash buckets with the new label, and new
+        nodes land in theirs), so passing it skips one read-back job;
+        the initial fold leaves it None and derives the set from a
+        Spark read-back of the generation (never a driver-local
+        listing — r10 ADVICE)."""
         gen = self._gen(batch_id)
         out = final.withColumn("bucket", self._bucket(F.col("node")))
         # one writer task per bucket (r9): without the repartition the
@@ -466,16 +476,20 @@ class ClusterStore:
         out.repartition(self.n_buckets, F.col("bucket")).write.partitionBy(
             "bucket"
         ).mode("overwrite").parquet(gen)
-        # written buckets are derived from the generation READ BACK
-        # through Spark (r10: an earlier revision glob.glob'd the
-        # driver-local path — on storage not mounted on the driver,
-        # HDFS/S3, glob silently returns [] and the fold would commit
-        # zero rows while advancing batch_id); the read-back relation is
+        # written buckets come from the generation READ BACK through
+        # Spark (r10: an earlier revision glob.glob'd the driver-local
+        # path — on storage not mounted on the driver, HDFS/S3, glob
+        # silently returns [] and the fold would commit zero rows while
+        # advancing batch_id); the read-back relation is
         # micro-batch-proportional and also feeds the index delta below
         gen_df = s.read.parquet(gen).select(
             "node", "component", F.col("bucket").cast("int").alias("bucket")
         )
-        touched = sorted(self._distinct_ints(gen_df, F.col("bucket")))
+        touched = (
+            sorted(int(b) for b in known_touched)
+            if known_touched is not None
+            else sorted(self._distinct_ints(gen_df, F.col("bucket")))
+        )
         # component index update: new (component, nbucket) pairs come
         # from the generation just written — it covers every member
         # bucket of every changed component, because remapped members
