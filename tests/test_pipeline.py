@@ -2643,3 +2643,33 @@ def test_bpe_driver_path_equals_distributed(spark):
     )
     assert fast == dist
     assert s_fast == s_dist
+
+
+def test_ppm_roundtrip_property():
+    """Property: encode_ppm → real_image_decoder is the identity on any
+    uint8 pixel stream at any (width, height) — the decoder parses real
+    bytes exactly, not just the fixture shapes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crick_spark.pipeline.multimodal import (
+        encode_ppm,
+        real_image_decoder,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=w * h * 3, dtype=np.int64
+        )
+        assert np.array_equal(
+            real_image_decoder(encode_ppm(px, w, h), "image"), px
+        )
+
+    check()
