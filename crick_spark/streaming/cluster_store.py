@@ -106,13 +106,13 @@ class ClusterStore:
         from pyspark.errors import AnalysisException
 
         try:
-            # mergeSchema: a meta dir mixing generations of the layout
-            # must surface EVERY column, not whichever footer Spark
-            # samples first — the format guard below then fails loudly
-            # instead of misparsing
-            meta_df = spark.read.option("mergeSchema", "true").parquet(
-                self._meta
-            )
+            # no mergeSchema needed for the format guard: if the sampled
+            # footer is an OLD file, 'kind' is missing from the schema
+            # (first check below); if it is a NEW file while old files
+            # coexist, their rows surface with kind=NULL (second check) —
+            # either way a pre-r9 or mixed store fails loudly, without
+            # paying an every-footer read on each fold
+            meta_df = spark.read.parquet(self._meta)
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
                 return -1, {}, {}
