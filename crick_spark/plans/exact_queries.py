@@ -688,6 +688,81 @@ def source_json_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "source_jsonl_corrupt_records",
+    oracle="""
+SELECT 'permissive' AS mode,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN coalesce(n_chars, 0)
+                ELSE 0 END) AS BIGINT) AS chars_good
+FROM documents
+UNION ALL
+SELECT 'dropmalformed',
+       CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN coalesce(n_chars, 0)
+                ELSE 0 END) AS BIGINT)
+FROM documents
+""",
+    doc="Malformed-record ingestion (r10): real JSONL feeds carry broken "
+    "lines, and a 100 TB pipeline must COUNT them, not die or silently "
+    "drop them.  Documents serialize to JSON lines with deterministic "
+    "corruption injected (doc_id %% 97 == 3 → line truncated to 7 "
+    "chars, unparseable), then read back under BOTH parser modes: "
+    "PERMISSIVE routes each bad line's raw text into the "
+    "columnNameOfCorruptRecord column (good rows parse, bad rows are "
+    "countable — the quarantine-table pattern), DROPMALFORMED keeps "
+    "exactly the good rows.  Fully value-oracled: the corruption "
+    "predicate is arithmetic, so DuckDB reproduces per-mode row "
+    "counts, good-row counts, and the good-row character sum from the "
+    "source table.  (Jackson ignores trailing garbage after a parsed "
+    "root — measured — so truncation, not suffixing, is the injected "
+    "corruption.)",
+)
+def source_jsonl_corrupt_records(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    line = F.to_json(F.struct("doc_id", "n_chars", "lang"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 3, F.substring(line, 1, 7)
+    ).otherwise(line)
+    path = run_tmpdir("crick_jsonl_") + "/docs.jsonl"
+    docs.select(corrupted.alias("value")).repartition(2).write.mode(
+        "overwrite"
+    ).text(path)
+    perm = (
+        spark.read.schema("doc_id long, n_chars long, lang string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    perm_row = perm.agg(
+        F.lit("permissive").alias("mode"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(
+            F.when(
+                F.col("_bad").isNull(), F.coalesce(F.col("n_chars"), F.lit(0))
+            ).otherwise(0)
+        ).alias("chars_good"),
+    )
+    dropm = (
+        spark.read.schema("doc_id long, n_chars long, lang string")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    drop_row = dropm.agg(
+        F.lit("dropmalformed").alias("mode"),
+        F.count("*").alias("n_rows"),
+        F.count("*").alias("n_good"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars_good"),
+    )
+    return perm_row.unionByName(drop_row)
+
+
 # ---------------------------------------------------------------------------
 # Join-type coverage: outer / semi / anti (SURVEY §2.5 'Joins')
 # ---------------------------------------------------------------------------
