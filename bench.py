@@ -452,6 +452,19 @@ def main() -> None:
     extra: dict[str, float] = {}
     outlier_reruns: dict[str, float] = {}
     extra_samples: dict[str, list[float]] = {}
+    # r11 (VERDICT #1): the 0.3%-steal / stall triggers provably miss
+    # slow sub-threshold drift (streaming_bloom_dedup_users crept
+    # 4.7->6.2 s over two rounds without one resample firing) — the
+    # TOP-10 extras by last-recorded cost always get a second sample
+    # unconditionally, so the most drift-exposed queries are min-of-2
+    # every round and a surviving delta is attributable from the
+    # artifact alone.
+    always_resample = set(
+        sorted(
+            (n for n in R4_EXTRA if n in prev),
+            key=lambda n: -prev[n],
+        )[:10]
+    )
     for name in R4_EXTRA:
         fn = QUERIES[name].fn
         try:
@@ -488,7 +501,9 @@ def main() -> None:
             ref = min(prev.get(name, float("inf")), 2.0 * t_warm)
             samples = [t1]
             stalled = t1 > 2.0 and t1 > 1.5 * ref
-            if stalled or (q_steal > 0.3 and t1 > 1.0):
+            if name in always_resample or stalled or (
+                q_steal > 0.3 and t1 > 1.0
+            ):
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 samples.append(time.time() - t0)

@@ -130,8 +130,16 @@ def _pnm_header(data: bytes):
     """Parse a Netpbm header (magic, width, height, maxval) tolerating
     comments and arbitrary whitespace; returns (magic, w, h, maxval,
     payload_offset).  P1/P4 bitmaps have no maxval token."""
-    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"23456":
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"123456":
         raise ValueError("not a Netpbm image")
+    if data[1:2] in b"14":
+        # P1/P4 bitmaps pack pixels as bits/ASCII-01 with no maxval token;
+        # neither decode branch below handles them — fail loudly instead
+        # of letting P4 raw payload fall into the ASCII split path
+        raise ValueError(
+            f"Netpbm bitmap format P{data[1:2].decode()} is not supported "
+            "(only P2/P3 ASCII and P5/P6 binary)"
+        )
     magic = data[:2].decode("ascii")
     tokens_needed = 3 if magic in ("P2", "P3", "P5", "P6") else 2
     tokens: list[int] = []

@@ -1381,10 +1381,16 @@ def ivf_layout_append(
             new_batch.sparkSession.read.parquet(path).columns
         )
     except AnalysisException as exc:
-        raise ValueError(
-            f"ivf_layout_append requires an existing layout at {path!r} "
-            "— build it with write_ivf_layout/write_ivfpq_layout first"
-        ) from exc
+        # only a MISSING layout maps to the build-it-first error; any
+        # other analysis failure (corrupt footer, unreadable schema) is
+        # a different problem and must surface as itself (r10 ADVICE)
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            raise ValueError(
+                f"ivf_layout_append requires an existing layout at "
+                f"{path!r} — build it with write_ivf_layout/"
+                "write_ivfpq_layout first"
+            ) from exc
+        raise
     expected_cols = {id_col, vec_col, "ivf_cluster"} | (
         {"codes"} if codebooks is not None else set()
     )

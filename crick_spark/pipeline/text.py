@@ -958,6 +958,8 @@ def _unigram_lm_train_driver(
     ``test_unigram_driver_path_equals_distributed``)."""
     import math
 
+    if int(em_rounds) < 1:  # same contract as the distributed path
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     ml = int(max_piece_len)
     # substring census with multiplicity, weighted by word frequency —
     # the driver twin of the explode + hash-agg seeding
@@ -1083,6 +1085,11 @@ def unigram_lm_train(
 
     from crick_spark.functions.skew import ensure_scan_parallelism
 
+    if int(em_rounds) < 1:
+        # the prune loop consumes the E-step's piece usage counts, so at
+        # least one EM round must run (em_rounds=0 would hit them
+        # unbound — r10 VERDICT #3: fail as a contract, not a NameError)
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
     words = (
         ensure_scan_parallelism(docs)
         .select(F.explode(lower_tokens_expr(F.col(text_col))).alias("word"))

@@ -2497,6 +2497,16 @@ def test_ivf_layout_append_schema_fence(spark, tmp_path):
     with pytest.raises(ValueError, match="existing layout"):
         ivf_layout_append(odd, cents, str(tmp_path / "nowhere"))
 
+    # a CORRUPT resident layout is a different problem and must surface
+    # as itself, not masquerade as "missing layout" (r10 ADVICE): an
+    # unreadable footer raises the underlying Spark error
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception) as ei:
+        ivf_layout_append(odd, cents, str(corrupt))
+    assert not isinstance(ei.value, ValueError)
+
     # matching schemas still append (both layouts)
     assert ivf_layout_append(odd, cents, plain)["rows"] > 0
     assert ivf_layout_append(odd, cents, pq_path, codebooks=cbs)["rows"] > 0
@@ -2554,6 +2564,12 @@ def test_real_image_decoders_roundtrip_and_formats():
 
     with pytest.raises(ValueError):
         decode_pnm(b"JFIF not a pnm")
+    # P1/P4 bitmaps: loud unsupported-format rejection, never the ASCII
+    # split path over raw payload bytes (r10 ADVICE)
+    with pytest.raises(ValueError, match="P4"):
+        decode_pnm(b"P4\n8 1\n" + bytes([0b10110000]))
+    with pytest.raises(ValueError, match="P1"):
+        decode_pnm(b"P1\n2 1\n1 0")
     with pytest.raises(ValueError):
         decode_bmp(b"BM" + b"\x00" * 60)  # bpp=0
     with pytest.raises(NotImplementedError):
@@ -2624,6 +2640,26 @@ def test_unigram_driver_path_equals_distributed(spark):
     )
     tr = s_fast["loglik_trace"]
     assert all(tr[i] <= tr[i + 1] + 1e-9 for i in range(len(tr) - 2))
+
+
+def test_unigram_em_rounds_zero_rejected(spark):
+    """em_rounds=0 fails as a contract (ValueError) on BOTH paths — the
+    prune loop consumes EM usage counts, so zero rounds can never run
+    (r10 VERDICT #3: previously an unbound-local NameError)."""
+    import pytest
+
+    from crick_spark.pipeline.text import (
+        _unigram_lm_train_driver,
+        unigram_lm_train,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    with pytest.raises(ValueError, match="em_rounds"):
+        unigram_lm_train(docs, vocab_size=50, em_rounds=0)
+    with pytest.raises(ValueError, match="em_rounds"):
+        _unigram_lm_train_driver([("ab", 2)], 50, 100, 6, 0, None)
 
 
 def test_bpe_driver_path_equals_distributed(spark):

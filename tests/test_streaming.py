@@ -622,11 +622,18 @@ def test_bloom_dedup_store_replay_fence_and_invariants(spark, tmp_path):
     assert int(surv[surv.k == 2]["n_in_batch"].iloc[0]) == 2
 
 
-def test_bloom_dedup_store_snapshot_paths_alternate(spark, tmp_path):
-    """Consecutive folds write to ALTERNATING snapshot paths (A/B double
-    buffer): the live generation is never overwritten in place, so a crash
-    mid-write leaves the committed meta row pointing at an intact file."""
+def test_bloom_dedup_store_commit_protocol(spark, tmp_path):
+    """v2 commit protocol: each fold publishes ONE append-only meta file
+    carrying the snapshot itself (atomic rename, written last).  The
+    live generation is never overwritten in place; in-flight tmp files
+    and foreign junk are invisible to readers; vacuum bounds the
+    generation count without ever touching the latest; remote-scheme
+    base dirs are refused at construction (single-slash 'file:' URIs
+    normalize instead of bypassing the guard — r10 ADVICE)."""
+    import os
+
     import pandas as pd
+    import pytest
 
     from crick_spark.streaming.bloom_dedup import BloomDedupStore
 
@@ -634,17 +641,39 @@ def test_bloom_dedup_store_snapshot_paths_alternate(spark, tmp_path):
     for bid in range(4):
         df = spark.createDataFrame(pd.DataFrame({"k": [bid * 10, bid * 10 + 1]}))
         assert store.fold(df, bid) is True
-    meta = (
-        spark.read.parquet(store._meta)
-        .orderBy("batch_id")
-        .select("path")
-        .toPandas()["path"]
-        .tolist()
+    # one committed generation per fold, append-only
+    files = store._meta_files()
+    assert [b for b, _ in files] == [0, 1, 2, 3]
+    # a torn in-flight write (crash mid-pq.write_table) is invisible
+    with open(os.path.join(store._meta_local, ".part-junk.parquet.tmp"), "wb") as f:
+        f.write(b"torn")
+    with open(os.path.join(store._meta_local, "not-a-part.txt"), "w") as f:
+        f.write("junk")
+    bid, bf = store.read_meta(spark)
+    assert bid == 3 and bf is not None
+    # the committed filter answers True for every key ever folded
+    import numpy as np
+
+    from crick_spark.operators.crick_ops import _bloom_key
+
+    all_keys = spark.createDataFrame(
+        pd.DataFrame({"k": [b * 10 + i for b in range(4) for i in (0, 1)]})
     )
-    assert len(meta) == 4
-    # strict alternation: a, b, a, b
-    assert meta[0] != meta[1] and meta[0] == meta[2] and meta[1] == meta[3]
-    assert set(meta) == set(store._paths)
+    hashes = all_keys.select(_bloom_key(all_keys, "k").alias("h")).toPandas()["h"]
+    assert bf.contains_batch(hashes.to_numpy(np.int64)).all()
+    # vacuum keeps the newest generations only, never the latest == 0
+    assert store.vacuum(keep_last=2) == 2
+    assert [b for b, _ in store._meta_files()] == [2, 3]
+    assert store.read_meta(spark)[0] == 3
+    assert store.vacuum(keep_last=0) == 1  # clamped: latest survives
+    assert store.read_meta(spark)[0] == 3
+    # replay fencing intact after vacuum
+    assert store.fold(all_keys, 3) is False
+    # remote schemes refused loudly; single-slash file URIs normalize
+    with pytest.raises(ValueError, match="scheme 's3a:'"):
+        BloomDedupStore("s3a://bucket/store", key_col="k")
+    uri_store = BloomDedupStore(f"file:{tmp_path}/uri_store", key_col="k")
+    assert uri_store._meta_local == f"{tmp_path}/uri_store/meta"
 
 
 def test_bloom_dedup_store_crash_replay_is_idempotent(spark, tmp_path):
@@ -1102,6 +1131,41 @@ def test_cluster_store_rejects_remote_scheme(tmp_path):
         ClusterStore("s3a://bucket/store")
     with pytest.raises(ValueError, match="scheme"):
         ClusterStore("hdfs://nn/store")
+    # Hadoop SINGLE-SLASH remote URIs must not slip past a '://' check
+    # (r10 ADVICE: 'file:/x' was accepted by Spark's data writes while
+    # the guard and the 'file://' strips missed it)
+    with pytest.raises(ValueError, match="scheme"):
+        ClusterStore("hdfs:/nn/store")
     # local schemes construct fine
     ClusterStore(str(tmp_path / "a"))
     ClusterStore(f"file://{tmp_path}/b")
+    ClusterStore(f"file:{tmp_path}/c")
+
+
+def test_fsutil_scheme_guard_and_normalization(tmp_path):
+    """local_meta_path/strip_file_scheme: urlparse-style scheme sniff —
+    double- and single-slash file URIs normalize to plain paths, remote
+    schemes (either slash style) raise, remote file-URI authorities
+    raise, plain paths pass through untouched."""
+    import pytest
+
+    from crick_spark.streaming.fsutil import (
+        local_meta_path,
+        strip_file_scheme,
+    )
+
+    assert strip_file_scheme("/a/b") == "/a/b"
+    assert strip_file_scheme("file:///a/b") == "/a/b"
+    assert strip_file_scheme("file://localhost/a/b") == "/a/b"
+    assert strip_file_scheme("file:/a/b") == "/a/b"
+    assert strip_file_scheme("file://") == "/"
+    with pytest.raises(ValueError, match="authority"):
+        strip_file_scheme("file://otherhost/a")
+
+    assert local_meta_path("/a/b", "X") == "/a/b"
+    assert local_meta_path("file:/a/b", "X") == "/a/b"
+    assert local_meta_path("file:///a/b", "X") == "/a/b"
+    assert local_meta_path("relative/dir", "X") == "relative/dir"
+    for bad in ("s3a://bucket/k", "hdfs://nn/x", "hdfs:/nn/x", "gs://b/x"):
+        with pytest.raises(ValueError, match="scheme"):
+            local_meta_path(bad, "X")
