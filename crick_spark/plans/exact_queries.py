@@ -763,6 +763,75 @@ def source_jsonl_corrupt_records(spark, sf_dir):
     return perm_row.unionByName(drop_row)
 
 
+@register(
+    "quarantine_sink_roundtrip",
+    oracle="""
+SELECT CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN doc_id % 97 <> 3 THEN coalesce(n_chars, 0)
+                ELSE 0 END) AS BIGINT) AS chars_good,
+       CAST(sum(CASE WHEN doc_id % 97 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN doc_id % 97 = 3 THEN 7 ELSE 0 END) AS BIGINT)
+         AS quarantined_bytes,
+       CAST(2 AS BIGINT) AS n_batches
+FROM documents
+""",
+    doc="Dead-letter quarantine WRITE path (r11, VERDICT #5): "
+    "source_jsonl_corrupt_records proves the read modes; this persists "
+    "the split.  Documents serialize to JSON lines with deterministic "
+    "corruption (doc_id %% 97 == 3 → truncated to 7 chars), feed a "
+    "QuarantineSink (sources/quarantine.py) in two micro-batches split "
+    "by doc_id parity, and batch 1 is then REPLAYED — the fence plus "
+    "per-batch partition overwrite must leave counts unchanged "
+    "(exactly-once split across restarts).  Fully value-oracled: good "
+    "row count, good n_chars sum, quarantined line count, quarantined "
+    "byte total (7 bytes per truncated line, summed from the PERSISTED "
+    "raw column), and the committed batch count all reproduce from the "
+    "source table arithmetic.",
+)
+def quarantine_sink_roundtrip(spark, sf_dir):
+    from crick_spark.sources.quarantine import QuarantineSink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    line = F.to_json(F.struct("doc_id", "n_chars", "lang"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 3, F.substring(line, 1, 7)
+    ).otherwise(line)
+    lines = docs.select(
+        corrupted.alias("value"), (F.col("doc_id") % 2).alias("__half__")
+    )
+    sink = QuarantineSink(
+        run_tmpdir("crick_quarantine_") + "/sink",
+        schema="doc_id long, n_chars long, lang string",
+    )
+    assert sink.ingest(lines.where(F.col("__half__") == 0).drop("__half__"), 0)
+    assert sink.ingest(lines.where(F.col("__half__") == 1).drop("__half__"), 1)
+    # crash-replay of batch 1: fenced, counts must not move
+    replayed = sink.ingest(
+        lines.where(F.col("__half__") == 1).drop("__half__"), 1
+    )
+    assert replayed is False
+    last_id, _ = sink.read_meta()
+    good = sink.good(spark).agg(
+        F.count("*").alias("n_good"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars_good"),
+    )
+    quar = sink.quarantined(spark).agg(
+        F.count("*").alias("n_quarantined"),
+        F.sum("raw_len").cast("long").alias("quarantined_bytes"),
+    )
+    return good.crossJoin(F.broadcast(quar)).select(
+        "n_good",
+        "chars_good",
+        "n_quarantined",
+        "quarantined_bytes",
+        F.lit(last_id + 1).cast("long").alias("n_batches"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join-type coverage: outer / semi / anti (SURVEY §2.5 'Joins')
 # ---------------------------------------------------------------------------

@@ -2458,6 +2458,70 @@ def test_contaminated_window_spans_cross_corpus(spark):
     assert cleaned[3] == (train_rows[2][1], 0)
 
 
+def test_real_wav_codec_roundtrip_and_chunk_walk():
+    """r11 (VERDICT #4): the pure-Python RIFF/WAVE PCM codec parses real
+    bytes exactly — 16-bit roundtrips the encoder, stereo interleaves,
+    8-bit recenters to signed, unknown/odd-sized chunks before ``data``
+    walk correctly, and non-PCM / truncated / foreign bytes all raise."""
+    import numpy as np
+    import pytest
+
+    from crick_spark.pipeline.multimodal import (
+        decode_wav,
+        encode_wav,
+        real_audio_decoder,
+        wav_info,
+    )
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=200, dtype=np.int64)
+    blob = encode_wav(s, 8000)
+    assert len(blob) == 44 + 400
+    assert wav_info(blob) == (8000, 1, 16, 200)
+    assert np.array_equal(decode_wav(blob), s)
+    assert np.array_equal(real_audio_decoder(blob, "audio"), s)
+
+    # stereo: interleaved stream survives byte-exact
+    st = encode_wav(s, 44100, n_channels=2)
+    assert wav_info(st) == (44100, 2, 16, 200)
+    assert np.array_equal(decode_wav(st), s)
+    with pytest.raises(ValueError, match="multiple"):
+        encode_wav(s[:3], 44100, n_channels=2)
+
+    # an unknown odd-sized chunk between fmt and data: spec pads to even
+    hdr, payload = blob[:36], blob[36:]
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    walked = (
+        b"RIFF"
+        + (len(blob) - 8 + len(junk)).to_bytes(4, "little")
+        + blob[8:36]
+        + junk
+        + payload
+    )
+    assert wav_info(walked) == (8000, 1, 16, 200)
+    assert np.array_equal(decode_wav(walked), s)
+
+    # 8-bit PCM is unsigned per spec → recentered to signed
+    eight = bytearray(encode_wav(np.zeros(4), 8000))
+    eight[34:36] = (8).to_bytes(2, "little")          # bits per sample
+    eight[40:44] = (4).to_bytes(4, "little")          # data size: 4 bytes
+    wav8 = bytes(eight[:44]) + bytes([0, 128, 255, 130])
+    assert wav_info(wav8) == (8000, 1, 8, 4)
+    assert decode_wav(wav8).tolist() == [-128, 0, 127, 2]
+
+    # loud failures: non-PCM format tag, truncated payload, foreign bytes
+    bad = bytearray(blob)
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float format
+    with pytest.raises(ValueError, match="PCM"):
+        wav_info(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        wav_info(blob[:100])
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_info(b"ID3 not a wav")
+    with pytest.raises(NotImplementedError):
+        real_audio_decoder(blob, "image")
+
+
 def test_ivf_layout_append_schema_fence(spark, tmp_path):
     """r10 ADVICE: ivf_layout_append must refuse to create a
     mixed-schema layout directory — codes passed against a plain IVF
