@@ -4175,3 +4175,62 @@ def decontaminate_spans_documents(spark, sf_dir):
         F.md5(F.col("text")).alias("cleaned_md5"),
         F.col("n_words_removed").cast("int").alias("n_words_removed"),
     )
+
+
+@register(
+    "clustered_embeddings_structure",
+    oracle="""
+WITH lk(r, c) AS (VALUES (0,0),(1,0),(2,0),(3,1),(4,1),(5,1),(6,2),(7,2),
+                         (8,3),(9,3),(10,4),(11,4),(12,5),(13,6),(14,7),(15,7)),
+pts AS (SELECT t.i, lk.c AS true_c
+        FROM range(1200) t(i) JOIN lk ON (t.i % 16) = lk.r),
+vec AS (SELECT p.i, p.true_c, d.j,
+               ((p.true_c*37 + d.j*101) % 211 - 105)/105.0
+               + 0.6 * (((p.i*131 + d.j*61) % 997) - 498)/498.0 AS v
+        FROM pts p, range(16) d(j)),
+cent AS (SELECT cc.c2, d.j, ((cc.c2*37 + d.j*101) % 211 - 105)/105.0 AS w
+         FROM range(8) cc(c2), range(16) d(j)),
+cos AS (SELECT v.i, v.true_c, ct.c2,
+               sum(v.v*ct.w) / (sqrt(sum(v.v*v.v)) * sqrt(sum(ct.w*ct.w)))
+                 AS cosv
+        FROM vec v JOIN cent ct USING (j)
+        GROUP BY v.i, v.true_c, ct.c2),
+ranked AS (SELECT i, true_c, c2, cosv,
+                  row_number() OVER (PARTITION BY i
+                                     ORDER BY cosv DESC, c2 ASC) AS rn
+           FROM cos),
+top AS (SELECT i, true_c, c2 AS top_c, cosv AS top_cos
+        FROM ranked WHERE rn = 1),
+own AS (SELECT i, cosv AS own_cos FROM cos WHERE c2 = true_c)
+SELECT CAST(t.true_c AS INT) AS cluster, count(*) AS cnt,
+       round(avg(o.own_cos), 6) AS mean_intra_cos,
+       round(avg(t.top_cos), 6) AS mean_top_cos,
+       round(avg(CASE WHEN t.top_c = t.true_c THEN 1.0 ELSE 0.0 END), 6)
+         AS assign_acc
+FROM top t JOIN own o USING (i)
+GROUP BY t.true_c
+""",
+    doc="Cluster-structure measurement, fully value-oracled (r11, VERDICT "
+    "#2): a 1200-row integer-lattice clustered corpus (8 skewed clusters, "
+    "sources/synthetic.py - every float an exact rational DuckDB rebuilds "
+    "from range() arithmetic, the audio-sample-formula pattern) runs "
+    "through ivf_structure_stats, the batch form of ivf_layout_append's "
+    "mean_top_cosine drift signal and the gate for PQ by_residual.  The "
+    "oracle recomputes the full cosine profile (own-center cosine, argmax "
+    "center, accuracy) in SQL, so the Arrow nearest-centroid matmul "
+    "kernel itself is hash-matched against an independent implementation "
+    "- per-cluster counts are skewed and noise_scale=0.6 puts assignment "
+    "accuracy strictly inside (0,1), so every column is value-bearing "
+    "(VERDICT #7).  One mapInPandas + one JVM groupBy, no vector shuffle.",
+)
+def clustered_embeddings_structure(spark, sf_dir):
+    from crick_spark.pipeline.similarity import ivf_structure_stats
+    from crick_spark.sources.synthetic import (
+        lattice_centers,
+        lattice_clustered_embeddings,
+    )
+
+    emb = lattice_clustered_embeddings(spark, n=1200, dim=16, noise_scale=0.6)
+    return ivf_structure_stats(
+        emb, lattice_centers(8, 16), group_col="cluster"
+    )

@@ -1,0 +1,160 @@
+"""Clustered synthetic corpora (sources/synthetic.py) and the
+cluster-structure measurement (similarity.ivf_structure_stats) — the r11
+ANN-calibration fixtures (VERDICT r10 #2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _rows(df):
+    return {r["vec_id"]: (r["cluster"], tuple(r["embedding"])) for r in df.collect()}
+
+
+class TestMogEmbeddings:
+    def test_partition_independent_determinism(self, spark):
+        """Same (seed, vec_id) → same row regardless of partitioning —
+        the contract that makes the fixture a fixture."""
+        from crick_spark.sources.synthetic import mog_embeddings
+
+        a = _rows(mog_embeddings(spark, 200, dim=16, n_clusters=4, seed=3))
+        b = _rows(
+            mog_embeddings(spark, 200, dim=16, n_clusters=4, seed=3).repartition(17)
+        )
+        assert a == b
+
+    def test_seed_changes_corpus(self, spark):
+        from crick_spark.sources.synthetic import mog_embeddings
+
+        a = _rows(mog_embeddings(spark, 50, dim=8, n_clusters=2, seed=3))
+        b = _rows(mog_embeddings(spark, 50, dim=8, n_clusters=2, seed=4))
+        assert a != b
+
+    def test_noise_controls_dispersion(self, spark):
+        """Mean cosine to the TRUE center rises as noise falls — the
+        within/between knob actually works."""
+        from crick_spark.sources.synthetic import mog_centers, mog_embeddings
+        from crick_spark.pipeline.similarity import ivf_structure_stats
+
+        centers = mog_centers(4, 32, seed=5)
+
+        def mean_top(noise):
+            emb = mog_embeddings(
+                spark, 200, dim=32, n_clusters=4, seed=5, noise=noise
+            )
+            row = ivf_structure_stats(emb, centers).collect()[0]
+            return row["mean_top_cos"]
+
+        tight, loose = mean_top(0.03), mean_top(0.3)
+        assert tight > 0.95
+        assert tight > loose + 0.2
+
+    def test_kmeans_recovers_structure(self, spark):
+        """train_ivf_centroids on a tight MoG corpus finds cells that the
+        structure score recognises as clustered — the end-to-end loop the
+        ANN.md calibration relies on."""
+        from crick_spark.pipeline.similarity import (
+            ivf_structure_stats,
+            train_ivf_centroids,
+        )
+        from crick_spark.sources.synthetic import mog_embeddings
+
+        emb = mog_embeddings(
+            spark, 400, dim=32, n_clusters=8, seed=11, noise=0.04
+        ).cache()
+        cents = train_ivf_centroids(emb, k=8, n_iter=5)
+        row = ivf_structure_stats(emb, cents).collect()[0]
+        assert row["mean_top_cos"] > 0.9
+        assert row["mean_margin"] > 0.3
+        emb.unpersist()
+
+
+class TestLatticeEmbeddings:
+    def test_matches_formula(self, spark):
+        """Spark generation == the documented closed form, row by row."""
+        from crick_spark.sources.synthetic import (
+            LATTICE_CLUSTER_LOOKUP,
+            lattice_centers,
+            lattice_clustered_embeddings,
+        )
+
+        got = _rows(lattice_clustered_embeddings(spark, 64, dim=16, noise_scale=0.6))
+        centers = lattice_centers(8, 16)
+        for i in range(64):
+            c = LATTICE_CLUSTER_LOOKUP[i % 16]
+            want = centers[c] + 0.6 * (
+                ((np.arange(16) * 61 + i * 131) % 997 - 498) / 498.0
+            )
+            assert got[i][0] == c
+            np.testing.assert_allclose(got[i][1], want, rtol=0, atol=0)
+
+    def test_skewed_cluster_sizes(self, spark):
+        from crick_spark.sources.synthetic import lattice_clustered_embeddings
+
+        sizes = {
+            r["cluster"]: r["cnt"]
+            for r in lattice_clustered_embeddings(spark, 1200)
+            .groupBy("cluster")
+            .count()
+            .withColumnRenamed("count", "cnt")
+            .collect()
+        }
+        assert sizes == {0: 225, 1: 225, 2: 150, 3: 150, 4: 150, 5: 75, 6: 75, 7: 150}
+
+
+class TestStructureStats:
+    def test_grouped_stats_against_numpy(self, spark):
+        """ivf_structure_stats(group_col=...) == a straight numpy
+        recomputation of the same profile."""
+        from crick_spark.pipeline.similarity import ivf_structure_stats
+        from crick_spark.sources.synthetic import (
+            LATTICE_CLUSTER_LOOKUP,
+            lattice_centers,
+            lattice_clustered_embeddings,
+        )
+
+        n, dim = 320, 16
+        emb = lattice_clustered_embeddings(spark, n, dim=dim, noise_scale=0.6)
+        centers = lattice_centers(8, dim)
+        got = {
+            r["cluster"]: r
+            for r in ivf_structure_stats(emb, centers, group_col="cluster").collect()
+        }
+
+        ids = np.arange(n)
+        cl = np.asarray(LATTICE_CLUSTER_LOOKUP)[ids % 16]
+        jj = np.arange(dim)[None, :]
+        V = centers[cl] + 0.6 * ((ids[:, None] * 131 + jj * 61) % 997 - 498) / 498.0
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        sims = Vn @ Cn.T
+        top = sims.argmax(axis=1)
+        for c in range(8):
+            sel = cl == c
+            assert got[c]["cnt"] == int(sel.sum())
+            assert got[c]["mean_intra_cos"] == pytest.approx(
+                sims[sel, c].mean(), abs=1e-6
+            )
+            assert got[c]["mean_top_cos"] == pytest.approx(
+                sims[sel].max(axis=1).mean(), abs=1e-6
+            )
+            assert got[c]["assign_acc"] == pytest.approx(
+                (top[sel] == c).mean(), abs=1e-6
+            )
+
+    def test_structureless_corpus_scores_low(self, spark):
+        """The drift-signal threshold is real: the iid testdata corpus
+        against its own k-means centroids sits far below the clustered
+        regime (ANN.md documents ≈0.33 vs ≳0.9)."""
+        from crick_spark.pipeline.similarity import (
+            ivf_structure_stats,
+            train_ivf_centroids,
+        )
+        from crick_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+        cents = train_ivf_centroids(emb, k=8, n_iter=3)
+        row = ivf_structure_stats(emb, cents).collect()[0]
+        assert row["mean_top_cos"] < 0.7  # the by_residual gate line
+        emb.unpersist()

@@ -91,6 +91,8 @@ PROBES = [
     ("copurchase_lift_minsupport", "lineitem"),  # a-priori pruned basket pairs
     ("image_decode_features_documents", "documents"),  # real decode seam
     ("unigram_lm_invariants", "documents"),     # driver-EM trainer path
+    ("audio_decode_features_documents", "documents"),  # real WAV decode seam
+    ("quarantine_sink_roundtrip", "documents"),  # dead-letter split sink
 ]
 
 
