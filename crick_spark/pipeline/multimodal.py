@@ -1,11 +1,17 @@
 """Multimodal column conventions: image/audio/video as opaque binary +
 typed metadata, with Arrow-batched decode/feature plumbing.
 
-The container has no image/audio libraries, so the *decode step* is a
-deterministic fake behind ``_decode_bytes`` (clearly marked; swap in
-PIL/ffmpeg in production).  Everything Spark-side is real and tested:
-the schema convention, ``mapInPandas`` batch iteration, output schemas,
-and partition-preserving flow — which is what a 100 TB media pipeline
+Every media kind has a REAL pure-Python decode path through the same
+``Decoder``/``FrameDecoder`` seams a production codec would use — image:
+Netpbm + 24-bit BMP (r10); audio: RIFF/WAVE integer PCM (r10); video:
+YUV4MPEG2 C420 (r11) — each fully value-oracled through a registered
+query.  The ``_decode_bytes`` PRNG stub remains only as the default for
+compressed formats this container has no codecs for (swap in
+PIL/libsndfile/ffmpeg at the call site; the callable is
+closure-captured and cloudpickle-shipped, so no executor-side module
+state).  Spark-side everything is real and tested: the schema
+convention, ``mapInPandas`` batch iteration, output schemas, and
+partition-preserving flow — which is what a 100 TB media pipeline
 actually exercises (decode is embarrassingly parallel per row; the only
 design question is batch shape and column pruning, handled here).
 """
@@ -687,4 +693,240 @@ def audio_window_features(
 
     return media_df.select("doc_id", "media", "meta").mapInPandas(
         kernel, schema=AUDIO_WINDOW_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL video decode (r11): YUV4MPEG2 (.y4m) — the uncompressed interchange
+# format every ffmpeg pipeline can emit — parses in pure Python + numpy,
+# exactly like Netpbm/WAV did for image/audio.  This completes the trio:
+# every media kind now has a real-bytes path through the same seams a
+# production codec would use (Decoder / FrameDecoder), with features
+# value-oracled from arithmetic DuckDB reproduces.
+# --------------------------------------------------------------------------
+
+
+def encode_y4m(
+    frames: np.ndarray,
+    width: int,
+    height: int,
+    fps_num: int = 25,
+    fps_den: int = 1,
+) -> bytes:
+    """YUV4MPEG2 bytes from planar 4:2:0 frames: ``frames`` is
+    (n_frames, width*height*3//2) uint8 — Y plane then quarter-size U
+    and V planes per frame, the C420 layout.  Deterministic real-bytes
+    source for the seam tests and the registered query."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even width and height")
+    fsz = width * height * 3 // 2
+    fr = np.asarray(frames, dtype=np.uint8).reshape(len(frames), -1)
+    if fr.shape[1] != fsz:
+        raise ValueError(f"C420 frame is {fsz} bytes, got {fr.shape[1]}")
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} "
+        "Ip A1:1 C420jpeg\n"
+    ).encode("ascii")
+    return head + b"".join(b"FRAME\n" + f.tobytes() for f in fr)
+
+
+def y4m_info(data: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a YUV4MPEG2 stream header and walk its FRAME markers;
+    returns (width, height, fps_num, fps_den, n_frames).  Only 4:2:0
+    chroma (C420 / C420jpeg / C420mpeg2 / C420paldv — same plane
+    layout) is supported; any other colourspace, a bad magic, or a
+    truncated frame payload raises, exactly like a strict demuxer."""
+    data = bytes(data)
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colour = "C420jpeg"
+    for tok in data[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t[0] == "C":
+            colour = t
+    if width is None or height is None:
+        raise ValueError("YUV4MPEG2 header missing W or H")
+    if colour not in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        raise ValueError(f"unsupported colourspace {colour!r} (C420 only)")
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even width and height")
+    fsz = width * height * 3 // 2
+    n_frames, i = 0, nl + 1
+    while i < len(data):
+        if data[i : i + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {i}")
+        fnl = data.find(b"\n", i)  # FRAME may carry parameters
+        if fnl < 0 or len(data) < fnl + 1 + fsz:
+            raise ValueError("truncated FRAME payload")
+        n_frames += 1
+        i = fnl + 1 + fsz
+    return width, height, fps_num, fps_den, n_frames
+
+
+def decode_y4m(data: bytes) -> np.ndarray:
+    """Decode YUV4MPEG2 to the LUMA matrix: (n_frames, width*height)
+    int64 — the plane feature math runs on.  Chroma planes are parsed
+    (offsets validated by ``y4m_info``) but not returned; a production
+    kernel returning RGB would plug into the same seam."""
+    data = bytes(data)
+    width, height, _, _, n_frames = y4m_info(data)
+    ysz = width * height
+    fsz = ysz * 3 // 2
+    out = np.empty((n_frames, ysz), dtype=np.int64)
+    i = data.find(b"\n") + 1
+    for f in range(n_frames):
+        fnl = data.find(b"\n", i)
+        out[f] = np.frombuffer(data, dtype=np.uint8, count=ysz, offset=fnl + 1)
+        i = fnl + 1 + fsz
+    return out
+
+
+def real_video_decoder(data: bytes, kind: str) -> np.ndarray:
+    """A REAL video ``Decoder`` for the seam: YUV4MPEG2 only; returns
+    the (n_frames, width*height) luma matrix.  Non-video kinds and
+    unknown containers raise, exactly like a production demuxer."""
+    if kind != "video":
+        raise NotImplementedError(
+            f"real_video_decoder only decodes video, got {kind!r}"
+        )
+    return decode_y4m(bytes(data))
+
+
+def real_video_frame_decoder(
+    data: bytes, kind: str, frame_idx: int, n_frames: int
+) -> np.ndarray:
+    """FrameDecoder-contract adapter: seek to one frame's luma plane —
+    what ``sample_frames`` ships per sampled frame.  A real ffmpeg
+    kernel seeks natively; Y4M frames are fixed-size so the seek is an
+    offset computation inside ``decode_y4m``'s walk."""
+    if kind != "video":
+        raise NotImplementedError(
+            f"real_video_frame_decoder only decodes video, got {kind!r}"
+        )
+    return decode_y4m(bytes(data))[int(frame_idx)]
+
+
+def attach_y4m_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 4,
+    fps: int = 5,
+) -> DataFrame:
+    """Attach REAL YUV4MPEG2 bytes to each row: doc d carries
+    n = 2 + d%5 frames; luma[f][p] = (d·17 + f·29 + p·13) mod 256,
+    chroma U[f][q] = (d·7 + f·11 + q·19) mod 256, V[f][q] =
+    (d·5 + f·3 + q·23) mod 256 — deterministic arithmetic an external
+    oracle reproduces without decoding, so the demux→decode→feature
+    path over real video bytes is fully value-checkable (registered
+    query ``video_decode_features_documents``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w, h, f_ = int(width), int(height), int(fps)
+    ysz, csz = w * h, (w // 2) * (h // 2)
+
+    @pandas_udf(BinaryType())
+    def make_y4m(ids: pd.Series) -> pd.Series:
+        p = np.arange(ysz, dtype=np.int64)
+        q = np.arange(csz, dtype=np.int64)
+        out = []
+        for d in ids:
+            d = int(d)
+            n = 2 + d % 5
+            f = np.arange(n, dtype=np.int64)[:, None]
+            luma = (d * 17 + f * 29 + p[None, :] * 13) % 256
+            u = (d * 7 + f * 11 + q[None, :] * 19) % 256
+            v = (d * 5 + f * 3 + q[None, :] * 23) % 256
+            frames = np.concatenate([luma, u, v], axis=1)
+            out.append(encode_y4m(frames, w, h, fps_num=f_, fps_den=1))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col),
+        make_y4m(F.col(id_col)).alias("media"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit(0).cast("int").alias("sample_rate"),
+            ((F.lit(2) + F.col(id_col) % 5) / F.lit(float(f_))).alias(
+                "duration_s"
+            ),
+        ).alias("meta"),
+    )
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("motion", DoubleType()),
+    ]
+)
+
+
+def extract_video_features(
+    media_df: DataFrame, decoder: Decoder | None = None
+) -> DataFrame:
+    """Decode + feature-extract video rows (Arrow-batched mapInPandas):
+    width/height/frame-count/duration come from the container header
+    itself (``y4m_info``) and the signal features from the decoded luma
+    — mean level plus ``motion``, the mean absolute inter-frame luma
+    delta, the cheap temporal-activity score a video curation pipeline
+    filters on (static slides ≈ 0, cuts/action high).  No meta-struct
+    trust, no stub anywhere when ``decoder`` is ``real_video_decoder``
+    (the default); a production kernel must return the same
+    (n_frames, n_pixels) matrix shape."""
+    dec = decoder or real_video_decoder
+
+    def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, data, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                if meta["kind"] != "video":
+                    continue
+                blob = bytes(data)
+                w, h, fn, fd, n = y4m_info(blob)
+                luma = np.asarray(dec(blob, "video"), dtype=np.float64)
+                motion = (
+                    float(np.abs(np.diff(luma, axis=0)).mean())
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": len(blob),
+                        "width": w,
+                        "height": h,
+                        "n_frames": n,
+                        "duration_s": n * fd / fn,
+                        "mean_luma": float(luma.mean()),
+                        "motion": motion,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields]
+            )
+
+    return media_df.select("doc_id", "media", "meta").mapInPandas(
+        kernel, schema=VIDEO_FEATURE_SCHEMA
     )

