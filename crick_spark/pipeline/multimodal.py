@@ -930,3 +930,53 @@ def extract_video_features(
     return media_df.select("doc_id", "media", "meta").mapInPandas(
         kernel, schema=VIDEO_FEATURE_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def ahash_frames(frames_df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) each sampled frame: bit p is set when pixel p
+    exceeds the frame's mean level — the classic perceptual signature
+    (64-bit at 8×8; width·height-bit generally), robust to uniform
+    brightness shifts, cheap enough to run on every frame of a 100 TB
+    corpus.  One Arrow-batched kernel over ``sample_frames`` output
+    (doc_id, frame_idx, frame) → (doc_id, frame_idx, ahash).
+
+    Exactness note: a frame mean of n=2^k integer pixels is exact in
+    float64 (int sum then power-of-two divide), so the strict `>` per
+    bit — and therefore the hash — is deterministic and reproducible by
+    an external integer-arithmetic oracle (the registered census query
+    hash-matches DuckDB bit-for-bit)."""
+
+    def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, fidx, blob in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                px = np.frombuffer(bytes(blob), dtype=np.uint8).astype(
+                    np.int64
+                )
+                bits = px > px.mean()
+                h = int((bits * (np.int64(1) << np.arange(len(px)))).sum())
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_idx": int(fidx),
+                        "ahash": h,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return frames_df.select("doc_id", "frame_idx", "frame").mapInPandas(
+        kernel, schema=AHASH_SCHEMA
+    )

@@ -4338,3 +4338,61 @@ def video_frame_sample_luma(spark, sf_dir):
         F.round("t_offset_s", 6).alias("t_offset_s"),
         F.round(frame_mean(F.col("frame")), 6).alias("mean_frame_luma"),
     )
+
+
+@register(
+    "video_frame_dedup_census",
+    oracle="""
+WITH lum AS (
+  SELECT d.doc_id AS d, fr.f, px.p,
+         (d.doc_id*17 + fr.f*29 + px.p*13) % 256 AS l
+  FROM documents d, range(6) fr(f), range(32) px(p)
+  WHERE fr.f < 2 + d.doc_id % 5
+),
+m AS (SELECT d, f, avg(l) AS ml FROM lum GROUP BY d, f),
+h AS (
+  SELECT lum.d, lum.f,
+         CAST(sum(CASE WHEN lum.l > m.ml THEN (CAST(1 AS BIGINT) << lum.p)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM lum JOIN m ON lum.d = m.d AND lum.f = m.f
+  GROUP BY lum.d, lum.f
+)
+SELECT ahash, count(*) AS n_frames,
+       count(DISTINCT d) AS n_docs, min(d) AS min_doc
+FROM h GROUP BY ahash HAVING count(*) > 1
+""",
+    doc="Frame-level perceptual dedup census (r11) - the video twin of "
+    "document near-dup: every sampled frame of every clip gets a REAL "
+    "average-hash (bit p = pixel p above the frame mean; frame means "
+    "over 2^k pixels are float64-exact so the strict > is deterministic "
+    "both sides), then a census of hash buckets seen more than once "
+    "(frame count, distinct clips, smallest clip id).  Dedup at 100 TB "
+    "is the hash-groupBy, never pairwise frame comparison - the census "
+    "IS the shuffle-bounded shape, and Hamming-banding the signature "
+    "(SimHash machinery, dedup.py) is the near-dup extension.  FULLY "
+    "value-oracled: DuckDB recomputes every frame's hash bit-for-bit "
+    "from the generator arithmetic and reproduces the census.",
+)
+def video_frame_dedup_census(spark, sf_dir):
+    from crick_spark.pipeline.multimodal import (
+        ahash_frames,
+        attach_y4m_media,
+        real_video_frame_decoder,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_y4m_media(docs)
+    frames = sample_frames(
+        media, fps=5.0, max_frames=8, frame_decoder=real_video_frame_decoder
+    )
+    hashes = ahash_frames(frames)
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_frames") > 1)
+    )

