@@ -202,6 +202,15 @@ R4_EXTRA = [
     # budget without adding signal
     "copurchase_lift_minsupport",
     "image_decode_features_documents",
+    # round-11: the real audio decode seam, the video frame-sample
+    # explode, and the frame-dedup census (all fully value-oracled in
+    # the correctness harness).  NOT here, same policy as r10:
+    # video_decode_features_documents and clustered_embeddings_structure
+    # are driver-gate slots (timed in CORRECTNESS), and the quarantine
+    # sink's temp-dir writes are protocol cost, not operator cost
+    "audio_decode_features_documents",
+    "video_frame_sample_luma",
+    "video_frame_dedup_census",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

@@ -74,7 +74,14 @@ _GATE_WINDOW = [
     # exact/relational core (SURVEY §2.5)
     "q1_pricing_summary",
     "summary_stats_extendedprice",
-    "summary_stats_by_returnflag",
+    # r11: summary_stats_by_returnflag rotated out (grouped twin of
+    # summary_stats_extendedprice — four moments/stats forms were
+    # in-window; still oracle-checked outside) for the multimodal
+    # real-decode family's FIRST gate slot: genuine YUV4MPEG2 bytes
+    # demuxed by the pure-Python Y4M walker, geometry/duration/luma/
+    # motion all value-matched against DuckDB integer arithmetic —
+    # image/audio real-decode siblings stay oracle-checked outside
+    "video_decode_features_documents",
     "percentile_events_value",
     # r6: percentile_quantity_by_returnflag rotated out (second exact
     # percentile variant in-window; still oracle-checked outside) for the
@@ -198,7 +205,15 @@ _GATE_WINDOW = [
     # maintenance — frozen-centroid appends with resident files
     # byte-identical and the drift signal, the ANN index's
     # ingest-without-reshuffle path (VERDICT r9 item 2)
-    "ivf_layout_incremental",
+    # r11: ivf_layout_incremental rotated out (VERDICT r10 #8 — rotate
+    # WITHIN the ANN trio rather than growing the window; byte-identical
+    # appends stay pytest-pinned and the query stays oracle-checked
+    # outside) for the cluster-structure measurement gate — the
+    # nearest-centroid assignment kernel and the by_residual decision
+    # signal (ivf_structure_stats over the lattice clustered fixture)
+    # hash-matched against a full SQL recomputation of the cosine
+    # profile (VERDICT r10 #2)
+    "clustered_embeddings_structure",
     # r6 second half: approx_distinct_users rotated out (HLL estimate
     # also exercised by kmv/hll set-op queries outside; still
     # oracle-checked) for the pair->cluster closure — connected

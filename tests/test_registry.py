@@ -50,12 +50,17 @@ def test_gate_window_family_coverage():
         "knn_graph_recall_panel",
         "repeated_span_removal_documents",
     } <= w
-    # r10 rotation: the billion-vector index paths are gate-visible
+    # r10 rotation: the billion-vector index paths are gate-visible.
+    # r11: ivf_layout_incremental rotated out within the ANN family
+    # (VERDICT r10 #8) for the cluster-structure calibration gate; the
+    # multimodal real-decode family takes its first slot in place of the
+    # grouped moments twin.
     assert {
         "knn_ivfpq_layout_prune",
-        "ivf_layout_incremental",
+        "clustered_embeddings_structure",
         "streaming_ann_index_maintenance",
     } <= w
+    assert "video_decode_features_documents" in w
 
 
 def test_bench_previous_times_scavenges_truncated_capture(tmp_path, monkeypatch):
