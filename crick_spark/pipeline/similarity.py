@@ -720,6 +720,27 @@ def ivf_structure_stats(
     )
 
 
+def choose_by_residual(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+) -> bool:
+    """The r11 calibration made actionable: measure the corpus's cluster
+    structure against its trained coarse quantizer and return the
+    ``by_residual`` setting the ANN.md clustered-calibration table
+    supports — residual PQ codebooks when mean top-cosine clears
+    ``threshold`` (measured flip point between 0.388 where plain wins
+    0.425/0.380 and 0.799 where residual wins 0.500/0.350), plain codes
+    below.  One job (``ivf_structure_stats``); feed the result to
+    ``train_pq_codebooks(..., centroids=centroids if chosen else None)``
+    and the matching search-time flag.  At re-calibration time (the
+    ``ivf_layout_append`` drift signal falling), re-run THIS — not a
+    remembered setting."""
+    row = ivf_structure_stats(embeddings, centroids, vec_col).collect()[0]
+    return float(row["mean_top_cos"]) >= float(threshold)
+
+
 # ---------------------------------------------------------------------------
 # Scalar (int8) quantization: the memory-scale path for 100 TB ANN
 # ---------------------------------------------------------------------------

@@ -146,7 +146,7 @@ class TestStructureStats:
     def test_structureless_corpus_scores_low(self, spark):
         """The drift-signal threshold is real: the iid testdata corpus
         against its own k-means centroids sits far below the clustered
-        regime (ANN.md documents ≈0.33 vs ≳0.9)."""
+        regime (ANN.md measures 0.388 vs 0.799–0.956)."""
         from crick_spark.pipeline.similarity import (
             ivf_structure_stats,
             train_ivf_centroids,
@@ -158,3 +158,28 @@ class TestStructureStats:
         row = ivf_structure_stats(emb, cents).collect()[0]
         assert row["mean_top_cos"] < 0.7  # the by_residual gate line
         emb.unpersist()
+
+
+class TestChooseByResidual:
+    def test_picks_sides_per_calibration(self, spark):
+        """choose_by_residual returns True exactly in the regime the
+        ANN.md clustered table showed residual winning: tight MoG → True,
+        the structureless testdata corpus → False."""
+        from crick_spark.pipeline.similarity import (
+            choose_by_residual,
+            train_ivf_centroids,
+        )
+        from crick_spark.sources.synthetic import mog_embeddings
+        from crick_spark.sources.tables import load_table
+
+        tight = mog_embeddings(
+            spark, 400, dim=32, n_clusters=8, seed=11, noise=0.04
+        ).cache()
+        cents = train_ivf_centroids(tight, k=8, n_iter=3)
+        assert choose_by_residual(tight, cents) is True
+        tight.unpersist()
+
+        iid = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+        cents = train_ivf_centroids(iid, k=8, n_iter=3)
+        assert choose_by_residual(iid, cents) is False
+        iid.unpersist()
