@@ -956,3 +956,92 @@ def streaming_bloom_dedup_users(spark, sf_dir):
         ).alias("coverage_ok"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+@register(
+    "incremental_exact_dedup_frames",
+    oracle="""
+WITH lum AS (
+  SELECT d.doc_id AS d, fr.f, px.p,
+         (d.doc_id*17 + fr.f*29 + px.p*13) % 256 AS l
+  FROM documents d, range(6) fr(f), range(32) px(p)
+  WHERE fr.f < 2 + d.doc_id % 5
+),
+m AS (SELECT d, f, avg(l) AS ml FROM lum GROUP BY d, f),
+h AS (
+  SELECT lum.d, lum.f, CAST(lum.d % 3 AS INT) AS batch_key,
+         CAST(sum(CASE WHEN lum.l > m.ml THEN (CAST(1 AS BIGINT) << lum.p)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM lum JOIN m ON lum.d = m.d AND lum.f = m.f
+  GROUP BY lum.d, lum.f
+),
+bh AS (SELECT batch_key, ahash FROM h GROUP BY batch_key, ahash),
+fb AS (SELECT ahash, min(batch_key) AS fbk FROM bh GROUP BY ahash),
+nf AS (SELECT batch_key, count(*) AS n_frames FROM h GROUP BY batch_key)
+SELECT bh.batch_key, any_value(nf.n_frames) AS n_frames,
+       count(*) AS n_batch_hashes,
+       CAST(sum(CASE WHEN fb.fbk = bh.batch_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_hashes
+FROM bh JOIN fb USING (ahash) JOIN nf ON nf.batch_key = bh.batch_key
+GROUP BY bh.batch_key
+""",
+    doc="Exact incremental dedup with first-batch attribution "
+    "(streaming/exact_dedup.py) - the exact twin of the Bloom fold, and "
+    "the registry's first FULLY VALUE-ORACLED incremental-dedup entry: "
+    "video frames stream in 3 deterministic micro-batches (doc_id%3), "
+    "each fold anti-joins the batch's frame aHashes against ONLY the "
+    "touched (bucket, batch<id) store partitions and dynamic-overwrites "
+    "its own partitions - then batch 1 is REPLAYED after batch 2 (the "
+    "crash-recovery path), which must leave the store byte-identical "
+    "because replays prune residents to batch<1 and rewrite the same "
+    "partitions.  Output per batch: frame count, within-batch distinct "
+    "hashes, and first-seen hash count - DuckDB reproduces all three "
+    "from the generator arithmetic (min-batch attribution), so any "
+    "ordering bug, replay leak, or bucket-pruning mistake hash-"
+    "mismatches.  100 TB shape: state is keyed parquet bucketed by "
+    "xxhash64, folds read O(touched buckets), never full history.",
+)
+def incremental_exact_dedup_frames(spark, sf_dir):
+    import shutil
+
+    from crick_spark.pipeline.multimodal import (
+        ahash_frames,
+        attach_y4m_media,
+        real_video_frame_decoder,
+        sample_frames,
+    )
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_y4m_media(docs)
+    frames = sample_frames(
+        media, fps=5.0, max_frames=8, frame_decoder=real_video_frame_decoder
+    )
+    hashes = ahash_frames(frames).withColumn(
+        "batch_key", (F.col("doc_id") % 3).cast("int")
+    )
+    hashes = hashes.localCheckpoint(eager=True)  # one decode pass, 4 folds
+
+    work = run_tmpdir("crick_exact_dedup_")
+    store = ExactDedupStore(f"{work}/store", key_col="ahash", n_buckets=16)
+    for b in (0, 1, 2, 1):  # ascending folds + replay of batch 1
+        store.fold(hashes.where(F.col("batch_key") == (b % 3)), b % 3)
+
+    per_batch = hashes.groupBy("batch_key").agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("ahash").alias("n_batch_hashes"),
+    )
+    news = (
+        store.keys(spark)
+        .groupBy(F.col("first_batch").alias("batch_key"))
+        .agg(F.count("*").alias("n_new_hashes"))
+    )
+    out = per_batch.join(news, "batch_key", "left").select(
+        "batch_key",
+        "n_frames",
+        "n_batch_hashes",
+        F.coalesce("n_new_hashes", F.lit(0)).alias("n_new_hashes"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

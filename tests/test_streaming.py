@@ -1169,3 +1169,89 @@ def test_fsutil_scheme_guard_and_normalization(tmp_path):
     for bad in ("s3a://bucket/k", "hdfs://nn/x", "hdfs:/nn/x", "gs://b/x"):
         with pytest.raises(ValueError, match="scheme"):
             local_meta_path(bad, "X")
+
+
+def test_exact_dedup_store_fold_equals_batch_and_attribution(spark, tmp_path):
+    """r11: folding batches in order ≡ one-shot distinct with min-batch
+    attribution — exact, no false positives, every key in exactly one
+    batch partition."""
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    rows = [(i, f"k{i % 37}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    store = ExactDedupStore(str(tmp_path / "store"), key_col="key", n_buckets=8)
+    stats = []
+    for b in range(3):
+        stats.append(store.fold(df.where(F.col("i") % 3 == b), b))
+
+    got = {
+        r["key"]: r["first_batch"] for r in store.keys(spark).collect()
+    }
+    want = {}
+    for i, k in rows:
+        b = i % 3
+        if k not in want or b < want[k]:
+            # first CALLED batch == min residue holding the key
+            want[k] = min(want.get(k, 3), b)
+    assert got == want
+    assert sum(s["n_new"] for s in stats) == len(want)
+    assert all(s["n_keys"] >= s["n_new"] for s in stats)
+
+
+def test_exact_dedup_store_replay_is_byte_identical(spark, tmp_path):
+    """A replayed fold (the foreachBatch crash-recovery path) rewrites
+    only its own partitions with identical content — the store's files
+    outside the replayed batch are untouched, and attribution is
+    invariant."""
+    import pathlib
+
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    df = spark.createDataFrame(
+        [(i, i % 23) for i in range(200)], "i long, key long"
+    )
+    root = tmp_path / "store"
+    store = ExactDedupStore(str(root), key_col="key", n_buckets=4)
+    for b in range(3):
+        store.fold(df.where(F.col("i") % 3 == b), b)
+    before = {r["key"]: r["first_batch"] for r in store.keys(spark).collect()}
+    other = {
+        p: p.stat().st_mtime
+        for p in pathlib.Path(root).rglob("*.parquet")
+        if "batch=1" not in str(p)
+    }
+
+    replay = store.fold(df.where(F.col("i") % 3 == 1), 1)
+
+    after = {r["key"]: r["first_batch"] for r in store.keys(spark).collect()}
+    assert after == before
+    assert replay["n_new"] == sum(1 for b in before.values() if b == 1)
+    for p, mt in other.items():  # non-replayed partitions never rewritten
+        assert p.stat().st_mtime == mt
+
+
+def test_exact_dedup_store_fold_prunes_to_touched_buckets(spark, tmp_path):
+    """The resident read is bounded by the batch's touched buckets: a
+    one-key batch against a wide resident store scans only that key's
+    bucket partition (PartitionFilters carry bucket + batch)."""
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "key long")
+    store = ExactDedupStore(str(tmp_path / "store"), key_col="key", n_buckets=16)
+    store.fold(df, 0)
+
+    one = spark.createDataFrame([(7,)], "key long")
+    keys = one.select(F.col("key")).withColumn(
+        "bucket", F.pmod(F.xxhash64("key"), F.lit(16))
+    )
+    touched = [r["bucket"] for r in keys.select("bucket").distinct().collect()]
+    resident = store._resident(spark, 1).where(F.col("bucket").isin(touched))
+    plan = resident._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # execute: the pruned read returns only the touched bucket's keys
+    n_bucket = resident.count()
+    n_total = store.keys(spark).count()
+    assert 0 < n_bucket < n_total
+
+    stats = store.fold(one, 1)
+    assert stats == {"batch_id": 1, "n_keys": 1, "n_new": 0}
