@@ -666,7 +666,12 @@ def streaming_incremental_dedup(spark, sf_dir):
 SELECT TRUE AS results_match_full_build,
        TRUE AS rows_conserved,
        TRUE AS multi_batch,
-       TRUE AS drift_signal_per_fold
+       TRUE AS drift_signal_per_fold,
+       (SELECT count(*) FROM embeddings) AS n_rows_layout,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 3 = 0)
+         AS n_resident_initial,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0)
+         AS n_appended
 """,
     doc="Streaming maintenance of the IVF index layout (r9) - the "
     "Structured-Streaming twin of ivf_layout_incremental: a third of "
@@ -733,6 +738,7 @@ def streaming_ann_index_maintenance(spark, sf_dir):
     diff = mem.exceptAll(lay).unionByName(lay.exceptAll(mem))
     rows_layout = spark.read.parquet(layout).count()
     rows_total = emb.count()
+    n_resident = emb.where(F.col("vec_id") % 3 == 0).count()
     out = diff.agg(F.count("*").alias("__d__")).select(
         (F.col("__d__") == 0).alias("results_match_full_build"),
         F.lit(rows_layout == rows_total).alias("rows_conserved"),
@@ -743,6 +749,13 @@ def streaming_ann_index_maintenance(spark, sf_dir):
                 for s in fold_stats
             )
         ).alias("drift_signal_per_fold"),
+        # value-bearing beside the booleans (VERDICT r10 #7): layout row
+        # count and the resident/appended split, DuckDB-reproducible
+        F.lit(rows_layout).cast("long").alias("n_rows_layout"),
+        F.lit(n_resident).cast("long").alias("n_resident_initial"),
+        F.lit(sum(s["rows"] for s in fold_stats))
+        .cast("long")
+        .alias("n_appended"),
     )
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
