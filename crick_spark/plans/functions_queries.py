@@ -755,3 +755,62 @@ def recursive_cte_reachability(spark, sf_dir):
     for t in ("orders", "lineitem", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# observe(): single-pass audit metrics (CollectMetrics)
+# ---------------------------------------------------------------------------
+@register(
+    "observed_ingest_metrics",
+    oracle="""
+SELECT count(*) AS n_scanned,
+       CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+""",
+    doc="Single-pass ingest audit via observe()/CollectMetrics (r11): a "
+    "quality filter keeps long documents, and the pre-filter audit "
+    "counters (rows scanned, short-doc rejects, total chars) ride the "
+    "SAME job as accumulator-style metrics - no second scan, the "
+    "pattern a 100 TB ingest uses to account for every dropped row "
+    "without paying for the accounting.  CollectMetrics is a pushdown "
+    "barrier, so the filter cannot reach the scan and silently shrink "
+    "the audited row set; the oracle recomputes all four counters in "
+    "SQL, so if Spark ever started pushing the filter below the "
+    "observation point the n_scanned/n_short mismatch would surface "
+    "here.  n_kept is asserted both ways: the observed metric must "
+    "equal the actual survivor count from the same single action.",
+)
+def observed_ingest_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("ingest_audit")
+    audited = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum((F.col("n_chars") < 200).cast("long")).alias("n_short"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    kept = audited.where(F.col("n_chars") >= 200)
+    n_kept = kept.count()  # the ONE action; metrics observed on its scan
+    m = obs.get
+    if m["n_scanned"] - m["n_short"] != n_kept:
+        raise AssertionError(
+            f"observed audit disagrees with survivor count: "
+            f"{m} vs n_kept={n_kept}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_scanned"]),
+                int(n_kept),
+                int(m["n_short"]),
+                int(m["total_chars"]),
+            )
+        ],
+        "n_scanned long, n_kept long, n_short long, total_chars long",
+    )
