@@ -211,6 +211,7 @@ R4_EXTRA = [
     "audio_decode_features_documents",
     "video_frame_sample_luma",
     "video_frame_dedup_census",
+    "triangle_counts_copurchase",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

@@ -257,3 +257,72 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} supersteps"
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts by degree-ordered orientation (Suri &
+    Vassilvitskii, *Counting triangles and the curse of the last
+    reducer*, WWW 2011) — the MapReduce-era algorithm that is STILL the
+    right Spark plan, because it bounds exactly the quantity that melts
+    a naive edge self-join: wedges at hub nodes.
+
+    Input: undirected edges, any orientation, duplicates/self-loops
+    tolerated (normalized away).  Each edge is re-oriented from its
+    lower-(degree, id) endpoint to its higher one; every out-neighborhood
+    then has O(√m) size, so the wedge join ``o ⋈ o ON u`` produces
+    O(m^1.5) candidate rows TOTAL regardless of skew — a power-law hub
+    with degree d contributes d wedges as the *destination* of oriented
+    edges, never d² as a source (the "last reducer" fix).  A final join
+    against the oriented edge set keeps wedges that close; each triangle
+    is produced exactly once (orientation is a total order).  Three
+    shuffles over edge-sized relations; nothing quadratic in degree.
+
+    Returns (node, n_triangles) for every node in ≥1 triangle."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): struct comparison gives the total order
+    keyed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.struct("u", "v")
+            )
+            .otherwise(F.struct(F.col("v").alias("u"), F.col("u").alias("v")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("lo"), F.col("o.v").alias("hi"))
+    )
+    o1 = keyed.select(F.col("lo").alias("u"), F.col("hi").alias("a"))
+    o2 = keyed.select(F.col("lo").alias("u"), F.col("hi").alias("b"))
+    wedges = o1.join(o2, "u").where(F.col("a") < F.col("b"))
+    closing = keyed.select(
+        F.col("lo").alias("wa"), F.col("hi").alias("wb")
+    ).unionAll(keyed.select(F.col("hi").alias("wa"), F.col("lo").alias("wb")))
+    # (a, b) of a wedge are both oriented-ABOVE u but in unknown mutual
+    # order, so probe the closing edge in its undirected form
+    tri = wedges.join(
+        closing.distinct(),
+        (F.col("a") == F.col("wa")) & (F.col("b") == F.col("wb")),
+    ).select("u", "a", "b")
+    return (
+        tri.select(F.explode(F.array("u", "a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

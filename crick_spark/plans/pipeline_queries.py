@@ -4396,3 +4396,66 @@ def video_frame_dedup_census(spark, sf_dir):
         )
         .where(F.col("n_frames") > 1)
     )
+
+
+@register(
+    "triangle_counts_copurchase",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri),
+cnt AS (SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node)
+SELECT * FROM (
+  SELECT CAST(node AS BIGINT) AS part,
+         CAST(n_triangles AS BIGINT) AS n_triangles
+  FROM cnt ORDER BY n_triangles DESC, node ASC LIMIT 15)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST((SELECT count(*) FROM tri) AS BIGINT)
+""",
+    doc="Distributed triangle counting on the co-purchase graph (r11) - "
+    "the third graph-family operator beside PageRank and connected "
+    "components, via degree-ordered orientation (Suri & Vassilvitskii "
+    "2011, pipeline/graph.py:triangle_counts): every edge points from "
+    "its lower-(degree,id) endpoint, so out-neighborhoods are O(sqrt m) "
+    "and the wedge join is O(m^1.5) TOTAL even on power-law hubs - the "
+    "'last reducer' fix, three edge-sized shuffles, nothing quadratic "
+    "in degree.  Output: top-15 parts by triangle participation plus "
+    "the global triangle count as the part=-1 row.  FULLY value-oracled "
+    "against DuckDB's direct id-ordered 3-way self-join - a completely "
+    "different (unscalable) plan computing the same set, so the "
+    "orientation/wedge machinery itself is what the hash-match checks.",
+)
+def triangle_counts_copurchase(spark, sf_dir):
+    from crick_spark.pipeline.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    counts = triangle_counts(pairs).cache()
+    top = (
+        counts.orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(15)
+        .select(
+            F.col("node").cast("long").alias("part"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )
+    total = counts.agg(
+        F.lit(-1).cast("long").alias("part"),
+        (F.sum("n_triangles") / 3).cast("long").alias("n_triangles"),
+    )
+    return top.unionAll(total)

@@ -2919,3 +2919,51 @@ def test_frame_ahash_census_matches_numpy(spark):
         if sum(1 for k in want if want[k] == h) > 1
     }
     assert dup_hashes  # generator periodicity guarantees collisions
+
+
+def test_triangle_counts_matches_bruteforce_and_handles_hubs(spark):
+    """r11: degree-oriented triangle counting == an itertools brute force
+    on a random graph (incl. duplicate / reversed / self-loop edges
+    normalized away), and a hub star plus one closing edge yields
+    exactly the expected triangles — the shape whose wedge explosion the
+    orientation exists to prevent."""
+    import itertools
+
+    import numpy as np
+
+    from crick_spark.pipeline.graph import triangle_counts
+
+    rng = np.random.default_rng(17)
+    n = 40
+    raw = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(300, 2))
+        if a != b
+    }
+    # add noise the normalizer must absorb: reversals, dups, self-loops
+    rows = (
+        [(a, b) for a, b in raw]
+        + [(b, a) for a, b in list(raw)[:50]]
+        + [(5, 5), (7, 7)]
+    )
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+
+    und = {tuple(sorted(e)) for e in raw}
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and want  # sanity: graph non-trivial
+
+    # hub: star K1,20 has no triangles; closing one spoke pair adds one
+    star = [(0, i) for i in range(1, 21)]
+    e1 = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_counts(e1).count() == 0
+    e2 = spark.createDataFrame(star + [(3, 4)], "src long, dst long")
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(e2).collect()}
+    assert got2 == {0: 1, 3: 1, 4: 1}

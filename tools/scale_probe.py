@@ -93,6 +93,7 @@ PROBES = [
     ("unigram_lm_invariants", "documents"),     # driver-EM trainer path
     ("audio_decode_features_documents", "documents"),  # real WAV decode seam
     ("quarantine_sink_roundtrip", "documents"),  # dead-letter split sink
+    ("triangle_counts_copurchase", "lineitem"),  # degree-oriented wedge join
 ]
 
 
