@@ -4445,7 +4445,11 @@ def triangle_counts_copurchase(spark, sf_dir):
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
         .distinct()
     )
-    counts = triangle_counts(pairs).cache()
+    # eager localCheckpoint, not cache(): the per-node counts feed BOTH
+    # output branches (top-15 and the global sum), and materializing here
+    # truncates the wedge-join subtree so the union's plan reads it once
+    # instead of duplicating the whole join tree per branch
+    counts = triangle_counts(pairs).localCheckpoint(eager=True)
     top = (
         counts.orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(15)
