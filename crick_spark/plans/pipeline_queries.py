@@ -4429,7 +4429,13 @@ SELECT CAST(-1 AS BIGINT), CAST((SELECT count(*) FROM tri) AS BIGINT)
     "the global triangle count as the part=-1 row.  FULLY value-oracled "
     "against DuckDB's direct id-ordered 3-way self-join - a completely "
     "different (unscalable) plan computing the same set, so the "
-    "orientation/wedge machinery itself is what the hash-match checks.",
+    "orientation/wedge machinery itself is what the hash-match checks.  "
+    "Measured shape (SCALE.md): ~40M oriented wedges / ~8.5s at sf0.1, "
+    "5.1x over 100x data (degree ~constant across sf - the part "
+    "dictionary scales with the corpus, so wedge work is ~linear with a "
+    "fixed-cost floor).  The closing-edge probe is a shuffle join "
+    "deliberately: broadcasting the edge set is only valid under the "
+    "driver limit, and the 100 TB contract is the shuffle plan.",
 )
 def triangle_counts_copurchase(spark, sf_dir):
     from crick_spark.pipeline.graph import triangle_counts
