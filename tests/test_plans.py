@@ -504,3 +504,40 @@ def test_image_decode_plan_is_map_only(spark):
     assert s["exchange_nodes"] == 0, "decode path grew a shuffle"
     assert s["scan_cols"] == [1], "scan reads more than doc_id"
     assert s["python_nodes"] >= 1
+
+
+def test_collect_metrics_is_a_pushdown_barrier(spark):
+    """r11: the observe()/CollectMetrics audit counts EVERY scanned row —
+    which is only true while Catalyst keeps the downstream quality
+    filter ABOVE the CollectMetrics node and out of the parquet scan.
+    Pin the structure so a future optimizer change that starts pushing
+    through the barrier (silently shrinking the audited row set) fails
+    here, not just in the value oracle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from crick_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents")
+    obs = Observation("audit_barrier")
+    audited = docs.observe(obs, F.count(F.lit(1)).alias("n_scanned"))
+    kept = audited.where(F.col("n_chars") >= 200)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        kept.explain("formatted")
+    t = buf.getvalue()
+    assert "CollectMetrics" in t
+    # the filter stays above the metrics node: the scan block (before
+    # the CollectMetrics mention) must carry no pushed/partition filter
+    scan_block = t[: t.index("CollectMetrics")]
+    assert "PushedFilters" not in scan_block
+    # and behaviorally: the metric equals the FULL table row count even
+    # though the action only touched the filtered survivors
+    n_kept = kept.count()
+    n_all = docs.count()
+    assert obs.get["n_scanned"] == n_all
+    assert n_kept < n_all
