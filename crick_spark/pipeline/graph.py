@@ -326,3 +326,72 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int | None = None,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes of degree < k
+    and the edges they carry — the classic density filter (a node in the
+    k-core survives with ≥ k neighbors that also survive), here with the
+    same fixed-round determinism contract as this module's PageRank:
+    ``rounds`` is part of the operator's definition, so results are
+    reproducible and SQL-oracle-able by unrolling the rounds as chained
+    CTEs; full convergence is visible IN the output (two equal
+    consecutive rounds = fixpoint reached).
+
+    ``k=None`` derives the threshold from the graph itself as
+    ⌊2·|E| / |V|⌋ (mean degree, floored — integer arithmetic, exact in
+    any engine), so one query text is meaningful across corpus sizes.
+
+    Per round: one degree aggregate (explode endpoints → groupBy) and
+    two semi-joins of the edge list against the survivor set — O(|E|)
+    shuffle per round, never anything quadratic; the shrinking edge
+    list is localCheckpoint-truncated per round (bounded lineage, each
+    round's relation feeds three consumers).  Returns one row per round:
+    (round, k, n_nodes, n_edges) of the surviving subgraph."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(rel: DataFrame) -> DataFrame:
+        return (
+            rel.select(F.col("a").alias("node"))
+            .unionAll(rel.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    if k is None:
+        row = e.agg(F.count("*").alias("ecnt")).collect()[0]
+        vcnt = degrees(e).count()
+        k = (2 * int(row["ecnt"])) // max(int(vcnt), 1)
+    k = int(k)
+
+    out = []
+    cur = e
+    for r in range(1, int(rounds) + 1):
+        surv = degrees(cur).where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(
+                surv.withColumnRenamed("node", "a"), "a", "left_semi"
+            ).join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+        ).select("a", "b")
+        cur = cur.localCheckpoint(eager=True)
+        n_nodes = surv.count()
+        n_edges = cur.count()
+        out.append((r, k, n_nodes, n_edges))
+    return spark.createDataFrame(
+        out, "round int, k long, n_nodes long, n_edges long"
+    )

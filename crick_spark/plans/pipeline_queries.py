@@ -4469,3 +4469,72 @@ def triangle_counts_copurchase(spark, sf_dir):
         (F.sum("n_triangles") / 3).cast("long").alias("n_triangles"),
     )
     return top.unionAll(total)
+
+
+@register(
+    "kcore_peel_copurchase",
+    oracle="""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+allv AS MATERIALIZED (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0),
+kk AS (SELECT (2 * (SELECT count(*) FROM e0))
+              // (SELECT count(DISTINCT node) FROM allv) AS k),
+d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM allv GROUP BY node),
+n1 AS MATERIALIZED (SELECT node FROM d1, kk WHERE deg >= kk.k),
+e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM n1)
+                             AND b IN (SELECT node FROM n1)),
+d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+       (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+n2 AS MATERIALIZED (SELECT node FROM d2, kk WHERE deg >= kk.k),
+e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM n2)
+                             AND b IN (SELECT node FROM n2)),
+d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+       (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node),
+n3 AS MATERIALIZED (SELECT node FROM d3, kk WHERE deg >= kk.k),
+e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM n3)
+                             AND b IN (SELECT node FROM n3)),
+d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+       (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node),
+n4 AS MATERIALIZED (SELECT node FROM d4, kk WHERE deg >= kk.k),
+e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM n4)
+                             AND b IN (SELECT node FROM n4))
+SELECT CAST(1 AS INT) AS round, (SELECT k FROM kk) AS k,
+       (SELECT count(*) FROM n1) AS n_nodes,
+       (SELECT count(*) FROM e1) AS n_edges
+UNION ALL SELECT CAST(2 AS INT), (SELECT k FROM kk),
+       (SELECT count(*) FROM n2), (SELECT count(*) FROM e2)
+UNION ALL SELECT CAST(3 AS INT), (SELECT k FROM kk),
+       (SELECT count(*) FROM n3), (SELECT count(*) FROM e3)
+UNION ALL SELECT CAST(4 AS INT), (SELECT k FROM kk),
+       (SELECT count(*) FROM n4), (SELECT count(*) FROM e4)
+""",
+    doc="Bounded-round k-core peeling on the co-purchase graph (r11) - "
+    "the fourth graph-family operator (PageRank, connected components, "
+    "triangles, now density cores), same fixed-round determinism "
+    "contract as the registered PageRank: 4 peeling rounds at k = "
+    "floor(mean degree) (integer arithmetic, exact in both engines, so "
+    "one query text is meaningful at every sf), each round one degree "
+    "aggregate + two edge-list semi-joins - O(|E|) shuffle per round, "
+    "localCheckpoint-truncated lineage (pipeline/graph.py:kcore_peel). "
+    "FULLY value-oracled: per-round surviving node and edge counts "
+    "hash-match a 4-round unrolled chained-CTE recomputation in DuckDB "
+    "- the peel CASCADES here (mean-degree threshold empties a "
+    "near-random graph in 2-3 rounds), so every round's row is "
+    "value-bearing and convergence is visible in the output itself.",
+)
+def kcore_peel_copurchase(spark, sf_dir):
+    from crick_spark.pipeline.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return kcore_peel(pairs, k=None, rounds=4)

@@ -2967,3 +2967,30 @@ def test_triangle_counts_matches_bruteforce_and_handles_hubs(spark):
     e2 = spark.createDataFrame(star + [(3, 4)], "src long, dst long")
     got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(e2).collect()}
     assert got2 == {0: 1, 3: 1, 4: 1}
+
+
+def test_kcore_peel_cascade_and_fixpoint(spark):
+    """r11: bounded-round k-core peeling — a chain peels from both ends
+    one round at a time (the canonical cascade), a clique is a fixpoint,
+    and the explicit-k and derived-k (mean degree) paths agree with a
+    hand recomputation."""
+    from crick_spark.pipeline.graph import kcore_peel
+
+    # path graph 0-1-2-3-4 at k=2: endpoints peel first, then cascade
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    rows = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in kcore_peel(chain, k=2, rounds=4).collect()
+    }
+    assert rows == {1: (3, 2), 2: (1, 0), 3: (0, 0), 4: (0, 0)}
+
+    # K5 at derived k (mean degree 4): fixpoint from round 1, k recorded
+    k5 = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b],
+        "src long, dst long",
+    )
+    out = kcore_peel(k5, k=None, rounds=3).collect()
+    assert all(r["k"] == 4 for r in out)
+    assert all((r["n_nodes"], r["n_edges"]) == (5, 10) for r in out)
