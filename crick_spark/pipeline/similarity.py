@@ -666,7 +666,7 @@ def ivf_structure_stats(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
             )
             sims = mat @ cn.T
-            order = np.argsort(-sims, axis=1)
+            order = np.argsort(-sims, axis=1, kind="stable")
             top = order[:, 0]
             rows = np.arange(len(mat))
             top_cos = sims[rows, top]
@@ -692,7 +692,7 @@ def ivf_structure_stats(
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         sims = mat @ cn.T
-        order = np.argsort(-sims, axis=1)
+        order = np.argsort(-sims, axis=1, kind="stable")
         top = order[:, 0]
         rows = np.arange(len(mat))
         top_cos = sims[rows, top]

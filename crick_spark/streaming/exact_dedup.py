@@ -64,6 +64,11 @@ class ExactDedupStore:
         (``batch_id, n_keys, n_new``).  Emitted = first-seen only."""
         spark = batch_df.sparkSession
         bid = int(batch_id)
+        # ONE materialization of the batch scan: the touched-bucket
+        # collect, n_keys, the anti-join, and the write all read this
+        # truncated relation instead of each re-running the upstream
+        # batch plan (the module's "folds read O(touched buckets)" cost
+        # claim now holds without callers checkpointing upstream)
         keys = (
             batch_df.select(F.col(self.key_col).alias("key"))
             .where(F.col("key").isNotNull())
@@ -71,6 +76,7 @@ class ExactDedupStore:
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("key"), F.lit(self.n_buckets))
             )
+            .localCheckpoint(eager=True)
         )
         # the touched-bucket set is derived from batch CONTENT, so a
         # replay prunes to the same partitions it overwrites
@@ -86,13 +92,21 @@ class ExactDedupStore:
             new = keys.join(seen, ["bucket", "key"], "left_anti")
         n_keys = keys.count()
         out = new.withColumn("batch", F.lit(bid))
-        n_new = out.count()
         (
             out.repartition("bucket")
             .write.partitionBy("bucket", "batch")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(self.path)
+        )
+        # survivors counted from the partitions just written (pruned to
+        # (touched bucket, this batch)) — residents are read exactly
+        # once per fold, by the write above
+        n_new = (
+            spark.read.option("basePath", self.path)
+            .parquet(self.path)
+            .where((F.col("batch") == bid) & F.col("bucket").isin(touched))
+            .count()
         )
         return {"batch_id": bid, "n_keys": n_keys, "n_new": n_new}
 
