@@ -73,7 +73,17 @@ from crick_spark.plans import functions_queries  # noqa: E402,F401
 _GATE_WINDOW = [
     # exact/relational core (SURVEY §2.5)
     "q1_pricing_summary",
-    "summary_stats_extendedprice",
+    # r12: summary_stats_extendedprice rotated out (its exact
+    # count/sum/min/max/mean/var/std on l_extendedprice stay
+    # driver-visible through moments_sketch_extendedprice, which
+    # hash-matches the SAME values through the sketch path, plus
+    # moments_bias_corrected for the skew/kurt bias forms; still
+    # oracle-checked outside) for the exact-twin incremental dedup
+    # store — the first FULLY value-oracled incremental-dedup gate:
+    # 3 ascending folds + a batch replay through the partitioned
+    # (bucket, batch) commit protocol, first-batch attribution
+    # reproduced by DuckDB min-batch arithmetic (VERDICT r11 #1)
+    "incremental_exact_dedup_frames",
     # r11: summary_stats_by_returnflag rotated out (grouped twin of
     # summary_stats_extendedprice — four moments/stats forms were
     # in-window; still oracle-checked outside) for the multimodal
@@ -88,7 +98,6 @@ _GATE_WINDOW = [
     # batched-BPE trainer gate — batched == sequential greedy, frequency
     # monotonicity, and the job-count drop become driver-visible
     "bpe_train_batched_documents",
-    "cdf_events_value",
     # r8: histogram_quantity rotated out (tdigest histogram twin
     # tdigest_histogram_quantity stays value-oracled outside, and the
     # accuracy family keeps cdf + quantile slots in-window) for the
@@ -102,12 +111,27 @@ _GATE_WINDOW = [
     # the exact in-plan decayed rollup
     "spacesaving_decayed_topk",
     "topk_users_by_events",
+    # r12: cdf_events_value rotated out (second exact single-point
+    # accuracy twin in-window — percentile_events_value keeps the
+    # exact-accuracy family, and tdigest cdf accuracy stays
+    # oracle-checked outside via tdigest_cdf_accuracy) for per-node
+    # triangle counting — the degree-ordered-orientation wedge join
+    # (Suri & Vassilvitskii), value-matched against DuckDB's direct
+    # 3-way self-join on the same co-purchase graph (VERDICT r11 #1)
+    "triangle_counts_copurchase",
     # r5: topk_parts_per_brand rotated out (third exact top-k variant
     # in-window; still oracle-checked outside) for the end-to-end
     # curation funnel — quality→dedup→near-dup→shares, value-matched
     # at every stage, becomes driver-visible
     "curation_pipeline_v2",
-    "revenue_by_nation",
+    # r12: revenue_by_nation rotated out (literal subset of
+    # rollup_revenue_region_nation, whose finest grouping level IS the
+    # per-nation aggregation over the same join — two copies of the
+    # shape were in-window; still oracle-checked outside) for
+    # bounded-round k-core peeling — the graph family's density filter,
+    # per-round survivor counts value-matched against a 4-round
+    # unrolled chained-CTE recomputation (VERDICT r11 #1)
+    "kcore_peel_copurchase",
     "events_hourly_rollup",
     # r7: distinct_mktsegments_per_region rotated out (exact distinct
     # counts also exercised by set-op/HLL queries; still oracle-checked
@@ -142,7 +166,14 @@ _GATE_WINDOW = [
     # of the second tokenizer family become driver-visible
     "unigram_lm_invariants",
     "moments_bias_corrected",
-    "cube_orders_status_priority",
+    # r12: cube_orders_status_priority rotated out (second
+    # grouping-sets form in-window — rollup_revenue_region_nation
+    # keeps the family driver-visible; still oracle-checked outside)
+    # for frame-level perceptual dedup — every sampled video frame's
+    # average-hash recomputed bit-for-bit by DuckDB integer
+    # arithmetic and the duplicate census hash-matched (VERDICT r11
+    # #1: the video twin of document near-dup becomes driver-visible)
+    "video_frame_dedup_census",
     # r4: histogram_value_by_event_type rotated out (third histogram
     # variant in-window; still oracle-checked outside) for the ANN
     # recall gate — quality of the approximate path becomes
