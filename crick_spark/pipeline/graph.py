@@ -328,6 +328,144 @@ def triangle_counts(
     )
 
 
+def approx_triangle_total(
+    edges: DataFrame,
+    p: float = 0.5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """DOULION-style approximate global triangle count (Tsourakakis,
+    Kang, Miller & Faloutsos, *DOULION: counting triangles in massive
+    graphs with a coin*, KDD 2009): keep each undirected edge with
+    probability ``p`` via the engine's content-stable md5 coin
+    (``sampling.md5_uniform`` on the normalized "a#b" key — same edge,
+    same coin, any engine), count triangles EXACTLY on the sparsified
+    graph with the degree-ordered wedge join, and scale by 1/p³ — an
+    unbiased estimator whose wedge work shrinks ~p^1.5 relative to the
+    exact count, the knob that keeps the O(m^1.5) form affordable when
+    m grows 100×.  ``rel_err_bound`` is the independence-approximation
+    relative standard error sqrt((1/p³−1)/T̂) (the paper's variance
+    minus the shared-edge covariance term — tight for sparse overlap,
+    reported so callers can judge the estimate, not trust it blindly).
+
+    Returns one row: ``(n_edges, n_sampled, t_sampled, t_est,
+    rel_err_bound)``.  With p=0.5 the scale factor is exactly 8, so
+    ``t_est`` is integer-exact and SQL-oracle-able."""
+    from crick_spark.pipeline.sampling import md5_uniform
+
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"sampling probability p={p} outside (0, 1]")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    samp = e.where(
+        md5_uniform(F.concat_ws("#", F.col("a"), F.col("b"))) < F.lit(p)
+    )
+    t_samp = (
+        triangle_counts(samp, src_col="a", dst_col="b")
+        .agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("t_sampled"))
+    )
+    n_e = e.agg(F.count("*").alias("n_edges"))
+    n_s = samp.agg(F.count("*").alias("n_sampled"))
+    inv_p3 = 1.0 / (p**3)
+    return (
+        n_e.crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(t_samp))
+        .select(
+            "n_edges",
+            "n_sampled",
+            "t_sampled",
+            F.round(F.col("t_sampled") * F.lit(inv_p3))
+            .cast("long")
+            .alias("t_est"),
+            F.round(
+                F.sqrt(
+                    F.lit(inv_p3 - 1.0)
+                    / F.greatest(
+                        (F.col("t_sampled") * F.lit(inv_p3)), F.lit(1.0)
+                    )
+                ),
+                6,
+            ).alias("rel_err_bound"),
+        )
+    )
+
+
+def coreness(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node core number by bounded-round h-index iteration
+    (Montresor, De Pellegrini & Miorandi, *Distributed k-core
+    decomposition*, IEEE TPDS 2013): start every node at its degree and
+    repeatedly replace c(v) with the H-index of its neighbors' values —
+    the largest h such that ≥ h neighbors have c ≥ h.  The sequence is
+    monotone non-increasing and its fixpoint is exactly the coreness,
+    so a fixed ``rounds`` yields a deterministic, SQL-oracle-able upper
+    bound that equals true coreness once the iteration stabilizes
+    (convergence is checkable by comparing two round counts, the
+    ``kcore_peel`` contract).  This is the per-node companion of
+    ``kcore_peel``'s per-round census: the column a curation user joins
+    against for graph-quality filtering, like ``triangle_counts``'
+    per-node output.
+
+    Per round: one equi-join of the label vector against the
+    undirected edge list, one ranked window per node (sort neighbors'
+    values descending; H = max over position rn of min(value, rn) —
+    tie-order-invariant, so any stable engine reproduces it exactly),
+    one groupBy — O(|E|) shuffle rows per round, nothing quadratic in
+    degree; the label vector is localCheckpoint-truncated per round
+    (bounded lineage, the module's PageRank pattern).  Returns
+    ``(node, coreness)`` with coreness after ``rounds`` h-index steps.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.groupBy("node")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    nbr_c = Window.partitionBy("node").orderBy(F.desc("nc"))
+    for _ in range(int(rounds)):
+        labels = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), F.col("c").alias("nc")),
+                "nbr",
+            )
+            .select("node", "nc")
+            .withColumn("rn", F.row_number().over(nbr_c))
+            .groupBy("node")
+            .agg(
+                F.max(F.least(F.col("nc"), F.col("rn")))
+                .cast("long")
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("c").alias("coreness"))
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int | None = None,

@@ -2994,3 +2994,104 @@ def test_kcore_peel_cascade_and_fixpoint(spark):
     out = kcore_peel(k5, k=None, rounds=3).collect()
     assert all(r["k"] == 4 for r in out)
     assert all((r["n_nodes"], r["n_edges"]) == (5, 10) for r in out)
+
+
+def test_coreness_converges_to_exact_core_numbers(spark):
+    """r12: bounded-round h-index iteration — with enough rounds the
+    labels equal true coreness from a Python peel on a random graph;
+    the sequence is monotone non-increasing round over round; round 0
+    is the degree; and a clique+tail composite lands the textbook
+    values (clique nodes k-1, tail nodes 1)."""
+    import numpy as np
+
+    from crick_spark.pipeline.graph import coreness
+
+    rng = np.random.default_rng(23)
+    n = 36
+    raw = {
+        tuple(sorted((int(a), int(b))))
+        for a, b in rng.integers(0, n, size=(140, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(sorted(raw), "src long, dst long")
+
+    # exact coreness by sequential peeling
+    adj: dict[int, set[int]] = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    want: dict[int, int] = {}
+    live = dict(deg)
+    nbrs = {v: set(ns) for v, ns in adj.items()}
+    k = 0
+    while live:
+        k = max(k, min(live.values()))
+        peel = [v for v, d in live.items() if d <= k]
+        for v in peel:
+            want[v] = k
+            for u in nbrs[v]:
+                if u in live and u != v:
+                    live[u] -= 1
+            del live[v]
+
+    got = {r["node"]: r["coreness"] for r in coreness(edges, rounds=30).collect()}
+    assert got == want
+
+    # monotone non-increasing, starting from degree
+    prev = {r["node"]: r["coreness"] for r in coreness(edges, rounds=0).collect()}
+    assert prev == deg
+    for rounds in (1, 2, 3):
+        cur = {
+            r["node"]: r["coreness"]
+            for r in coreness(edges, rounds=rounds).collect()
+        }
+        assert all(cur[v] <= prev[v] for v in cur)
+        assert all(cur[v] >= want[v] for v in cur)  # upper bound throughout
+        prev = cur
+
+    # K6 with a pendant path: clique nodes coreness 5, path nodes 1
+    k6 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    tail = [(5, 6), (6, 7)]
+    comp = spark.createDataFrame(k6 + tail, "src long, dst long")
+    got2 = {r["node"]: r["coreness"] for r in coreness(comp, rounds=10).collect()}
+    assert got2 == {**{v: 5 for v in range(6)}, 6: 1, 7: 1}
+
+
+def test_approx_triangle_total_doulion(spark):
+    """r12: DOULION estimator — p=1.0 degenerates to the exact count;
+    at p=0.5 the estimate is 8x the sampled count, the sampled edge set
+    matches a Python recomputation of the md5 coin, and the error bound
+    follows the closed form."""
+    import hashlib
+    import itertools
+    import math
+
+    from crick_spark.pipeline.graph import approx_triangle_total
+
+    k12 = [(a, b) for a in range(12) for b in range(12) if a < b]
+    edges = spark.createDataFrame(k12, "src long, dst long")
+
+    full = approx_triangle_total(edges, p=1.0).collect()[0]
+    want_t = len(list(itertools.combinations(range(12), 3)))  # C(12,3)
+    assert full["n_sampled"] == full["n_edges"] == len(k12)
+    assert full["t_sampled"] == full["t_est"] == want_t
+
+    half = approx_triangle_total(edges, p=0.5).collect()[0]
+    keep = {
+        (a, b)
+        for a, b in k12
+        if int(hashlib.md5(f"{a}#{b}".encode()).hexdigest()[:6], 16)
+        / (1 << 24)
+        < 0.5
+    }
+    assert half["n_sampled"] == len(keep)
+    t_s = sum(
+        1
+        for a, b, c in itertools.combinations(range(12), 3)
+        if {(a, b), (a, c), (b, c)} <= keep
+    )
+    assert half["t_sampled"] == t_s
+    assert half["t_est"] == 8 * t_s
+    want_bound = round(math.sqrt(7.0 / max(8.0 * t_s, 1.0)), 6)
+    assert half["rel_err_bound"] == want_bound
