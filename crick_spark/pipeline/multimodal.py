@@ -220,6 +220,229 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rgb.reshape(-1).astype(np.int64)
 
 
+# --------------------------------------------------------------------------
+# REAL PNG decode (r12, VERDICT r11 #4): the one compressed image format
+# implementable pure-Python on the stdlib — zlib inflates IDAT, and the
+# five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) undo in
+# numpy.  Plugs into the same ``Decoder`` seam as Netpbm/BMP, so
+# decode→feature→column runs end-to-end on REAL compressed bytes
+# (registered query ``png_decode_features_documents``).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + ctype
+        + payload
+        + (zlib.crc32(ctype + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PaethPredictor (PNG spec §9.4), vectorized: nearest of a/b/c to
+    a+b−c with the spec's left→up→upper-left tie order."""
+    p = a.astype(np.int64) + b.astype(np.int64) - c.astype(np.int64)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.int64)
+
+
+def encode_png(
+    px: np.ndarray,
+    width: int,
+    height: int,
+    color_type: int = 2,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """8-bit PNG (truecolor ``color_type=2`` or grayscale ``0``) from a
+    flat pixel stream, with an explicit per-row filter choice so tests
+    and fixtures exercise every decode path (None/Sub/Up/Average/Paeth)
+    — a real encoder picks filters heuristically; correctness is
+    filter-choice-invariant, which is exactly what varying them proves."""
+    import zlib
+
+    w, h = int(width), int(height)
+    bpp = 3 if color_type == 2 else 1
+    if color_type not in (0, 2):
+        raise ValueError("only grayscale (0) and truecolor (2) supported")
+    px = np.asarray(px, dtype=np.int64).reshape(-1) % 256
+    if len(px) != w * h * bpp:
+        raise ValueError(
+            f"color_type {color_type} needs {w * h * bpp} bytes, got {len(px)}"
+        )
+    filters = row_filters if row_filters is not None else [0] * h
+    if len(filters) != h:
+        raise ValueError(f"need {h} row filters, got {len(filters)}")
+    rows = px.reshape(h, w * bpp)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for r in range(h):
+        cur = rows[r]
+        f = int(filters[r])
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            filt = cur - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_info(data: bytes) -> tuple[int, int, int, int]:
+    """Parse the PNG signature + IHDR; returns (width, height,
+    bit_depth, color_type).  Only 8-bit non-interlaced grayscale/
+    truecolor with standard compression/filtering is supported; anything
+    else raises, exactly like a strict decoder."""
+    data = bytes(data)
+    if data[:8] != _PNG_SIG or len(data) < 33:
+        raise ValueError("not a PNG image")
+    if data[12:16] != b"IHDR":
+        raise ValueError("first PNG chunk is not IHDR")
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    bit_depth, color_type, comp, filt, interlace = data[24:29]
+    if bit_depth != 8 or color_type not in (0, 2):
+        raise ValueError(
+            f"only 8-bit grayscale/truecolor PNG supported "
+            f"(bit_depth={bit_depth}, color_type={color_type})"
+        )
+    if comp or filt or interlace:
+        raise ValueError("nonstandard compression/filter/interlace PNG")
+    return w, h, bit_depth, color_type
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grayscale or RGB) to a flat
+    int64 intensity stream (RGB interleaved), matching the ``Decoder``
+    contract: walk the chunk list, inflate the concatenated IDAT
+    payload, undo the per-row scanline filter (PNG spec §9 —
+    None/Sub/Up/Average/Paeth over the byte-per-pixel lattice)."""
+    import zlib
+
+    data = bytes(data)
+    w, h, _, color_type = png_info(data)
+    bpp = 3 if color_type == 2 else 1
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(data):
+        size = int.from_bytes(data[i : i + 4], "big")
+        ctype = data[i + 4 : i + 8]
+        if ctype == b"IDAT":
+            idat.extend(data[i + 8 : i + 8 + size])
+        if ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + payload + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        filt = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = filt
+        elif f == 2:
+            cur = (filt + prev) % 256
+        elif f in (1, 3, 4):
+            # left-dependent filters recover sequentially per pixel
+            # column; vectorize over the bpp channels of each step
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(0, stride, bpp):
+                a = cur[x - bpp : x] if x else np.zeros(bpp, dtype=np.int64)
+                b = prev[x : x + bpp]
+                c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int64)
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                cur[x : x + bpp] = (filt[x : x + bpp] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = cur
+        prev = cur
+    return out.reshape(-1)
+
+
+def attach_png_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 4,
+) -> DataFrame:
+    """Attach REAL compressed PNG bytes to each row: pixel byte i of doc
+    d is ``(d*7 + i*13) % 256`` (the PPM formula, so the oracle carries
+    over) with row r of doc d encoded under filter ``(d + r) % 5`` —
+    every doc exercises several of the five scanline filters and the
+    corpus covers all of them, so a filter-reconstruction bug breaks
+    the registered query's value oracle
+    (``png_decode_features_documents``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w, h = int(width), int(height)
+    n_px = w * h * 3
+
+    @pandas_udf(BinaryType())
+    def make_png(ids: pd.Series) -> pd.Series:
+        i = np.arange(n_px, dtype=np.int64)
+        return pd.Series(
+            [
+                encode_png(
+                    (int(d) * 7 + i * 13) % 256,
+                    w,
+                    h,
+                    color_type=2,
+                    row_filters=[(int(d) + r) % 5 for r in range(h)],
+                )
+                for d in ids
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        make_png(F.col(id_col)).alias("media"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit(0).cast("int").alias("sample_rate"),
+            F.lit(0.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
 def attach_ppm_media(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -475,6 +698,8 @@ def real_image_decoder(data: bytes, kind: str) -> np.ndarray:
             f"real_image_decoder only decodes images, got {kind!r}"
         )
     b = bytes(data)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     return decode_pnm(b)
@@ -609,7 +834,9 @@ def sample_frames(
                 if meta["kind"] != "video":
                     continue
                 dur = float(meta["duration_s"] or 0.0)
-                n = min(int(max_frames), max(int(dur * f), 1))
+                # +1e-9: duration*fps that is an exact integer must not
+                # lose a frame to float truncation (2.9999999999999996)
+                n = min(int(max_frames), max(int(dur * f + 1e-9), 1))
                 for i in range(n):
                     t = i / f
                     frame = np.asarray(
@@ -964,8 +1191,21 @@ def ahash_frames(frames_df: DataFrame) -> DataFrame:
                 px = np.frombuffer(bytes(blob), dtype=np.uint8).astype(
                     np.int64
                 )
+                if len(px) > 64:
+                    raise ValueError(
+                        f"ahash_frames packs one bit per pixel into a 64-bit "
+                        f"signature; got a {len(px)}-pixel frame — downsample "
+                        f"(resize_media) to <=64 pixels first"
+                    )
                 bits = px > px.mean()
-                h = int((bits * (np.int64(1) << np.arange(len(px)))).sum())
+                # pack in uint64 then reinterpret as int64: bit 63 must
+                # land as the sign bit (two's complement), not overflow —
+                # the DuckDB oracle mirrors this via BIGINT wraparound
+                acc = (
+                    bits.astype(np.uint64)
+                    * (np.uint64(1) << np.arange(len(px), dtype=np.uint64))
+                ).sum(dtype=np.uint64)
+                h = int(np.uint64(acc).astype(np.int64))
                 rows.append(
                     {
                         "doc_id": int(doc_id),

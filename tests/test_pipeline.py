@@ -3095,3 +3095,64 @@ def test_approx_triangle_total_doulion(spark):
     assert half["t_est"] == 8 * t_s
     want_bound = round(math.sqrt(7.0 / max(8.0 * t_s, 1.0)), 6)
     assert half["rel_err_bound"] == want_bound
+
+
+def test_png_roundtrip_all_filters_and_strictness():
+    """r12: encode_png/decode_png roundtrip exactly under every scanline
+    filter (RGB and grayscale), mixed filters per image, and strict
+    failure on unsupported shapes — pure kernel test, no Spark."""
+    import numpy as np
+    import pytest as _pytest
+
+    from crick_spark.pipeline.multimodal import (
+        decode_png,
+        encode_png,
+        png_info,
+    )
+
+    rng = np.random.default_rng(7)
+    for color_type, bpp in ((2, 3), (0, 1)):
+        px = rng.integers(0, 256, size=6 * 5 * bpp, dtype=np.int64)
+        for f in range(5):
+            blob = encode_png(px, 6, 5, color_type, row_filters=[f] * 5)
+            assert png_info(blob) == (6, 5, 8, color_type)
+            assert (decode_png(blob) == px).all(), f"filter {f}"
+        mixed = encode_png(px, 6, 5, color_type, row_filters=[0, 1, 2, 3, 4])
+        assert (decode_png(mixed) == px).all()
+
+    # adversarial gradient rows where Average/Paeth predictors differ
+    grad = (np.arange(8 * 4 * 3, dtype=np.int64) * 37) % 256
+    blob = encode_png(grad, 8, 4, 2, row_filters=[4, 3, 4, 3])
+    assert (decode_png(blob) == grad).all()
+
+    with _pytest.raises(ValueError):
+        encode_png(grad, 8, 4, color_type=6)  # RGBA unsupported
+    with _pytest.raises(ValueError):
+        encode_png(grad, 8, 4, 2, row_filters=[7, 0, 0, 0])
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk" + b"\x00" * 40)
+
+
+def test_real_image_decoder_sniffs_png(spark):
+    """r12: the Decoder seam routes PNG bytes by signature beside
+    BMP/Netpbm, through the same mapInPandas feature path."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import (
+        attach_png_media,
+        extract_image_features,
+        real_image_decoder,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "t", 10) for d in range(7)], "doc_id long, text string, n_chars int"
+    )
+    feats = extract_image_features(
+        attach_png_media(docs), decoder=real_image_decoder
+    ).collect()
+    assert len(feats) == 7
+    i = np.arange(96, dtype=np.int64)
+    for r in feats:
+        px = (r["doc_id"] * 7 + i * 13) % 256
+        assert abs(r["mean_intensity"] - px.mean()) < 1e-9
+        assert abs(r["std_intensity"] - px.std()) < 1e-9
