@@ -689,6 +689,116 @@ def extract_audio_features(
     )
 
 
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fp", LongType()),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media_df: DataFrame,
+    n_windows: int = 16,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """Perceptual audio fingerprint — the audio twin of ``ahash_frames``
+    (chromaprint-shaped, integer-exact): cut the decoded sample stream
+    into ``n_windows`` equal windows, take each window's integer energy
+    E_j = Σ s², and set bit j−1 when E_j > E_{j−1} — the
+    energy-CONTOUR signature.  Because energies scale by gain² and the
+    comparison is strict on exact int64 sums, the fingerprint is
+    invariant to uniform amplitude scaling (remaster/volume-normalize
+    variants collide) while byte-level hashes differ — exactly the
+    near-dup signal a multimodal curation pipeline needs beside exact
+    dedup.  Dedup at scale stays the hash-groupBy census, never
+    pairwise clip comparison; Hamming-banding the signature (SimHash
+    machinery, dedup.py) is the fuzzy extension.
+
+    Returns ``(doc_id, fp, n_windows)`` per audio row; int64 exactness:
+    |s|≤32767 ⇒ window energy < 2^41·per, and n_windows ≤ 64 keeps the
+    packed signature in the long range."""
+    n_w = int(n_windows)
+    if not (2 <= n_w <= 64):
+        raise ValueError(f"n_windows must be in [2, 64], got {n_w}")
+    dec = decoder or _decode_bytes
+
+    def kernel(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, data, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                if meta["kind"] != "audio":
+                    continue
+                s = np.asarray(dec(bytes(data), "audio"), dtype=np.int64)
+                per = max(len(s) // n_w, 1)
+                nw = min(n_w, max(len(s) // per, 1))
+                e = (s[: per * nw] ** 2).reshape(nw, per).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.uint64)
+                fp = int(
+                    (bits * (np.uint64(1) << np.arange(nw - 1, dtype=np.uint64)))
+                    .sum(dtype=np.uint64)
+                    .astype(np.int64)
+                )
+                rows.append(
+                    {"doc_id": int(doc_id), "fp": fp, "n_windows": nw}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media_df.select("doc_id", "media", "meta").mapInPandas(
+        kernel, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def attach_wav_dup_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Attach REAL WAV bytes engineered for perceptual dedup: doc d
+    carries 160 samples of base stream g = d mod 16
+    (base_i = (g·37 + i·(97 + 13·g)) mod 4001 − 2000 — the per-group
+    STEP gives each base its own energy contour; all 16 fingerprints
+    are distinct) at integer gain 1 + (d div 16) mod 3 — so 16
+    perceptual groups exist, each spread over byte-DIFFERENT gain
+    variants that the energy-contour fingerprint must collapse and
+    byte-exact dedup must not.  All arithmetic is reproducible by an
+    external oracle without decoding (registered query
+    ``audio_fingerprint_dedup_census``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rate = int(sample_rate)
+
+    @pandas_udf(BinaryType())
+    def make_wav(ids: pd.Series) -> pd.Series:
+        i = np.arange(160, dtype=np.int64)
+        out = []
+        for d in ids:
+            d = int(d)
+            g = d % 16
+            base = g * 37 + i * (97 + 13 * g)
+            scale = 1 + (d // 16) % 3
+            out.append(encode_wav((base % 4001 - 2000) * scale, rate))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col),
+        make_wav(F.col(id_col)).alias("media"),
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("channels"),
+            F.lit(rate).cast("int").alias("sample_rate"),
+            (F.lit(160) / F.lit(float(rate))).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
 def real_image_decoder(data: bytes, kind: str) -> np.ndarray:
     """A REAL ``Decoder`` for the seam: sniffs the magic bytes and
     decodes Netpbm or BMP; non-image kinds and unknown formats raise,

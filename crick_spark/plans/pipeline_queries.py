@@ -4723,3 +4723,70 @@ def png_decode_features_documents(spark, sf_dir):
         F.round("mean_intensity", 6).alias("mean_intensity"),
         F.round("std_intensity", 6).alias("std_intensity"),
     )
+
+
+@register(
+    "audio_fingerprint_dedup_census",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id AS d, t.i,
+         ((d.doc_id % 16) * 37 + t.i * (97 + 13 * (d.doc_id % 16)))
+           % 4001 - 2000 AS base,
+         1 + (d.doc_id // 16) % 3 AS gain
+  FROM documents d, range(160) t(i)),
+e AS (
+  SELECT d, t.i // 10 AS w,
+         sum(CAST(base * gain AS BIGINT) * CAST(base * gain AS BIGINT)) AS en
+  FROM s t GROUP BY d, t.i // 10),
+b AS (
+  SELECT d, w, en, lag(en) OVER (PARTITION BY d ORDER BY w) AS pen FROM e),
+fps AS (
+  SELECT d, CAST(sum(CASE WHEN w >= 1 AND en > pen
+                          THEN (CAST(1 AS BIGINT) << (w - 1))
+                          ELSE 0 END) AS BIGINT) AS fp
+  FROM b GROUP BY d)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT (d % 16) * 10 + 1 + (d // 16) % 3) AS BIGINT)
+         AS n_byte_variants,
+       CAST(min(d) AS BIGINT) AS min_doc
+FROM fps GROUP BY fp HAVING count(*) > 1
+""",
+    doc="Audio perceptual dedup census (r12, VERDICT r11 #5) - completes "
+    "dedup across all three modalities (text spans/minhash, video frame "
+    "aHash, now audio): every clip's decoded stream is cut into 16 "
+    "windows and fingerprinted by its integer energy CONTOUR (bit j-1 = "
+    "E_j > E_j-1, chromaprint-shaped; pipeline/multimodal.py:"
+    "audio_fingerprint).  The fixture attaches byte-DIFFERENT gain "
+    "variants (1x/2x/3x) of 16 base streams - energies scale by gain^2 "
+    "so the strict integer comparison is gain-invariant: the census "
+    "must collapse each group across its gain variants (n_byte_variants "
+    "counts the distinct md5(media) byte forms merged, computed from "
+    "the REAL bytes Spark-side) while byte-exact dedup cannot.  Dedup "
+    "at 100 TB is this hash-groupBy, never pairwise clip comparison.  "
+    "FULLY value-oracled: DuckDB recomputes every window energy, "
+    "fingerprint bit, and census row from the generator arithmetic "
+    "(int64-exact both sides).",
+)
+def audio_fingerprint_dedup_census(spark, sf_dir):
+    from crick_spark.pipeline.multimodal import (
+        attach_wav_dup_media,
+        audio_fingerprint,
+        real_audio_decoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_dup_media(docs)
+    fps = audio_fingerprint(media, n_windows=16, decoder=real_audio_decoder)
+    byte_hash = media.select(
+        "doc_id", F.md5(F.col("media").cast("binary")).alias("bh")
+    )
+    return (
+        fps.join(byte_hash, "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("bh").alias("n_byte_variants"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

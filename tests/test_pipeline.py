@@ -3156,3 +3156,65 @@ def test_real_image_decoder_sniffs_png(spark):
         px = (r["doc_id"] * 7 + i * 13) % 256
         assert abs(r["mean_intensity"] - px.mean()) < 1e-9
         assert abs(r["std_intensity"] - px.std()) < 1e-9
+
+
+def test_audio_fingerprint_gain_invariant_content_sensitive(spark):
+    """r12: the energy-contour fingerprint collapses integer-gain
+    variants of the same stream (byte forms differ), distinguishes the
+    16 fixture base streams, and matches a manual numpy recomputation
+    including the short-clip window fallback."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import (
+        attach_wav_dup_media,
+        audio_fingerprint,
+        encode_wav,
+        real_audio_decoder,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "t", 10) for d in range(96)],
+        "doc_id long, text string, n_chars int",
+    )
+    media = attach_wav_dup_media(docs)
+    rows = audio_fingerprint(
+        media, n_windows=16, decoder=real_audio_decoder
+    ).collect()
+    fp = {r["doc_id"]: r["fp"] for r in rows}
+    assert all(r["n_windows"] == 16 for r in rows)
+    for d in range(96):
+        assert fp[d] == fp[d % 16]  # gain variants collapse per group
+    assert len({fp[g] for g in range(16)}) == 16  # bases all distinct
+
+    # manual recomputation for one doc
+    i = np.arange(160, dtype=np.int64)
+    g, scale = 5 % 16, 1 + (5 // 16) % 3
+    s = ((g * 37 + i * (97 + 13 * g)) % 4001 - 2000) * scale
+    e = (s**2).reshape(16, 10).sum(axis=1)
+    want = sum(1 << (j - 1) for j in range(1, 16) if e[j] > e[j - 1])
+    assert fp[5] == want
+
+    # short clip: 7 samples with n_windows=16 -> per=1, 7 windows
+    short = spark.createDataFrame(
+        [(0, encode_wav(np.array([3, -1, 4, -1, 5, -9, 2]), 8000))],
+        "doc_id long, media binary",
+    ).select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit(7 / 8000.0).alias("duration_s"),
+        ).alias("meta"),
+    )
+    r = audio_fingerprint(
+        short, n_windows=16, decoder=real_audio_decoder
+    ).collect()[0]
+    es = np.array([9, 1, 16, 1, 25, 81, 4])
+    assert r["n_windows"] == 7
+    assert r["fp"] == sum(
+        1 << (j - 1) for j in range(1, 7) if es[j] > es[j - 1]
+    )
