@@ -741,6 +741,56 @@ def choose_by_residual(
     return float(row["mean_top_cos"]) >= float(threshold)
 
 
+def choose_search_params(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+) -> dict:
+    """The full search-time tuner (r12, VERDICT r11 #6):
+    ``choose_by_residual`` made the CODEBOOK decision actionable; this
+    makes the two search knobs — nprobe and the rerank pool — follow
+    the same one-job structure measurement instead of hand-set rules
+    of thumb.
+
+    Measured rule (ANN.md, nlist=64 calibration):
+
+    - **clustered** (mean top-cos ≥ ``threshold``): a query's true
+      neighbors concentrate in few cells — nprobe=4 of 64 (1/16 of the
+      lists) already measured 0.995/0.965 recall@10 on the tight/loose
+      MoG corpora, and residual-PQ shortlists are clean enough that a
+      small rerank pool suffices.  → ``nprobe = max(1, nlist/16)``,
+      ``rerank_factor = 2``, ``by_residual = True``.
+    - **structureless** (below it): recall tracks raw list coverage —
+      4/8/16 of 64 lists measured 0.435/0.565/0.720 on the iid corpus —
+      and plain-ADC shortlists are noisy (0.425 ADC-isolated recall at
+      pool=k), so budget a quarter of the lists and a deep rerank.
+      → ``nprobe = max(4, nlist/4)``, ``rerank_factor = 8``,
+      ``by_residual = False``.
+
+    One ``ivf_structure_stats`` job; re-run at re-calibration time
+    (the ``ivf_layout_append`` drift signal falling), not remembered.
+    Returns ``{mean_top_cos, by_residual, nprobe, rerank_factor}`` —
+    feed nprobe to the IVF search/layout probes, rerank_factor to the
+    PQ/quantized rerank pool, by_residual to ``train_pq_codebooks``."""
+    row = ivf_structure_stats(embeddings, centroids, vec_col).collect()[0]
+    s = float(row["mean_top_cos"])
+    nlist = int(len(centroids))
+    clustered = s >= float(threshold)
+    if clustered:
+        nprobe = max(1, round(nlist / 16))
+        rerank_factor = 2
+    else:
+        nprobe = max(4, round(nlist / 4))
+        rerank_factor = 8
+    return {
+        "mean_top_cos": s,
+        "by_residual": clustered,
+        "nprobe": min(nprobe, nlist),
+        "rerank_factor": rerank_factor,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Scalar (int8) quantization: the memory-scale path for 100 TB ANN
 # ---------------------------------------------------------------------------

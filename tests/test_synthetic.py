@@ -183,3 +183,54 @@ class TestChooseByResidual:
         cents = train_ivf_centroids(iid, k=8, n_iter=3)
         assert choose_by_residual(iid, cents) is False
         iid.unpersist()
+
+
+class TestChooseSearchParams:
+    def test_params_follow_structure_on_both_fixtures(self, spark):
+        """r12: choose_search_params lands in the measured regime on both
+        calibration fixtures — tight MoG (clustered: residual codes,
+        nprobe = nlist/16, shallow rerank) and the structureless testdata
+        corpus (plain codes, nprobe = nlist/4, deep rerank) — and the
+        knobs are consistent with choose_by_residual's gate."""
+        from crick_spark.pipeline.similarity import (
+            choose_by_residual,
+            choose_search_params,
+            train_ivf_centroids,
+        )
+        from crick_spark.sources.synthetic import mog_embeddings
+        from crick_spark.sources.tables import load_table
+
+        tight = mog_embeddings(
+            spark, 400, dim=32, n_clusters=8, seed=11, noise=0.04
+        ).cache()
+        cents = train_ivf_centroids(tight, k=16, n_iter=3)
+        p = choose_search_params(tight, cents)
+        assert p["by_residual"] is True
+        assert p["by_residual"] == choose_by_residual(tight, cents)
+        assert p["mean_top_cos"] >= 0.7
+        assert p["nprobe"] == 1  # 16/16
+        assert p["rerank_factor"] == 2
+        tight.unpersist()
+
+        iid = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+        cents = train_ivf_centroids(iid, k=16, n_iter=3)
+        p = choose_search_params(iid, cents)
+        assert p["by_residual"] is False
+        assert p["mean_top_cos"] < 0.7
+        assert p["nprobe"] == 4  # 16/4
+        assert p["rerank_factor"] == 8
+        iid.unpersist()
+
+    def test_nprobe_bounded_by_nlist(self, spark):
+        """Tiny list counts can't recommend more probes than lists."""
+        from crick_spark.pipeline.similarity import (
+            choose_search_params,
+            train_ivf_centroids,
+        )
+        from crick_spark.sources.tables import load_table
+
+        iid = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+        cents = train_ivf_centroids(iid, k=2, n_iter=2)
+        p = choose_search_params(iid, cents)
+        assert 1 <= p["nprobe"] <= 2
+        iid.unpersist()
