@@ -4617,23 +4617,17 @@ es AS MATERIALIZED (
   SELECT a, b FROM e
   WHERE (('0x' || substr(md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)),
           1, 6))::BIGINT) / 16777216.0 < 0.5),
-tri AS (SELECT count(*) AS t FROM e e1
-        JOIN e e2 ON e1.b = e2.a
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
 tris AS (SELECT count(*) AS t FROM es e1
          JOIN es e2 ON e1.b = e2.a
          JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b)
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM es) AS BIGINT) AS n_sampled,
-       CAST((SELECT t FROM tri) AS BIGINT) AS t_exact,
        CAST((SELECT t FROM tris) AS BIGINT) AS t_sampled,
        CAST((SELECT t FROM tris) * 8 AS BIGINT) AS t_est,
-       CAST(abs((SELECT t FROM tris) * 8 - (SELECT t FROM tri)) AS DOUBLE)
-         <= 0.15 * (SELECT t FROM tri) AS within_tol,
        round(sqrt(7.0 / greatest(CAST((SELECT t FROM tris) * 8 AS DOUBLE),
                                  1.0)), 6) AS rel_err_bound
 """,
-    doc="DOULION approximate triangle counting beside the exact form "
+    doc="DOULION approximate triangle counting - the PRODUCTION shape "
     "(r12, VERDICT r11 #3): keep each co-purchase edge with p=0.5 via "
     "the content-stable md5 coin (sampling.md5_uniform on the "
     "normalized a#b key - same edge, same coin, any engine), count "
@@ -4642,16 +4636,64 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
     "pipeline/graph.py:approx_triangle_total).  Wedge work shrinks "
     "~p^1.5 - the knob that keeps the O(m^1.5) exact form affordable at "
     "100x the edges; the estimator is unbiased and mergeable (count on "
-    "each sampled shard, sum, scale once).  Gate: the within_tol "
-    "boolean asserts |8*T_s - T| <= 0.15*T against the exact count "
-    "computed in the same query (the approx_quantiles_accuracy "
-    "pattern), and rel_err_bound reports the independence-approximation "
-    "relative standard error sqrt((1/p^3-1)/T_est).  FULLY value-"
+    "each sampled shard, sum, scale once), and rel_err_bound reports "
+    "the independence-approximation relative standard error "
+    "sqrt((1/p^3-1)/T_est).  The tolerance gate vs the exact count "
+    "runs as the twin approx_triangle_tolerance_copurchase in the "
+    "correctness harness (the r6 bulk-twin pattern - bench times the "
+    "production shape, not the double-priced audit).  FULLY value-"
     "oracled: DuckDB reproduces the sampled edge set coin-for-coin, "
-    "both triangle counts via its direct 3-way self-join, the scaled "
-    "estimate, the boolean, and the bound.",
+    "its triangle count via a direct 3-way self-join, the scaled "
+    "estimate, and the bound.",
 )
 def approx_triangle_count_copurchase(spark, sf_dir):
+    from crick_spark.pipeline.graph import approx_triangle_total
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return approx_triangle_total(pairs, p=0.5)
+
+
+@register(
+    "approx_triangle_tolerance_copurchase",
+    oracle="""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+es AS MATERIALIZED (
+  SELECT a, b FROM e
+  WHERE (('0x' || substr(md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)),
+          1, 6))::BIGINT) / 16777216.0 < 0.5),
+tri AS (SELECT count(*) AS t FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tris AS (SELECT count(*) AS t FROM es e1
+         JOIN es e2 ON e1.b = e2.a
+         JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST((SELECT t FROM tri) AS BIGINT) AS t_exact,
+       CAST((SELECT t FROM tris) * 8 AS BIGINT) AS t_est,
+       CAST(abs((SELECT t FROM tris) * 8 - (SELECT t FROM tri)) AS DOUBLE)
+         <= 0.15 * (SELECT t FROM tri) AS within_tol
+""",
+    doc="The DOULION accuracy gate (r12, VERDICT r11 #3): the sampled "
+    "estimate and the exact degree-ordered wedge count computed in ONE "
+    "query, with the within_tol boolean asserting |8*T_s - T| <= "
+    "0.15*T (the approx_quantiles_accuracy pattern).  Deliberately "
+    "NOT in the bench extras set - it prices the exact count a second "
+    "time purely to audit the estimator; the production shape is "
+    "approx_triangle_count_copurchase.  FULLY value-oracled: both "
+    "counts, the estimate, and the boolean reproduced in DuckDB.",
+)
+def approx_triangle_tolerance_copurchase(spark, sf_dir):
     from crick_spark.pipeline.graph import approx_triangle_total, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4673,16 +4715,12 @@ def approx_triangle_count_copurchase(spark, sf_dir):
         .alias("t_exact")
     )
     return est.crossJoin(F.broadcast(t_exact)).select(
-        "n_edges",
-        "n_sampled",
         "t_exact",
-        "t_sampled",
         "t_est",
         (
             F.abs(F.col("t_est") - F.col("t_exact")).cast("double")
             <= F.lit(0.15) * F.col("t_exact")
         ).alias("within_tol"),
-        "rel_err_bound",
     )
 
 
@@ -4790,3 +4828,106 @@ def audio_fingerprint_dedup_census(spark, sf_dir):
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def _ppr_oracle(iters: int = 3) -> str:
+    head = """
+WITH pairs AS (
+  SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+), edges AS (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM pairs
+), outw AS (
+  SELECT src, sum(w) AS ow FROM edges GROUP BY 1
+), norm AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e JOIN outw o USING (src)
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+), seeds AS (
+  SELECT DISTINCT 'c:' || c_custkey AS node
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+), sw AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS rw
+  FROM nodes n LEFT JOIN seeds sd USING (node)
+), sv AS (
+  SELECT node, rw / (SELECT sum(rw) FROM sw) AS s FROM sw
+), r0 AS (
+  SELECT node, s AS rank FROM sv
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+  SELECT sv.node,
+         0.15 * sv.s + 0.85 * coalesce(m.mass, 0.0) AS rank
+  FROM sv LEFT JOIN (
+    SELECT norm.dst AS node, sum(r{i-1}.rank * norm.p) AS mass
+    FROM r{i-1} JOIN norm ON r{i-1}.node = norm.src GROUP BY 1
+  ) m USING (node)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@register(
+    "personalized_pagerank_building",
+    oracle=_ppr_oracle(3),
+    doc="Personalized PageRank (r12) - random walk with restart to the "
+    "BUILDING-segment customers on the bidirectionalized purchase "
+    "graph (Haveliwala, Topic-sensitive PageRank, WWW 2002; "
+    "pipeline/graph.py:personalized_pagerank): rank mass teleports to "
+    "the seed distribution (uniform over seeds present in the graph, "
+    "normalized in-plan) instead of uniformly, so the stationary mass "
+    "measures seed-proximity - the quality-propagation primitive a "
+    "curation pipeline runs from trusted seed documents/domains.  Same "
+    "per-iteration shape as the registered PageRank (one rank-vector "
+    "join + one groupBy over edge rows; the s column rides the node "
+    "relation); dangling='assume_none' is exact here because the edge "
+    "list is bidirectionalized by construction.  FULL-VALUE oracle: "
+    "DuckDB unrolls the identical 3 iterations from the identical seed "
+    "normalization as chained CTEs - every node's rank hash-matches at "
+    "1e-9, including the zero-teleport non-seed nodes.",
+)
+def personalized_pagerank_building(spark, sf_dir):
+    from crick_spark.pipeline.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    cnode = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = pairs.select(
+        cnode.alias("src"), snode.alias("dst"), "w"
+    ).unionByName(pairs.select(snode.alias("src"), cnode.alias("dst"), "w"))
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    ranks = personalized_pagerank(
+        edges,
+        seeds,
+        iterations=3,
+        damping=0.85,
+        weight_col="w",
+        dangling="assume_none",
+        eager=True,
+    )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

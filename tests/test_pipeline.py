@@ -3218,3 +3218,57 @@ def test_audio_fingerprint_gain_invariant_content_sensitive(spark):
     assert r["fp"] == sum(
         1 << (j - 1) for j in range(1, 7) if es[j] > es[j - 1]
     )
+
+
+def test_personalized_pagerank_matches_numpy_with_dangling(spark):
+    """r12: PPR must equal a from-scratch numpy restart-walk on a random
+    digraph WITH sinks: teleport and dangling mass both flow to the seed
+    distribution (weighted seeds, seeds outside the graph ignored),
+    total mass stays 1.0, and zero-seed components keep rank only via
+    in-links."""
+    import numpy as np
+
+    from crick_spark.pipeline.graph import personalized_pagerank
+
+    rng = np.random.RandomState(13)
+    n = 28
+    edges = []
+    for s in range(n - 4):  # last 4 nodes are sinks
+        outs = rng.choice(n, size=rng.randint(1, 4), replace=False)
+        for dd in outs:
+            edges.append((f"v{s}", f"v{int(dd)}", float(rng.randint(1, 9))))
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    # weighted seeds: v0 weight 3, v5 weight 1, plus one seed NOT in the
+    # graph (must be ignored by the in-plan normalization)
+    seeds = spark.createDataFrame(
+        [("v0", 3.0), ("v5", 1.0), ("not-in-graph", 9.0)], ["node", "wt"]
+    )
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    P = np.zeros((m, m))
+    for s, dd, w in edges:
+        P[idx[dd], idx[s]] += w
+    has_out = P.sum(axis=0) > 0
+    P[:, has_out] /= P[:, has_out].sum(axis=0, keepdims=True)
+    sv = np.zeros(m)
+    sv[idx["v0"]], sv[idx["v5"]] = 3.0, 1.0
+    sv /= sv.sum()
+    d = 0.85
+    r = sv.copy()
+    for _ in range(4):
+        dm = r[~has_out].sum()
+        r = (1 - d) * sv + d * (P @ r + dm * sv)
+
+    out = personalized_pagerank(
+        df, seeds, iterations=4, damping=d, weight_col="w",
+        reset_weight_col="wt", eager=True,
+    )
+    got = {row.node: row.rank for row in out.collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9, "mass not conserved"
+    # seed-proximity sanity: the heavy seed outranks the light one
+    assert got["v0"] > got["v5"]

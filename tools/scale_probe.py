@@ -94,6 +94,10 @@ PROBES = [
     ("audio_decode_features_documents", "documents"),  # real WAV decode seam
     ("quarantine_sink_roundtrip", "documents"),  # dead-letter split sink
     ("triangle_counts_copurchase", "lineitem"),  # degree-oriented wedge join
+    ("coreness_copurchase", "lineitem"),        # bounded-round h-index peel
+    ("approx_triangle_count_copurchase", "lineitem"),  # DOULION sampled wedges
+    ("png_decode_features_documents", "documents"),  # zlib inflate + unfilter
+    ("audio_fingerprint_dedup_census", "documents"),  # energy-contour dedup
 ]
 
 
