@@ -4616,27 +4616,28 @@ e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
 es AS MATERIALIZED (
   SELECT a, b FROM e
   WHERE (('0x' || substr(md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)),
-          1, 6))::BIGINT) / 16777216.0 < 0.5),
+          1, 6))::BIGINT) / 16777216.0 < 0.25),
 tris AS (SELECT count(*) AS t FROM es e1
          JOIN es e2 ON e1.b = e2.a
          JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b)
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM es) AS BIGINT) AS n_sampled,
        CAST((SELECT t FROM tris) AS BIGINT) AS t_sampled,
-       CAST((SELECT t FROM tris) * 8 AS BIGINT) AS t_est,
-       round(sqrt(7.0 / greatest(CAST((SELECT t FROM tris) * 8 AS DOUBLE),
-                                 1.0)), 6) AS rel_err_bound
+       CAST((SELECT t FROM tris) * 64 AS BIGINT) AS t_est,
+       round(sqrt(63.0 / greatest(CAST((SELECT t FROM tris) * 64 AS DOUBLE),
+                                  1.0)), 6) AS rel_err_bound
 """,
     doc="DOULION approximate triangle counting - the PRODUCTION shape "
-    "(r12, VERDICT r11 #3): keep each co-purchase edge with p=0.5 via "
+    "(r12, VERDICT r11 #3): keep each co-purchase edge with p=0.25 via "
     "the content-stable md5 coin (sampling.md5_uniform on the "
     "normalized a#b key - same edge, same coin, any engine), count "
     "triangles exactly on the sparsified graph (the same degree-ordered "
-    "wedge join), scale by 1/p^3 = 8 (Tsourakakis et al., KDD 2009, "
+    "wedge join), scale by 1/p^3 = 64 (Tsourakakis et al., KDD 2009, "
     "pipeline/graph.py:approx_triangle_total).  Wedge work shrinks "
-    "~p^1.5 - the knob that keeps the O(m^1.5) exact form affordable at "
-    "100x the edges; the estimator is unbiased and mergeable (count on "
-    "each sampled shard, sum, scale once), and rel_err_bound reports "
+    "~p^1.5 (~1/8 here) - the knob that keeps the O(m^1.5) exact form "
+    "affordable at 100x the edges; the estimator is unbiased and "
+    "mergeable (count on each sampled shard, sum, scale once), and "
+    "rel_err_bound reports "
     "the independence-approximation relative standard error "
     "sqrt((1/p^3-1)/T_est).  The tolerance gate vs the exact count "
     "runs as the twin approx_triangle_tolerance_copurchase in the "
@@ -4660,7 +4661,7 @@ def approx_triangle_count_copurchase(spark, sf_dir):
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
         .distinct()
     )
-    return approx_triangle_total(pairs, p=0.5)
+    return approx_triangle_total(pairs, p=0.25)
 
 
 @register(
@@ -4672,7 +4673,7 @@ e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
 es AS MATERIALIZED (
   SELECT a, b FROM e
   WHERE (('0x' || substr(md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)),
-          1, 6))::BIGINT) / 16777216.0 < 0.5),
+          1, 6))::BIGINT) / 16777216.0 < 0.25),
 tri AS (SELECT count(*) AS t FROM e e1
         JOIN e e2 ON e1.b = e2.a
         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -4680,8 +4681,8 @@ tris AS (SELECT count(*) AS t FROM es e1
          JOIN es e2 ON e1.b = e2.a
          JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b)
 SELECT CAST((SELECT t FROM tri) AS BIGINT) AS t_exact,
-       CAST((SELECT t FROM tris) * 8 AS BIGINT) AS t_est,
-       CAST(abs((SELECT t FROM tris) * 8 - (SELECT t FROM tri)) AS DOUBLE)
+       CAST((SELECT t FROM tris) * 64 AS BIGINT) AS t_est,
+       CAST(abs((SELECT t FROM tris) * 64 - (SELECT t FROM tri)) AS DOUBLE)
          <= 0.15 * (SELECT t FROM tri) AS within_tol
 """,
     doc="The DOULION accuracy gate (r12, VERDICT r11 #3): the sampled "
@@ -4708,7 +4709,7 @@ def approx_triangle_tolerance_copurchase(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    est = approx_triangle_total(pairs, p=0.5)
+    est = approx_triangle_total(pairs, p=0.25)
     t_exact = triangle_counts(pairs).agg(
         (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
         .cast("long")
