@@ -110,7 +110,6 @@ R4_EXTRA = [
     "quantile_binning_extendedprice",
     "data_quality_checks",
     "chisq_event_type_weekday",
-    "pagerank_purchase_graph",
     "unigram_logprob_documents",
     "pareto_revenue_concentration",
     "ewma_daily_revenue",
@@ -123,7 +122,6 @@ R4_EXTRA = [
     "quantile_binning_approx_accuracy",
     "pagerank_deep_dangling",
     "incremental_sketch_merge",
-    "semantic_dedup_embeddings",
     "build_vocab_documents",
     "bpe_merge_candidates_documents",
     "snapshot_diff_orders",
@@ -151,7 +149,6 @@ R4_EXTRA = [
     # bench times the production shapes.
     "knn_bulk_bruteforce",
     "knn_lsh_bulk",
-    "knn_graph_embeddings",
     "semantic_decontaminate_embeddings",
     "bpe_train_documents",
     "unigram_lm_vocab_documents",
@@ -170,7 +167,6 @@ R4_EXTRA = [
     "dedup_clusters_documents",
     "containment_ngram_pairs_documents",
     "hybrid_rrf_retrieval",
-    "knn_pq_ann",
     "seeded_shuffle_shards_documents",
     "streaming_bloom_dedup_users",
     # round-7: incremental cluster maintenance (pairs folded batch-wise
@@ -210,8 +206,25 @@ R4_EXTRA = [
     # sink's temp-dir writes are protocol cost, not operator cost
     "audio_decode_features_documents",
     "video_frame_sample_luma",
-    "video_frame_dedup_census",
-    "triangle_counts_copurchase",
+    # round-12 budget hygiene (VERDICT r11 #8), funding the r12
+    # additions below while keeping extra_total under budget:
+    # - triangle_counts_copurchase and video_frame_dedup_census moved
+    #   to driver-gate slots (timed in CORRECTNESS, the r10 policy);
+    # - pagerank_purchase_graph and semantic_dedup_embeddings were
+    #   double-billed — gate slots since r4/r5 AND extras; the deep
+    #   iterative shape stays timed here via pagerank_deep_dangling;
+    # - knn_pq_ann (per-query PQ loop) and knn_graph_embeddings retire
+    #   to their bulk/gate twins (knn_ivfpq_layout_prune,
+    #   knn_graph_recall_panel time the same plans in CORRECTNESS —
+    #   the r6 per-query-loop retirement precedent).
+    # round-12 additions (value oracles run in the correctness
+    # harness; approx_triangle_tolerance_copurchase is NOT here — it
+    # prices the exact wedge join a second time purely to audit the
+    # estimator, bench times the production estimate):
+    "coreness_copurchase",
+    "approx_triangle_count_copurchase",
+    "png_decode_features_documents",
+    "audio_fingerprint_dedup_census",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew
