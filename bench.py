@@ -225,6 +225,11 @@ R4_EXTRA = [
     "approx_triangle_count_copurchase",
     "png_decode_features_documents",
     "audio_fingerprint_dedup_census",
+    # round-12 second half: prototypicality data pruning (Sorscher et
+    # al. 2022) on the lattice fixture — fully value-oracled in the
+    # correctness harness, timed here for the Arrow-matmul + window
+    # selection shape
+    "prototype_pruning_embeddings",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

@@ -741,6 +741,87 @@ def choose_by_residual(
     return float(row["mean_top_cos"]) >= float(threshold)
 
 
+def prototype_scores(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row prototypicality: the cosine to the NEAREST trained
+    centroid, plus the assignment — the SSL-prototype difficulty score
+    of Sorscher et al., *Beyond neural scaling laws: beating power law
+    scaling via data pruning* (NeurIPS 2022).  High cosine = the row
+    sits near its cluster's prototype (easy/redundant); low = far
+    (hard/informative).  One Arrow matmul per batch against the
+    broadcast centroid matrix (the ``ivf_structure_stats`` kernel, kept
+    per-row here), stable argmax tie-break (lowest centroid id) so any
+    engine reproduces the assignment exactly.  Appends
+    ``(proto_cluster, proto_cos)``; no vector shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = _l2_normalize(centroids.astype(np.float64))
+
+    @pandas_udf("struct<proto_cluster: int, proto_cos: double>")
+    def score(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cn.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        top = order[:, 0]
+        return pd.DataFrame(
+            {
+                "proto_cluster": top.astype(np.int32),
+                "proto_cos": sims[np.arange(len(mat)), top],
+            }
+        )
+
+    return embeddings.withColumn("__p", score(F.col(vec_col))).select(
+        "*", F.col("__p.proto_cluster").alias("proto_cluster"),
+        F.col("__p.proto_cos").alias("proto_cos")
+    ).drop("__p")
+
+
+def prune_by_prototypicality(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    keep_fraction: float = 0.5,
+    keep: str = "hard",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototypicality data pruning (Sorscher et al. 2022): score every
+    row by cosine to its nearest centroid, then keep ``keep_fraction``
+    of each cluster — ``keep="hard"`` retains the LOW-cosine tail (the
+    paper's choice for large datasets, where redundant easy examples
+    dominate), ``keep="easy"`` the high-cosine head (their small-data
+    regime).  Per-cluster (not global) selection preserves cluster
+    balance — pruning globally by score would empty tight clusters
+    first.
+
+    Deterministic and SQL-oracle-able: ranking is (score, id)-ordered
+    with ceil(fraction·n) kept per cluster, so the exact selected set
+    reproduces in any engine.  Plan: one Arrow matmul + one window per
+    cluster partition — the same two shuffles at any corpus size; at
+    100 TB the centroid matrix is a broadcast literal and the window
+    partitions by cluster id, never by vector."""
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    from pyspark.sql import Window
+
+    scored = prototype_scores(embeddings, centroids, vec_col)
+    order = (
+        [F.asc("proto_cos"), F.asc(id_col)]
+        if keep == "hard"
+        else [F.desc("proto_cos"), F.asc(id_col)]
+    )
+    w = Window.partitionBy("proto_cluster")
+    ranked = scored.withColumn(
+        "__rn", F.row_number().over(w.orderBy(*order))
+    ).withColumn("__n", F.count("*").over(w))
+    return ranked.where(
+        F.col("__rn") <= F.ceil(F.lit(float(keep_fraction)) * F.col("__n"))
+    ).drop("__rn", "__n")
+
+
 def choose_search_params(
     embeddings: DataFrame,
     centroids: np.ndarray,

@@ -4932,3 +4932,75 @@ def personalized_pagerank_building(spark, sf_dir):
         eager=True,
     )
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "prototype_pruning_embeddings",
+    oracle="""
+WITH lk(r, c) AS (VALUES (0,0),(1,0),(2,0),(3,1),(4,1),(5,1),(6,2),(7,2),
+                         (8,3),(9,3),(10,4),(11,4),(12,5),(13,6),(14,7),(15,7)),
+pts AS (SELECT t.i, lk.c AS true_c
+        FROM range(1200) t(i) JOIN lk ON (t.i % 16) = lk.r),
+vec AS (SELECT p.i, d.j,
+               ((p.true_c*37 + d.j*101) % 211 - 105)/105.0
+               + 0.6 * (((p.i*131 + d.j*61) % 997) - 498)/498.0 AS v
+        FROM pts p, range(16) d(j)),
+cent AS (SELECT cc.c2, d.j, ((cc.c2*37 + d.j*101) % 211 - 105)/105.0 AS w
+         FROM range(8) cc(c2), range(16) d(j)),
+cos AS (SELECT v.i, ct.c2,
+               sum(v.v*ct.w) / (sqrt(sum(v.v*v.v)) * sqrt(sum(ct.w*ct.w)))
+                 AS cosv
+        FROM vec v JOIN cent ct USING (j)
+        GROUP BY v.i, ct.c2),
+top AS (SELECT i, c2 AS pc, cosv AS pcos FROM (
+          SELECT i, c2, cosv,
+                 row_number() OVER (PARTITION BY i
+                                    ORDER BY cosv DESC, c2 ASC) AS rn
+          FROM cos) t WHERE rn = 1),
+ranked AS (SELECT i, pc, pcos,
+                  row_number() OVER (PARTITION BY pc
+                                     ORDER BY pcos ASC, i ASC) AS krn,
+                  count(*) OVER (PARTITION BY pc) AS n_c
+           FROM top),
+kept AS (SELECT * FROM ranked WHERE krn <= ceil(0.5 * n_c))
+SELECT CAST(pc AS INT) AS proto_cluster,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(pcos), 6) AS mean_kept_cos,
+       round(max(pcos), 6) AS max_kept_cos,
+       CAST(min(i) AS BIGINT) AS min_kept_id
+FROM kept GROUP BY pc
+""",
+    doc="Prototypicality data pruning (r12; Sorscher et al., Beyond "
+    "neural scaling laws, NeurIPS 2022 - the embedding-space pruning "
+    "rule that beats random subsetting): score every row by cosine to "
+    "its nearest centroid (pipeline/similarity.py:prototype_scores, "
+    "the structure-stats kernel kept per-row), keep the HARDEST 50% of "
+    "each cluster (the paper's large-dataset regime - redundant "
+    "prototype-adjacent rows go first), per-cluster so tight clusters "
+    "are not emptied globally.  Selection is (score, id)-ranked with "
+    "ceil(frac*n) kept, so the exact selected set is deterministic.  "
+    "FULLY value-oracled on the integer-lattice clustered fixture: "
+    "DuckDB rebuilds every vector and centroid from range() "
+    "arithmetic, recomputes the full cosine profile, the stable "
+    "argmax assignment, the per-cluster (score, id) ranking, and the "
+    "kept-set census (counts, mean/max kept score, smallest kept id).  "
+    "Plan: one Arrow matmul + one cluster-partitioned window - two "
+    "shuffles at any corpus size, centroids a broadcast literal.",
+)
+def prototype_pruning_embeddings(spark, sf_dir):
+    from crick_spark.pipeline.similarity import prune_by_prototypicality
+    from crick_spark.sources.synthetic import (
+        lattice_centers,
+        lattice_clustered_embeddings,
+    )
+
+    emb = lattice_clustered_embeddings(spark, n=1200, dim=16, noise_scale=0.6)
+    kept = prune_by_prototypicality(
+        emb, lattice_centers(8, 16), keep_fraction=0.5, keep="hard"
+    )
+    return kept.groupBy("proto_cluster").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.avg("proto_cos"), 6).alias("mean_kept_cos"),
+        F.round(F.max("proto_cos"), 6).alias("max_kept_cos"),
+        F.min("vec_id").cast("long").alias("min_kept_id"),
+    )

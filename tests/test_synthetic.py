@@ -234,3 +234,54 @@ class TestChooseSearchParams:
         p = choose_search_params(iid, cents)
         assert 1 <= p["nprobe"] <= 2
         iid.unpersist()
+
+
+class TestPrototypePruning:
+    def test_hard_easy_selection_and_counts(self, spark):
+        """r12: per-cluster prototypicality pruning — keep='hard' retains
+        the low-cosine tail, keep='easy' the high-cosine head, each
+        cluster keeps exactly ceil(frac*n), selection is deterministic,
+        and every kept 'hard' score is <= every dropped score within its
+        cluster."""
+        import math
+
+        from crick_spark.pipeline.similarity import (
+            prototype_scores,
+            prune_by_prototypicality,
+        )
+        from crick_spark.sources.synthetic import (
+            lattice_centers,
+            lattice_clustered_embeddings,
+        )
+
+        emb = lattice_clustered_embeddings(
+            spark, n=320, dim=16, noise_scale=0.6
+        ).cache()
+        cents = lattice_centers(8, 16)
+        scored = prototype_scores(emb, cents).collect()
+        by_cluster: dict[int, list] = {}
+        for r in scored:
+            by_cluster.setdefault(r["proto_cluster"], []).append(
+                (r["proto_cos"], r["vec_id"])
+            )
+
+        hard = prune_by_prototypicality(
+            emb, cents, keep_fraction=0.5, keep="hard"
+        ).collect()
+        easy = prune_by_prototypicality(
+            emb, cents, keep_fraction=0.5, keep="easy"
+        ).collect()
+        for mode, rows in (("hard", hard), ("easy", easy)):
+            kept: dict[int, set] = {}
+            for r in rows:
+                kept.setdefault(r["proto_cluster"], set()).add(r["vec_id"])
+            for c, members in by_cluster.items():
+                want_n = math.ceil(0.5 * len(members))
+                assert len(kept.get(c, set())) == want_n, (mode, c)
+                ordered = sorted(
+                    members, key=lambda t: (t[0], t[1]),
+                    reverse=(mode == "easy"),
+                )
+                want_ids = {vid for _, vid in ordered[:want_n]}
+                assert kept[c] == want_ids, (mode, c)
+        emb.unpersist()
