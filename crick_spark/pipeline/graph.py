@@ -380,6 +380,126 @@ def connected_components(
     )
 
 
+def connected_components_contract(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    *Connected components in MapReduce and beyond*, SoCC 2014) — the
+    LONG-DIAMETER-safe twin of ``connected_components``: hash-min label
+    propagation floods one hop per superstep (O(diameter) rounds — a
+    10k-link chain of near-dup pairs needs 10k shuffles), while star
+    contraction halves component "height" per round pair, converging in
+    O(log n) rounds on ANY topology.  Per round pair:
+
+    - **large-star** — every node links its LARGER neighbors to
+      m = min(Γ(u) ∪ {u});
+    - **small-star** — every node links its ≤-neighbors and itself to
+      the minimum of that set;
+
+    each is one groupBy(min) + one self-join over edge rows (the same
+    two-shuffle shape as a hash-min superstep), with per-round
+    localCheckpoint truncation.  Fixpoint = the edge set is literally
+    unchanged (checked exactly: same count AND empty two-sided
+    exceptAll — no probabilistic signature), at which point every
+    component is a star rooted at its minimum id.
+
+    Semantics identical to ``connected_components``: returns
+    ``(node, component)`` with component = min reachable node id, over
+    the nodes that appear in ≥1 edge.  Cross-checked against it (and a
+    Python union-find) in tests; pick THIS form when pair graphs can
+    chain (transcript/frame dedup where near-dups form long paths), the
+    hash-min form when components are known-shallow."""
+    base = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    # every node ever seen — INCLUDING self-loop-only nodes, which the
+    # contraction drops but the labeling must still cover (hash-min
+    # ``connected_components`` parity, asserted in tests)
+    all_nodes = (
+        base.select(F.col("a").alias("node"))
+        .unionAll(base.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        base.where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def neighbors(rel: DataFrame) -> DataFrame:
+        return rel.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionAll(rel.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+    for _ in range(int(max_iter)):
+        nb = neighbors(cur)
+        # large-star: m(u) = min(Γ(u) ∪ {u}); link v > u to m
+        mins = nb.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            nb.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("a"),
+                F.greatest(F.col("v"), F.col("m")).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: m(u) = min({v ∈ Γ(u): v ≤ u} ∪ {u}); link the
+        # ≤-neighbors AND u itself to m
+        nb2 = neighbors(large)
+        small_side = nb2.where(F.col("v") <= F.col("u"))
+        mins2 = small_side.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        linked = small_side.join(mins2, "u").select(
+            F.col("v").alias("x"), F.col("m")
+        ).unionAll(mins2.select(F.col("u").alias("x"), F.col("m")))
+        nxt = (
+            linked.select(
+                F.least(F.col("x"), F.col("m")).alias("a"),
+                F.greatest(F.col("x"), F.col("m")).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact fixpoint test: identical edge sets (count + exceptAll)
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # stars: (b=node, a=root); roots label themselves; nodes whose
+    # component collapsed entirely (singletons after noise removal)
+    # appear only in all_nodes
+    labels = cur.select(
+        F.col("b").alias("node"), F.col("a").alias("component")
+    )
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",

@@ -5004,3 +5004,32 @@ def prototype_pruning_embeddings(spark, sf_dir):
         F.round(F.max("proto_cos"), 6).alias("max_kept_cos"),
         F.min("vec_id").cast("long").alias("min_kept_id"),
     )
+
+
+@register(
+    "dedup_clusters_contract_documents",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Near-duplicate clusters via STAR CONTRACTION (r12; Kiveris et "
+    "al., SoCC 2014, pipeline/graph.py:connected_components_contract) - "
+    "the long-diameter-safe twin of dedup_clusters_documents' hash-min "
+    "propagation: alternating large-star/small-star rounds halve "
+    "component height, so convergence is O(log n) rounds on ANY "
+    "topology where hash-min needs O(diameter) supersteps (chained "
+    "near-dup pairs - transcript/frame corpora - form exactly such "
+    "paths).  Same two-shuffle round shape, exact fixpoint test "
+    "(count + exceptAll, no probabilistic signature).  Identical "
+    "semantics proven twice: the SAME recursive-CTE reachability "
+    "oracle as the hash-min form hash-matches the cluster census, and "
+    "pytest pins node-level equality against hash-min AND a Python "
+    "union-find, including the 300-link path hash-min cannot finish.",
+)
+def dedup_clusters_contract_documents(spark, sf_dir):
+    from crick_spark.pipeline.dedup import jaccard_ngram_pairs
+    from crick_spark.pipeline.graph import connected_components_contract
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    )
+    cc = connected_components_contract(pairs, src="id_a", dst="id_b")
+    return cc.groupBy("component").agg(F.count("*").alias("n_docs"))

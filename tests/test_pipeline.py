@@ -3272,3 +3272,66 @@ def test_personalized_pagerank_matches_numpy_with_dangling(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9, "mass not conserved"
     # seed-proximity sanity: the heavy seed outranks the light one
     assert got["v0"] > got["v5"]
+
+
+def test_connected_components_contract_matches_hashmin_and_handles_long_paths(spark):
+    """r12: star-contraction CC == union-find ground truth == hash-min CC
+    on a noisy random graph, and converges on a 300-link path in O(log n)
+    rounds — the diameter regime where hash-min's default 25-superstep
+    budget raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from crick_spark.pipeline.graph import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    rng = np.random.default_rng(31)
+    raw = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(80, 2))
+        if a != b
+    }
+    rows = [(a, b) for a, b in raw] + [(b, a) for a, b in list(raw)[:20]] + [(9, 9)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+
+    # union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in raw:
+        parent[find(a)] = find(b)
+    want = {}
+    nodes = {n for e in raw for n in e}
+    for n in nodes:
+        want.setdefault(find(n), []).append(n)
+    want_label = {n: min(ns) for r, ns in want.items() for n in ns}
+    want_label[9] = 9  # self-loop-only node labels itself (hash-min parity)
+
+    got_c = {
+        r["node"]: r["component"]
+        for r in connected_components_contract(edges).collect()
+    }
+    got_h = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got_c == want_label
+    assert got_c == got_h
+
+    # 300-link path: diameter 300 — hash-min raises at its default
+    # budget, star contraction converges in O(log n) rounds
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src long, dst long"
+    )
+    got_path = {
+        r["node"]: r["component"]
+        for r in connected_components_contract(path, max_iter=20).collect()
+    }
+    assert got_path == {i: 0 for i in range(301)}
+    with _pytest.raises(RuntimeError):
+        connected_components(path, max_iter=25)
