@@ -3335,3 +3335,33 @@ def test_connected_components_contract_matches_hashmin_and_handles_long_paths(sp
     assert got_path == {i: 0 for i in range(301)}
     with _pytest.raises(RuntimeError):
         connected_components(path, max_iter=25)
+
+
+def test_ahash_64_pixel_frames_pack_bit63_as_sign(spark):
+    """r12 (ADVICE closure proof at the advertised 8x8 size): a 64-pixel
+    frame whose top pixel exceeds the mean must set bit 63 — landing as
+    a NEGATIVE int64 via two's complement, exactly what a BIGINT-shift
+    oracle produces — and >64-pixel frames must raise loudly."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import ahash_frames
+
+    px = np.zeros(64, dtype=np.uint8)
+    px[63] = 255  # only bit 63 set: hash = 1<<63 -> INT64_MIN
+    px[0] = 255   # and bit 0: hash = INT64_MIN + 1
+    frames = spark.createDataFrame(
+        [(1, 0, bytearray(px.tobytes()))],
+        "doc_id long, frame_idx int, frame binary",
+    )
+    got = ahash_frames(frames).collect()[0]["ahash"]
+    want = np.uint64((1 << 63) | 1).astype(np.int64)
+    assert got == int(want) == -(2**63) + 1
+
+    big = spark.createDataFrame(
+        [(1, 0, bytearray(np.zeros(65, dtype=np.uint8).tobytes()))],
+        "doc_id long, frame_idx int, frame binary",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="64"):
+        ahash_frames(big).collect()
