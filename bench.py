@@ -230,6 +230,9 @@ R4_EXTRA = [
     # correctness harness, timed here for the Arrow-matmul + window
     # selection shape
     "prototype_pruning_embeddings",
+    # round-12 second half: the composed multimodal funnel (three real
+    # decode passes joined on doc_id; value oracle in the harness)
+    "multimodal_curation_v1",
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

@@ -5033,3 +5033,91 @@ def dedup_clusters_contract_documents(spark, sf_dir):
     )
     cc = connected_components_contract(pairs, src="id_a", dst="id_b")
     return cc.groupBy("component").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "multimodal_curation_v1",
+    oracle="""
+WITH motion AS (
+  SELECT d.doc_id,
+         avg(CASE WHEN fr.f >= 1 THEN
+             abs(((d.doc_id*17 + fr.f*29 + px.p*13) % 256)
+                 - ((d.doc_id*17 + (fr.f-1)*29 + px.p*13) % 256)) END) AS m
+  FROM documents d, range(6) fr(f), range(32) px(p)
+  WHERE fr.f < 2 + d.doc_id % 5 GROUP BY d.doc_id),
+rms AS (
+  SELECT d.doc_id,
+         sqrt(avg(pow((d.doc_id*31 + t.i*131) % 4001 - 2000, 2))) AS r
+  FROM documents d, range(250) t(i) WHERE t.i < 150 + d.doc_id % 100
+  GROUP BY d.doc_id),
+joined AS (
+  SELECT d.doc_id, d.lang,
+         (d.n_chars >= 200 AND m.m >= 50.0 AND r.r >= 1150.0) AS kept,
+         m.m, r.r
+  FROM documents d JOIN motion m USING (doc_id) JOIN rms r USING (doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN kept THEN m END), 6) AS mean_kept_motion,
+       round(avg(CASE WHEN kept THEN r END), 6) AS mean_kept_rms,
+       CAST(min(CASE WHEN kept THEN doc_id END) AS BIGINT) AS min_kept_doc
+FROM joined GROUP BY lang
+""",
+    doc="Composed MULTIMODAL curation funnel (r12): every document "
+    "carries text + real video bytes + real audio bytes, and the keep "
+    "decision is the conjunction of all three modality signals - text "
+    "length >= 200 chars, video MOTION >= 50 (mean abs inter-frame "
+    "luma delta from the Y4M demux, the temporal-activity filter), "
+    "audio RMS >= 1150 (from the WAV decode) - the join-of-decoders "
+    "shape a video-text training pipeline runs (filter static slides "
+    "and silent clips before pairing).  Three Arrow decode passes, one "
+    "three-way equi-join on doc_id, one per-lang rollup; thresholds "
+    "split the corpus (nothing all-pass/all-fail), filters compare "
+    "UNROUNDED float64 values whose inputs are exact integer sums, so "
+    "both engines agree bit-for-bit.  FULLY value-oracled: DuckDB "
+    "recomputes motion and RMS per doc from the generator arithmetic "
+    "and reproduces per-lang kept counts, kept-mean signals, and the "
+    "smallest kept doc.",
+)
+def multimodal_curation_v1(spark, sf_dir):
+    from crick_spark.pipeline.multimodal import (
+        attach_wav_media,
+        attach_y4m_media,
+        extract_audio_features,
+        extract_video_features,
+        real_audio_decoder,
+        real_video_decoder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vid = extract_video_features(
+        attach_y4m_media(docs), decoder=real_video_decoder
+    ).select("doc_id", "motion")
+    aud = extract_audio_features(
+        attach_wav_media(docs), decoder=real_audio_decoder
+    ).select("doc_id", "rms_amplitude")
+    joined = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(vid, "doc_id")
+        .join(aud, "doc_id")
+        .withColumn(
+            "kept",
+            (F.col("n_chars") >= 200)
+            & (F.col("motion") >= 50.0)
+            & (F.col("rms_amplitude") >= 1150.0),
+        )
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(F.avg(F.when(F.col("kept"), F.col("motion"))), 6).alias(
+            "mean_kept_motion"
+        ),
+        F.round(
+            F.avg(F.when(F.col("kept"), F.col("rms_amplitude"))), 6
+        ).alias("mean_kept_rms"),
+        F.min(F.when(F.col("kept"), F.col("doc_id")))
+        .cast("long")
+        .alias("min_kept_doc"),
+    )
