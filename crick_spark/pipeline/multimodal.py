@@ -733,6 +733,14 @@ def audio_fingerprint(
                 if meta["kind"] != "audio":
                     continue
                 s = np.asarray(dec(bytes(data), "audio"), dtype=np.int64)
+                if len(s) == 0:
+                    # Truncated/empty clip: emit a flag row (fp=0,
+                    # n_windows=0) instead of letting the reshape raise
+                    # and kill the whole Arrow batch (ADVICE r12).
+                    rows.append(
+                        {"doc_id": int(doc_id), "fp": 0, "n_windows": 0}
+                    )
+                    continue
                 per = max(len(s) // n_w, 1)
                 nw = min(n_w, max(len(s) // per, 1))
                 e = (s[: per * nw] ** 2).reshape(nw, per).sum(axis=1)

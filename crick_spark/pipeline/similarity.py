@@ -817,8 +817,12 @@ def prune_by_prototypicality(
     ranked = scored.withColumn(
         "__rn", F.row_number().over(w.orderBy(*order))
     ).withColumn("__n", F.count("*").over(w))
+    # Round the product to 1e-9 before ceil: binary-float products of
+    # non-dyadic fractions (0.3 * 10 -> 3.0000000000000004) would
+    # otherwise ceil one row past the decimal intent (ADVICE r12).
     return ranked.where(
-        F.col("__rn") <= F.ceil(F.lit(float(keep_fraction)) * F.col("__n"))
+        F.col("__rn")
+        <= F.ceil(F.round(F.lit(float(keep_fraction)) * F.col("__n"), 9))
     ).drop("__rn", "__n")
 
 

@@ -4962,7 +4962,7 @@ ranked AS (SELECT i, pc, pcos,
                                      ORDER BY pcos ASC, i ASC) AS krn,
                   count(*) OVER (PARTITION BY pc) AS n_c
            FROM top),
-kept AS (SELECT * FROM ranked WHERE krn <= ceil(0.5 * n_c))
+kept AS (SELECT * FROM ranked WHERE krn <= ceil(round(0.5 * n_c, 9)))
 SELECT CAST(pc AS INT) AS proto_cluster,
        CAST(count(*) AS BIGINT) AS n_kept,
        round(avg(pcos), 6) AS mean_kept_cos,

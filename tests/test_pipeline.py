@@ -3365,3 +3365,44 @@ def test_ahash_64_pixel_frames_pack_bit63_as_sign(spark):
 
     with _pytest.raises(Exception, match="64"):
         ahash_frames(big).collect()
+
+
+def test_audio_fingerprint_empty_clip_flagged_not_fatal(spark):
+    """r13 (ADVICE r12): a zero-sample WAV (truncated/empty clip) must
+    not kill the Arrow batch — it yields a flag row (fp=0, n_windows=0)
+    while healthy rows in the SAME batch still fingerprint normally."""
+    import numpy as np
+
+    from crick_spark.pipeline.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        real_audio_decoder,
+    )
+
+    meta = F.struct(
+        F.lit("audio").alias("kind"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(1).alias("channels"),
+        F.lit(8000).alias("sample_rate"),
+        F.lit(0.0).alias("duration_s"),
+    ).alias("meta")
+    media = spark.createDataFrame(
+        [
+            (0, encode_wav(np.array([], dtype=np.int16), 8000)),
+            (1, encode_wav(np.array([3, -1, 4, -1, 5, -9, 2]), 8000)),
+        ],
+        "doc_id long, media binary",
+    ).select("doc_id", "media", meta).coalesce(1)
+    rows = {
+        r["doc_id"]: r
+        for r in audio_fingerprint(
+            media, n_windows=16, decoder=real_audio_decoder
+        ).collect()
+    }
+    assert rows[0]["fp"] == 0 and rows[0]["n_windows"] == 0
+    es = np.array([9, 1, 16, 1, 25, 81, 4])
+    assert rows[1]["n_windows"] == 7
+    assert rows[1]["fp"] == sum(
+        1 << (j - 1) for j in range(1, 7) if es[j] > es[j - 1]
+    )

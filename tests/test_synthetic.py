@@ -285,3 +285,36 @@ class TestPrototypePruning:
                 want_ids = {vid for _, vid in ordered[:want_n]}
                 assert kept[c] == want_ids, (mode, c)
         emb.unpersist()
+
+
+class TestPrototypePruningFloatCeil:
+    def test_non_dyadic_fraction_keeps_decimal_count(self, spark):
+        """r13 (ADVICE r12): ceil must follow the DECIMAL intent of
+        keep_fraction, not binary-float artifacts — 0.07 of a
+        100-member cluster keeps 7, even though 0.07*100 ==
+        7.000000000000001 in doubles (naive ceil would keep 8)."""
+        import numpy as np
+
+        from crick_spark.pipeline.similarity import (
+            prune_by_prototypicality,
+        )
+
+        assert 0.07 * 100 > 7  # the float artifact this test pins
+
+        cents = np.zeros((2, 4), dtype=np.float64)
+        cents[0, 0] = 1.0
+        cents[1, 1] = 1.0
+        rows = [
+            (i, [float(x) for x in cents[i % 2]]) for i in range(200)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        for mode in ("hard", "easy"):
+            kept = prune_by_prototypicality(
+                emb, cents, keep_fraction=0.07, keep=mode
+            ).collect()
+            per = {}
+            for r in kept:
+                per[r["proto_cluster"]] = per.get(r["proto_cluster"], 0) + 1
+            assert per == {0: 7, 1: 7}, (mode, per)
