@@ -107,6 +107,10 @@ R4_EXTRA = [
     "copurchase_brand_lift",
     "mad_outliers_events",
     "rolling_7day_revenue",
+    # r13 (VERDICT r12 #2): quantile_binning_extendedprice now IS the
+    # t-digest-edge production form (exact F.percentile edges live on
+    # as quantile_binning_exact_extendedprice, test-scale only — not
+    # timed, its every-value buffer is the shape the swap retires)
     "quantile_binning_extendedprice",
     "data_quality_checks",
     "chisq_event_type_weekday",

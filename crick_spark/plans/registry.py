@@ -91,7 +91,15 @@ _GATE_WINDOW = [
     # demuxed by the pure-Python Y4M walker, geometry/duration/luma/
     # motion all value-matched against DuckDB integer arithmetic —
     # image/audio real-decode siblings stay oracle-checked outside
-    "video_decode_features_documents",
+    # r13: video_decode_features_documents rotated out (VERDICT r12 #1
+    # — its Y4M demux + geometry/luma/motion features stay
+    # driver-visible through multimodal_curation_v1, whose keep
+    # decision conjoins the SAME video decode with audio + text
+    # signals; still oracle-checked outside) for the COMPRESSED-image
+    # real-decode gate — genuine stdlib-zlib PNG bytes (IDAT inflate,
+    # Paeth/Sub/Up defilter) value-matched against DuckDB integer
+    # pixel arithmetic
+    "png_decode_features_documents",
     "percentile_events_value",
     # r6: percentile_quantity_by_returnflag rotated out (second exact
     # percentile variant in-window; still oracle-checked outside) for the
@@ -118,12 +126,26 @@ _GATE_WINDOW = [
     # triangle counting — the degree-ordered-orientation wedge join
     # (Suri & Vassilvitskii), value-matched against DuckDB's direct
     # 3-way self-join on the same co-purchase graph (VERDICT r11 #1)
-    "triangle_counts_copurchase",
+    # r13: triangle_counts_copurchase rotated out (VERDICT r12 #1 —
+    # the exact wedge count stays driver-visible inside
+    # approx_triangle_tolerance_copurchase, which recomputes it
+    # in-query as the tolerance denominator; the per-node form stays
+    # oracle-checked outside) for the DOULION pair — the p=0.25
+    # md5-coin edge-sampled estimate (the 100 TB production shape,
+    # SCALE's answer to the 8.7× exact-triangles row) plus its
+    # accuracy gate asserting |8*T_s − T| ≤ 0.15*T
+    "approx_triangle_count_copurchase",
+    "approx_triangle_tolerance_copurchase",
     # r5: topk_parts_per_brand rotated out (third exact top-k variant
     # in-window; still oracle-checked outside) for the end-to-end
     # curation funnel — quality→dedup→near-dup→shares, value-matched
     # at every stage, becomes driver-visible
     "curation_pipeline_v2",
+    # r13 (VERDICT r12 #1): the MULTIMODAL curation funnel joins the
+    # text funnel in-window — text + real video bytes + real audio
+    # bytes per document, keep = conjunction of all three modality
+    # signals, every stage hash-matched by DuckDB integer arithmetic
+    "multimodal_curation_v1",
     # r12: revenue_by_nation rotated out (literal subset of
     # rollup_revenue_region_nation, whose finest grouping level IS the
     # per-nation aggregation over the same join — two copies of the
@@ -131,7 +153,13 @@ _GATE_WINDOW = [
     # bounded-round k-core peeling — the graph family's density filter,
     # per-round survivor counts value-matched against a 4-round
     # unrolled chained-CTE recomputation (VERDICT r11 #1)
-    "kcore_peel_copurchase",
+    # r13: kcore_peel_copurchase rotated out (VERDICT r12 #1 — the
+    # bounded-round peel's survivor counts are implied by the per-node
+    # core numbers its superset computes; peel stays oracle-checked
+    # outside) for coreness_copurchase — the full Batagelj–Zaversnik
+    # decomposition, the per-node column a curation user actually
+    # joins against, value-matched per node
+    "coreness_copurchase",
     "events_hourly_rollup",
     # r7: distinct_mktsegments_per_region rotated out (exact distinct
     # counts also exercised by set-op/HLL queries; still oracle-checked
@@ -147,7 +175,13 @@ _GATE_WINDOW = [
     # writes+reads parquet in-window; roundtrip still oracle-checked
     # outside) for the full-value iterative-algorithm proof — every
     # PageRank node rank hash-matches a 3-iteration unrolled-CTE oracle
-    "pagerank_purchase_graph",
+    # r13: pagerank_purchase_graph rotated out (VERDICT r12 #1 — the
+    # iterative join+groupBy proof stays driver-visible through its
+    # SUPERSET: restart-walk with teleport AND dangling mass both
+    # flowing to the seed distribution; global PageRank stays
+    # oracle-checked outside) for personalized PageRank to the
+    # BUILDING-segment customers (Haveliwala, WWW 2002)
+    "personalized_pagerank_building",
     # r4: source_csv_roundtrip rotated out (second low-information
     # roundtrip; still oracle-checked outside the window) for the BM25
     # ranked-retrieval family — a new operator family gets driver
@@ -173,7 +207,14 @@ _GATE_WINDOW = [
     # average-hash recomputed bit-for-bit by DuckDB integer
     # arithmetic and the duplicate census hash-matched (VERDICT r11
     # #1: the video twin of document near-dup becomes driver-visible)
-    "video_frame_dedup_census",
+    # r13: video_frame_dedup_census rotated out (VERDICT r12 #1 — the
+    # perceptual-fingerprint census pattern keeps a gate slot via its
+    # AUDIO twin below, and aHash frame bits stay driver-visible
+    # through incremental_exact_dedup_frames + multimodal_curation_v1;
+    # still oracle-checked outside) for the energy-contour audio
+    # fingerprint census — gain-variant WAVs collapse per group,
+    # every fingerprint recomputed by DuckDB integer arithmetic
+    "audio_fingerprint_dedup_census",
     # r4: histogram_value_by_event_type rotated out (third histogram
     # variant in-window; still oracle-checked outside) for the ANN
     # recall gate — quality of the approximate path becomes
@@ -221,7 +262,14 @@ _GATE_WINDOW = [
     # production plan gets a hash-matched quality oracle (VERDICT r7
     # item 7)
     "knn_graph_recall_panel",
-    "spacesaving_persist_roundtrip",
+    # r13: spacesaving_persist_roundtrip rotated out (VERDICT r12 #1 —
+    # third persistence form in-window; sketch persistence stays
+    # driver-visible through incremental_sketch_merge, which folds a
+    # delta batch into PERSISTED t-digest+HLL state, and the roundtrip
+    # stays oracle-checked outside) for prototypicality data pruning —
+    # Sorscher et al.'s per-cluster keep rule, the exact selected set
+    # hash-matched against DuckDB's window recomputation
+    "prototype_pruning_embeddings",
     "moments_sketch_extendedprice",
     # r6 second half: moments_sketch_by_returnflag rotated out (second
     # grouped moments form; still oracle-checked outside) for the
@@ -244,7 +292,12 @@ _GATE_WINDOW = [
     # signal (ivf_structure_stats over the lattice clustered fixture)
     # hash-matched against a full SQL recomputation of the cosine
     # profile (VERDICT r10 #2)
-    "clustered_embeddings_structure",
+    # r13: clustered_embeddings_structure rotated out (VERDICT r12 #1
+    # — the nearest-centroid assignment kernel and cosine profile stay
+    # driver-visible through knn_ivfpq_layout_prune (same assignment
+    # path builds the pruned layout) and prototype_pruning_embeddings
+    # (same kernel scores every row); still oracle-checked outside).
+    # Slot absorbed by multimodal_curation_v1 above — window stays 50.
     # r6 second half: approx_distinct_users rotated out (HLL estimate
     # also exercised by kmv/hll set-op queries outside; still
     # oracle-checked) for the pair->cluster closure — connected
@@ -256,7 +309,12 @@ _GATE_WINDOW = [
     # ClusterStore (r6 VERDICT item 6); the batch twin stays
     # oracle-checked outside the window
     "incremental_dedup_clusters",
-    "tdigest_centroid_invariants",
+    # r13: tdigest_centroid_invariants rotated out (VERDICT r12 #1 —
+    # the centroid k-scale/mass invariants stay driver-visible through
+    # tdigest_quantile_accuracy + tdigest_rollup_hierarchy_events,
+    # which gate the same digest construction; still oracle-checked
+    # outside). Slot absorbed by the approx-triangle PAIR above — the
+    # window stays at exactly 50.
     "tdigest_quantile_accuracy",
     "cms_freq_event_types",
     # TPC-H multi-join representatives (q1 is slot 1)

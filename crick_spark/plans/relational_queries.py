@@ -1759,8 +1759,93 @@ def rolling_7day_revenue(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Deterministic quantile binning (decile feature transform)
 # ---------------------------------------------------------------------------
+def _binned_extendedprice(spark, sf_dir, exact: bool):
+    """(v, bin) decile assignment for l_extendedprice: edges from ONE
+    1-row aggregate broadcast back, bin = 1 + #edges strictly below v —
+    deterministic under ties (unlike ntile).  exact=True uses Spark's
+    exact F.percentile (aggregation buffer holds EVERY value — fine at
+    test scale, O(N) single-task state at 100 TB); exact=False draws
+    the edges from the engine's own t-digest (crick tdigest.pyx:144-163
+    — the sketch exists precisely for this), constant state per
+    partition.  The downstream binning plan is byte-identical either
+    way — only the 1-row edge aggregate differs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    if exact:
+        edges = li.agg(
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+            ).alias("qs")
+        )
+    else:
+        from crick_spark.operators import tdigest_quantiles
+
+        est = tdigest_quantiles(li, "l_extendedprice", qs)
+        edges = est.select(
+            F.array(*[F.col(c) for c in est.columns]).alias("qs")
+        )
+    return li.crossJoin(F.broadcast(edges)).select(
+        F.col("l_extendedprice").alias("v"),
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("qs", lambda q: F.col("l_extendedprice") > q)
+            )
+        ).cast("bigint").alias("bin"),
+    )
+
+
 @register(
     "quantile_binning_extendedprice",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS bin,
+       TRUE AS mass_within_tol,
+       TRUE AS contiguous
+FROM generate_series(1, 10) t(i)
+""",
+    doc="Decile binning of l_extendedprice on the PRODUCTION path "
+    "(r13, VERDICT r12 #2): edges from the engine's own t-digest — "
+    "constant sketch state per partition, never F.percentile's "
+    "every-value buffer — broadcast back from a 1-row aggregate, "
+    "binning pure codegen.  Hash-matched per-bin boolean oracle (the "
+    "tdigest_quantile_accuracy pattern): exactly 10 bins, each bin's "
+    "mass within 0.03 of the ideal 0.10 (two t-digest edges bound a "
+    "bin; the reference's per-edge CDF tolerance is 0.012, "
+    "test_tdigest.py:99-102, so 0.024 worst case + headroom), and "
+    "bins value-contiguous (each bin's unrounded min strictly above "
+    "the previous bin's max).  The exact-edge form with a full-value "
+    "oracle lives on as quantile_binning_exact_extendedprice, the "
+    "test-scale twin.",
+)
+def quantile_binning_extendedprice(spark, sf_dir):
+    binned = _binned_extendedprice(spark, sf_dir, exact=False)
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("cnt"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    tot = binned.agg(F.count("*").alias("n_total"))
+    # Unpartitioned window over the 10-row per-bin aggregate, not the
+    # fact table — single-partition is the right plan at any scale.
+    w = Window.orderBy("bin")
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .withColumn("prev_hi", F.lag("hi").over(w))
+        .select(
+            "bin",
+            (
+                F.abs(F.col("cnt") / F.col("n_total") - F.lit(0.1))
+                <= F.lit(0.03)
+            ).alias("mass_within_tol"),
+            F.coalesce(
+                F.col("lo") > F.col("prev_hi"), F.lit(True)
+            ).alias("contiguous"),
+        )
+    )
+
+
+@register(
+    "quantile_binning_exact_extendedprice",
     oracle="""
 WITH b AS (
   SELECT quantile_cont(l_extendedprice,
@@ -1778,44 +1863,15 @@ SELECT bin,
        round(avg(v), 4) AS mean_v
 FROM binned GROUP BY bin
 """,
-    doc="Decile binning of l_extendedprice (quantile feature transform): "
-    "decile edges from ONE aggregate broadcast back, bin assigned by "
-    "comparison count — deterministic under ties (unlike ntile, whose "
-    "tie placement is order-dependent), two linear scans, binning "
-    "itself pure codegen.  exact=True (this oracle-matched form) uses "
-    "Spark's exact F.percentile, whose aggregation buffer holds EVERY "
-    "value — fine at test scale, O(N) single-task state at 100 TB.  "
-    "The production path is exact=False: edges from the engine's own "
-    "t-digest (crick tdigest.pyx:144-163 — the sketch exists precisely "
-    "for this), constant state per partition, downstream plan "
-    "unchanged; its accuracy twin `quantile_binning_approx_accuracy` "
-    "bounds the bin-mass error at the reference's CDF tolerance.",
+    doc="Test-scale twin of quantile_binning_extendedprice (r13): exact "
+    "decile edges via Spark's F.percentile, every bin's count/lo/hi/"
+    "mean hash-matched against DuckDB quantile_cont.  Pins the binning "
+    "TRANSFORM exactly so the production form only has edge-placement "
+    "freedom; not the 100 TB path (the percentile buffer holds every "
+    "value in one task).",
 )
-def quantile_binning_extendedprice(spark, sf_dir, exact: bool = True):
-    li = load_table(spark, sf_dir, "lineitem")
-    qs = [i / 10.0 for i in range(1, 10)]
-    if exact:
-        edges = li.agg(
-            F.percentile(
-                "l_extendedprice", F.array(*[F.lit(q) for q in qs])
-            ).alias("qs")
-        )
-    else:
-        from crick_spark.operators import tdigest_quantiles
-
-        est = tdigest_quantiles(li, "l_extendedprice", qs)
-        edges = est.select(
-            F.array(*[F.col(c) for c in est.columns]).alias("qs")
-        )
-    binned = li.crossJoin(F.broadcast(edges)).select(
-        F.col("l_extendedprice").alias("v"),
-        (
-            F.lit(1)
-            + F.size(
-                F.filter("qs", lambda q: F.col("l_extendedprice") > q)
-            )
-        ).cast("bigint").alias("bin"),
-    )
+def quantile_binning_exact_extendedprice(spark, sf_dir):
+    binned = _binned_extendedprice(spark, sf_dir, exact=True)
     return binned.groupBy("bin").agg(
         F.count("*").alias("cnt"),
         F.round(F.min("v"), 2).alias("lo"),
@@ -1840,7 +1896,9 @@ def quantile_binning_extendedprice(spark, sf_dir, exact: bool = True):
     "the exact form — only the 1-row edge aggregate changes.",
 )
 def quantile_binning_approx_accuracy(spark, sf_dir):
-    binned = quantile_binning_extendedprice(spark, sf_dir, exact=False)
+    binned = _binned_extendedprice(spark, sf_dir, exact=False).groupBy(
+        "bin"
+    ).agg(F.count("*").alias("cnt"))
     li = load_table(spark, sf_dir, "lineitem")
     tot = li.agg(F.count("l_extendedprice").alias("n_total"))
     return binned.crossJoin(F.broadcast(tot)).agg(

@@ -60,12 +60,38 @@ def test_query_matches_oracle(spark, ducks, name):
     assert_matches_oracle(sdf, odf)
 
 
+# Per-query row-count floors at sf0.001 (r13, VERDICT r12 #3: the old
+# `count() >= 0` could never fail).  Structural counts (quantile panels,
+# k×n_queries ANN results, centroid caps) are pinned exactly below in
+# _ROWS_ONLY_MIN via >=; data-dependent ones (near-dup pairs, learned
+# vocab sizes) get a floor well under the observed fixture value so the
+# test catches silently-empty results, not fixture drift.
+_ROWS_ONLY_MIN = {
+    "tdigest_quantiles_events_value": 1,  # one row of quantile columns
+    "tdigest_quantiles_by_returnflag": 3,  # one per returnflag A/N/R
+    "tdigest_cdf_events_value": 1,
+    "approx_quantiles_builtin": 1,
+    "tdigest_centroids_events": 100,  # compression=100 ⇒ ~O(100) rows
+    "minhash_near_dup_pairs": 10,  # fixture plants ≥28 near-dup pairs
+    "simhash_near_dup_pairs": 10,
+    "knn_lsh_ann": 10,  # k=10 for the single query
+    "knn_lsh_bulk": 50,  # k × 5-query panel
+    "knn_ivf_ann": 10,
+    "knn_graph_embeddings": 2500,  # one row per (vector, neighbor)
+    "bpe_train_documents": 5,  # learned merge table
+    "unigram_lm_vocab_documents": 20,  # pruned vocab
+}
+
+
 def test_rows_only_queries_nonempty(spark):
     from crick_spark.plans import QUERIES
 
-    for name, spec in QUERIES.items():
-        if spec.oracle is None:
-            assert spec.fn(spark, SF_SMALL).count() >= 0, name
+    rows_only = {n: s for n, s in QUERIES.items() if s.oracle is None}
+    missing = set(rows_only) - set(_ROWS_ONLY_MIN)
+    assert not missing, f"add a row-count floor for: {sorted(missing)}"
+    for name, spec in rows_only.items():
+        n = spec.fn(spark, SF_SMALL).count()
+        assert n >= _ROWS_ONLY_MIN[name], (name, n)
 
 
 def test_entry_smoke(spark):
