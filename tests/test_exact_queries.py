@@ -78,8 +78,8 @@ _ROWS_ONLY_MIN = {
     "knn_lsh_bulk": 50,  # k × 5-query panel
     "knn_ivf_ann": 10,
     "knn_graph_embeddings": 2500,  # one row per (vector, neighbor)
-    "bpe_train_documents": 5,  # learned merge table
-    "unigram_lm_vocab_documents": 20,  # pruned vocab
+    # bpe_train_documents / unigram_lm_vocab_documents left this list
+    # in r13 — both are oracle-backed now (VERDICT r12 #5).
 }
 
 
