@@ -20,6 +20,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Max query-panel rows whose per-query ADC LUTs may be built driver-side
+# (r13, VERDICT r12 #7).  Each LUT is m × ksub doubles (KBs), so 10k
+# queries is comfortably bounded; beyond it the caller should chunk.
+ANN_QUERY_PANEL_MAX = 10_000
+
 
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
@@ -1856,9 +1861,23 @@ def _ivfpq_scorers(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
         return pd.Series([row.astype(np.int32) for row in top])
 
+    # Loud cap (r13, VERDICT r12 #7 — the text.py limit(cap+1) loud-fail
+    # pattern): per-query LUTs are panel-bounded DRIVER state (m × ksub
+    # doubles each); an unbounded query panel must fail with a message,
+    # not an OOM.  limit(cap+1) both decides and feeds — one execution.
+    panel_rows = queries.select(query_id_col, vec_col).limit(
+        ANN_QUERY_PANEL_MAX + 1
+    ).collect()
+    if len(panel_rows) > ANN_QUERY_PANEL_MAX:
+        raise ValueError(
+            f"query panel exceeds ANN_QUERY_PANEL_MAX="
+            f"{ANN_QUERY_PANEL_MAX} rows; per-query ADC LUTs are "
+            "driver-side state, so bulk-search an unbounded panel in "
+            "chunks (or raise the cap deliberately)"
+        )
     luts = {}
     qdotc = {}
-    for r in queries.select(query_id_col, vec_col).collect():
+    for r in panel_rows:
         q = np.asarray(r[1], dtype=np.float64)
         nrm = np.linalg.norm(q)
         q = q / nrm if nrm > 0 else q

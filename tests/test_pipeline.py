@@ -3406,3 +3406,29 @@ def test_audio_fingerprint_empty_clip_flagged_not_fatal(spark):
     assert rows[1]["fp"] == sum(
         1 << (j - 1) for j in range(1, 7) if es[j] > es[j - 1]
     )
+
+
+def test_ivfpq_query_panel_loud_cap(spark, monkeypatch):
+    """r13 (VERDICT r12 #7): per-query ADC LUTs are driver-side state,
+    so a panel larger than ANN_QUERY_PANEL_MAX must fail with a clear
+    message (the text.py limit(cap+1) loud-fail pattern), while an
+    at-cap panel still resolves."""
+    import pytest
+
+    from crick_spark.pipeline import similarity as sim
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = sim.train_ivf_centroids(emb, k=4)
+    books = sim.train_pq_codebooks(emb, m=16, ksub=16)
+    panel = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    monkeypatch.setattr(sim, "ANN_QUERY_PANEL_MAX", 2)
+    with pytest.raises(ValueError, match="ANN_QUERY_PANEL_MAX"):
+        sim.ivfpq_bulk_topk(panel, emb, cents, books, k=3, nprobe=2)
+    monkeypatch.setattr(sim, "ANN_QUERY_PANEL_MAX", 3)
+    assert sim.ivfpq_bulk_topk(
+        panel, emb, cents, books, k=3, nprobe=2
+    ).count() == 9
