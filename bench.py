@@ -237,6 +237,11 @@ R4_EXTRA = [
     # round-12 second half: the composed multimodal funnel (three real
     # decode passes joined on doc_id; value oracle in the harness)
     "multimodal_curation_v1",
+    # round-13: incremental_audio_fingerprint_dedup is NOT here — like
+    # the quarantine sink (r11 policy) its time is dominated by the
+    # 4-fold store commit protocol, not operator cost; it stays
+    # value-oracled in the correctness sweep and batch≡incremental is
+    # pytest-pinned
 ]
 
 # The extra set has its own budget (r6 VERDICT item 8): extra_total grew

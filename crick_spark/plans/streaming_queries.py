@@ -1058,3 +1058,92 @@ def incremental_exact_dedup_frames(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "incremental_audio_fingerprint_dedup",
+    oracle="""
+WITH s AS (
+  SELECT d.doc_id AS d, t.i,
+         ((d.doc_id % 16) * 37 + t.i * (97 + 13 * (d.doc_id % 16)))
+           % 4001 - 2000 AS base,
+         1 + (d.doc_id // 16) % 3 AS gain
+  FROM documents d, range(160) t(i)),
+e AS (
+  SELECT d, t.i // 10 AS w,
+         sum(CAST(base * gain AS BIGINT) * CAST(base * gain AS BIGINT)) AS en
+  FROM s t GROUP BY d, t.i // 10),
+b AS (
+  SELECT d, w, en, lag(en) OVER (PARTITION BY d ORDER BY w) AS pen FROM e),
+fps AS (
+  SELECT d, CAST(sum(CASE WHEN w >= 1 AND en > pen
+                          THEN (CAST(1 AS BIGINT) << (w - 1))
+                          ELSE 0 END) AS BIGINT) AS fp
+  FROM b GROUP BY d),
+bh AS (SELECT CAST(d % 3 AS INT) AS batch_key, fp FROM fps GROUP BY 1, 2),
+fb AS (SELECT fp, min(batch_key) AS fbk FROM bh GROUP BY fp),
+nc AS (SELECT CAST(d % 3 AS INT) AS batch_key, count(*) AS n_clips
+       FROM fps GROUP BY 1)
+SELECT bh.batch_key, any_value(nc.n_clips) AS n_clips,
+       count(*) AS n_batch_fps,
+       CAST(sum(CASE WHEN fb.fbk = bh.batch_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_fps
+FROM bh JOIN fb USING (fp) JOIN nc ON nc.batch_key = bh.batch_key
+GROUP BY bh.batch_key
+""",
+    doc="Incremental AUDIO perceptual dedup (r13, VERDICT r12 #8) - the "
+    "audio twin of incremental_exact_dedup_frames, closing the last "
+    "batch-only dedup modality: energy-contour fingerprints "
+    "(pipeline/multimodal.py:audio_fingerprint, gain-invariant by "
+    "construction) stream in 3 deterministic micro-batches (doc_id%3) "
+    "folded through the SAME partitioned ExactDedupStore commit "
+    "protocol - anti-join against only touched (bucket, batch<id) "
+    "partitions, dynamic overwrite, then batch 1 REPLAYED (the crash-"
+    "recovery path) which must leave the store byte-identical.  Output "
+    "per batch: clip count, within-batch distinct fingerprints, and "
+    "first-seen fingerprint count - DuckDB reproduces all three from "
+    "the WAV generator's integer arithmetic with min-batch attribution, "
+    "so an ordering bug, replay leak, or bucket-pruning mistake hash-"
+    "mismatches.  batch==incremental equivalence is pytest-pinned "
+    "(tests/test_streaming.py).",
+)
+def incremental_audio_fingerprint_dedup(spark, sf_dir):
+    import shutil
+
+    from crick_spark.pipeline.multimodal import (
+        attach_wav_dup_media,
+        audio_fingerprint,
+        real_audio_decoder,
+    )
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_dup_media(docs)
+    fps = audio_fingerprint(
+        media, n_windows=16, decoder=real_audio_decoder
+    ).withColumn("batch_key", (F.col("doc_id") % 3).cast("int"))
+    fps = fps.localCheckpoint(eager=True)  # one decode pass, 4 folds
+
+    work = run_tmpdir("crick_audio_dedup_")
+    store = ExactDedupStore(f"{work}/store", key_col="fp", n_buckets=8)
+    for b in (0, 1, 2, 1):  # ascending folds + replay of batch 1
+        store.fold(fps.where(F.col("batch_key") == (b % 3)), b % 3)
+
+    per_batch = fps.groupBy("batch_key").agg(
+        F.count("*").alias("n_clips"),
+        F.countDistinct("fp").alias("n_batch_fps"),
+    )
+    news = (
+        store.keys(spark)
+        .groupBy(F.col("first_batch").alias("batch_key"))
+        .agg(F.count("*").alias("n_new_fps"))
+    )
+    out = per_batch.join(news, "batch_key", "left").select(
+        "batch_key",
+        "n_clips",
+        "n_batch_fps",
+        F.coalesce("n_new_fps", F.lit(0)).alias("n_new_fps"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1255,3 +1255,41 @@ def test_exact_dedup_store_fold_prunes_to_touched_buckets(spark, tmp_path):
 
     stats = store.fold(one, 1)
     assert stats == {"batch_id": 1, "n_keys": 1, "n_new": 0}
+
+
+def test_incremental_audio_fp_dedup_equals_batch(spark, tmp_path):
+    """r13 (VERDICT r12 #8): folding audio fingerprints batch-wise
+    through ExactDedupStore (with a replay) must admit exactly the
+    batch-computed distinct fingerprint set, with first-batch
+    attribution matching the min batch_key per fingerprint."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.multimodal import (
+        attach_wav_dup_media,
+        audio_fingerprint,
+        real_audio_decoder,
+    )
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    fps = audio_fingerprint(
+        attach_wav_dup_media(docs), n_windows=16, decoder=real_audio_decoder
+    ).withColumn("batch_key", (F.col("doc_id") % 3).cast("int"))
+    fps = fps.localCheckpoint(eager=True)
+
+    store = ExactDedupStore(str(tmp_path / "store"), key_col="fp", n_buckets=8)
+    for b in (0, 1, 2, 1, 2):  # folds + replays of batches 1 and 2
+        store.fold(fps.where(F.col("batch_key") == (b % 3)), b % 3)
+
+    got = {
+        (r["key"], r["first_batch"])
+        for r in store.keys(spark).collect()
+    }
+    want = {
+        (r["fp"], r["fb"])
+        for r in fps.groupBy("fp")
+        .agg(F.min("batch_key").alias("fb"))
+        .collect()
+    }
+    assert got == want
