@@ -638,6 +638,95 @@ def approx_triangle_total(
     )
 
 
+def triangle_counts_capped(
+    edges: DataFrame,
+    d_max: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree-capped EXACT triangle counting (r13, VERDICT r12 #6) —
+    the second scale lever beside DOULION's edge sampling
+    (:func:`approx_triangle_total`): instead of thinning edges
+    everywhere, bound only the quantity that makes the exact form's
+    cost curve bend, the worst hub.  Every node keeps at most ``d_max``
+    incident edges — chosen by the content-stable md5 coin on the
+    normalized "a#b" key (same edge, same rank, any engine; ties by
+    neighbor id), an edge surviving only if it ranks ≤ d_max at BOTH
+    endpoints — and the triangle count on the capped graph is EXACT,
+    reported beside the cap's bite.  This is the estimator-free
+    trade: a hub's local count is truncated (deterministically, not
+    by a coin the caller must reason about), every triangle among
+    sub-cap nodes is exact, and wedge work is ≤ m·d_max instead of
+    the uncapped O(m^1.5) worst case.
+
+    Plan: explode each edge to both endpoints' incident lists, ONE
+    row_number window partitioned by node (the hub's incident-edge
+    sort is one task of d rows — bounded by the true max degree once,
+    never quadratic), then keep edges whose WORST endpoint rank is
+    ≤ d_max — each node's kept edges carry distinct ranks within its
+    own list, so max capped degree ≤ d_max genuinely — and run the
+    degree-ordered wedge join on the capped graph.
+
+    Returns one row: ``(d_max, n_edges, n_capped_edges,
+    max_capped_degree, t_capped)`` — fully SQL-oracle-able."""
+    from pyspark.sql import Window
+
+    from crick_spark.pipeline.sampling import md5_uniform
+
+    d = int(d_max)
+    if d < 1:
+        raise ValueError(f"d_max must be >= 1, got {d}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn(
+            "coin", md5_uniform(F.concat_ws("#", F.col("a"), F.col("b")))
+        )
+        .localCheckpoint(eager=True)  # one edge build: ranks + census
+    )
+    inc = e.select(F.col("a").alias("n"), "a", "b", "coin").unionAll(
+        e.select(F.col("b").alias("n"), "a", "b", "coin")
+    )
+    wn = Window.partitionBy("n").orderBy("coin", "a", "b")
+    capped = (
+        inc.withColumn("r", F.row_number().over(wn))
+        .groupBy("a", "b")
+        .agg(F.max("r").alias("worst"))
+        .where(F.col("worst") <= d)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # degree census + wedge join reuse
+    )
+    t = triangle_counts(capped, src_col="a", dst_col="b").agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("long")
+        .alias("t_capped")
+    )
+    deg = (
+        capped.select(F.col("a").alias("n"))
+        .unionAll(capped.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+        .agg(F.coalesce(F.max("dg"), F.lit(0)).alias("max_capped_degree"))
+    )
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(F.broadcast(capped.agg(F.count("*").alias("n_capped_edges"))))
+        .crossJoin(F.broadcast(deg))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.lit(d).cast("int").alias("d_max"),
+            "n_edges",
+            "n_capped_edges",
+            F.col("max_capped_degree").cast("long"),
+            "t_capped",
+        )
+    )
+
+
 def coreness(
     edges: DataFrame,
     rounds: int = 3,

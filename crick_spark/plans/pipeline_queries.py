@@ -4819,6 +4819,65 @@ def approx_triangle_tolerance_copurchase(spark, sf_dir):
 
 
 @register(
+    "triangle_capped_copurchase",
+    oracle="""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a, b,
+         (('0x' || substr(md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)),
+           1, 6))::BIGINT) / 16777216.0 AS coin
+  FROM (SELECT DISTINCT x.p AS a, y.p AS b
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)),
+inc AS (SELECT a AS n, a, b, coin FROM e
+        UNION ALL SELECT b AS n, a, b, coin FROM e),
+cp AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b,
+           row_number() OVER (PARTITION BY n ORDER BY coin, a, b) AS r
+    FROM inc)
+  GROUP BY a, b HAVING max(r) <= 32),
+dg AS (SELECT max(deg) AS md FROM (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM cp UNION ALL SELECT b FROM cp) GROUP BY n)),
+tris AS (SELECT count(*) AS t FROM cp e1
+         JOIN cp e2 ON e1.b = e2.a
+         JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(32 AS INTEGER) AS d_max,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM cp) AS BIGINT) AS n_capped_edges,
+       CAST(coalesce((SELECT md FROM dg), 0) AS BIGINT) AS max_capped_degree,
+       CAST((SELECT t FROM tris) AS BIGINT) AS t_capped
+""",
+    doc="Degree-capped EXACT triangle counting (r13, VERDICT r12 #6) - "
+    "the estimator-free scale lever beside DOULION: every node keeps "
+    "at most d_max=32 incident co-purchase edges, chosen by the "
+    "content-stable md5 coin on the normalized a#b key (ties by "
+    "neighbor id; an edge survives only if it ranks <= d_max at BOTH "
+    "endpoints), and the triangle count on the capped graph is exact - "
+    "wedge work bounded by m*d_max instead of the uncapped hub "
+    "quadratic (the SCALE 8.7x row's fix; pipeline/graph.py:"
+    "triangle_counts_capped).  FULLY value-oracled: DuckDB reproduces "
+    "the coin, both row_number ranks, the surviving edge set, its max "
+    "degree, and the exact capped count via a direct 3-way self-join.",
+)
+def triangle_capped_copurchase(spark, sf_dir):
+    from crick_spark.pipeline.graph import triangle_counts_capped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        op.alias("x")
+        .join(op.alias("y"), "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts_capped(pairs, d_max=32)
+
+
+@register(
     "png_decode_features_documents",
     oracle="""
 SELECT d.doc_id,

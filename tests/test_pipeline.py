@@ -3432,3 +3432,66 @@ def test_ivfpq_query_panel_loud_cap(spark, monkeypatch):
     assert sim.ivfpq_bulk_topk(
         panel, emb, cents, books, k=3, nprobe=2
     ).count() == 9
+
+
+def test_triangle_counts_capped_bounds_and_exactness(spark):
+    """r13 (VERDICT r12 #6): degree-capped exact triangles — the capped
+    graph's max degree is genuinely <= d_max (both-endpoint worst-rank
+    rule), t_capped equals an itertools brute force on an independently
+    recomputed capped edge set (md5 coin + per-node ranks), and with
+    d_max >= true max degree the cap is a no-op (t_capped == exact)."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    from crick_spark.pipeline.graph import triangle_counts_capped
+
+    rng = np.random.default_rng(23)
+    n = 30
+    und = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(260, 2))
+            if a != b
+        }
+    )
+    # plant a hub: node 0 connected to everything
+    und = sorted(set(und) | {(0, i) for i in range(1, n)})
+    edges = spark.createDataFrame(und, "src long, dst long")
+
+    def coin(a, b):
+        return int(hashlib.md5(f"{a}#{b}".encode()).hexdigest()[:6], 16) / (
+            1 << 24
+        )
+
+    def capped_set(d):
+        inc = {}
+        for a, b in und:
+            inc.setdefault(a, []).append((coin(a, b), a, b))
+            inc.setdefault(b, []).append((coin(a, b), a, b))
+        rank = {}
+        for node, lst in inc.items():
+            for i, (_, a, b) in enumerate(sorted(lst), start=1):
+                rank[(a, b)] = max(rank.get((a, b), 0), i)
+        return {e for e, r in rank.items() if r <= d}
+
+    def brute(es):
+        nodes = sorted({x for e in es for x in e})
+        return sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if {(a, b), (a, c), (b, c)} <= es
+        )
+
+    for d in (4, 8):
+        row = triangle_counts_capped(edges, d_max=d).collect()[0]
+        want_edges = capped_set(d)
+        assert row["max_capped_degree"] <= d
+        assert row["n_edges"] == len(und)
+        assert row["n_capped_edges"] == len(want_edges)
+        assert row["t_capped"] == brute(want_edges)
+
+    full = triangle_counts_capped(edges, d_max=n + 10).collect()[0]
+    assert full["n_capped_edges"] == len(und)
+    assert full["t_capped"] == brute(set(und))

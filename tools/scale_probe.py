@@ -98,6 +98,8 @@ PROBES = [
     ("approx_triangle_count_copurchase", "lineitem"),  # DOULION sampled wedges
     ("png_decode_features_documents", "documents"),  # zlib inflate + unfilter
     ("audio_fingerprint_dedup_census", "documents"),  # energy-contour dedup
+    # round-13
+    ("triangle_capped_copurchase", "lineitem"),  # d_max-capped exact wedges
 ]
 
 
