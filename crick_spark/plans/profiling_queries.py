@@ -517,11 +517,17 @@ def curation_pipeline_v3(spark, sf_dir):
         .select("doc_id", "text", "lang")
         .localCheckpoint(eager=True)
     )
-    buckets = perplexity_buckets(cleaned)
+    # r13 (VERDICT r12 #4): buckets feeds the pool filter AND the final
+    # rollup, and pool feeds BOTH dsir token censuses plus the scoring
+    # join — materialize each once (like cleaned above) instead of
+    # re-running the KN model + scoring per consumer; plan width drops
+    # from ~250 exchanges to the funnel's real shape
+    buckets = perplexity_buckets(cleaned).localCheckpoint(eager=True)
     pool = (
         buckets.where(F.col("bucket") != "tail")
         .select("doc_id")
         .join(cleaned, "doc_id")
+        .localCheckpoint(eager=True)
     )
     target = pool.where(F.col("lang") == "en")
     sel = dsir_resample(pool, target, k=100).select(
