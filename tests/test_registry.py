@@ -44,23 +44,43 @@ def test_gate_window_family_coverage():
     # (batch twin events_hourly_rollup keeps tumbling in-window) to the
     # session-window streaming rollup (merging state + watermark)
     assert "streaming_session_rollup" in w
-    assert {"spacesaving_persist_roundtrip", "incremental_sketch_merge"} <= w
+    # r13 rotation (VERDICT r12 #1): spacesaving_persist_roundtrip out —
+    # sketch persistence stays in-window through incremental_sketch_merge
+    # (persisted t-digest+HLL state folded with a delta batch)
+    assert "incremental_sketch_merge" in w
     assert {
         "dsir_select_hashed_documents",
         "knn_graph_recall_panel",
         "repeated_span_removal_documents",
     } <= w
     # r10 rotation: the billion-vector index paths are gate-visible.
-    # r11: ivf_layout_incremental rotated out within the ANN family
-    # (VERDICT r10 #8) for the cluster-structure calibration gate; the
-    # multimodal real-decode family takes its first slot in place of the
-    # grouped moments twin.
+    # r13: clustered_embeddings_structure rotated out — the assignment
+    # kernel stays in-window through knn_ivfpq_layout_prune and
+    # prototype_pruning_embeddings.
     assert {
         "knn_ivfpq_layout_prune",
-        "clustered_embeddings_structure",
+        "prototype_pruning_embeddings",
         "streaming_ann_index_maintenance",
     } <= w
-    assert "video_decode_features_documents" in w
+    # r13: the multimodal real-decode family rotated WITHIN — video
+    # decode stays driver-visible through multimodal_curation_v1 (its
+    # keep decision conjoins the same Y4M decode with audio + text),
+    # PNG takes the compressed-image slot, and the perceptual-dedup
+    # census slot moved to the audio twin.
+    assert {
+        "png_decode_features_documents",
+        "multimodal_curation_v1",
+        "audio_fingerprint_dedup_census",
+    } <= w
+    # r13: the graph family's gate slots are the production scale forms
+    # (DOULION pair + coreness + PPR) — exact triangles and kcore peel
+    # stay oracle-checked outside the window.
+    assert {
+        "approx_triangle_count_copurchase",
+        "approx_triangle_tolerance_copurchase",
+        "coreness_copurchase",
+        "personalized_pagerank_building",
+    } <= w
 
 
 def test_bench_previous_times_scavenges_truncated_capture(tmp_path, monkeypatch):
