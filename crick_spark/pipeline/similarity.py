@@ -1728,6 +1728,100 @@ def ivf_layout_append(
     }
 
 
+def ivf_layout_delete(
+    spark,
+    delete_ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Right-to-be-forgotten over the IVF(-PQ) layout (r13): remove the
+    listed ids from a ``write_ivf_layout``/``write_ivfpq_layout``
+    directory by rewriting ONLY the cluster partitions that actually
+    contain them — erasure compliance is a per-partition surgery, never
+    a corpus re-layout, exactly as ``ivf_layout_append`` made ingest a
+    per-partition append.
+
+    Mechanics: one column-pruned scan of (id, cluster) joined against
+    the distinct delete set finds the touched clusters (≤ nlist ints to
+    the driver — bounded metadata, the probe-pruning convention); the
+    touched partitions' survivors are anti-joined, materialized (the
+    read-side lineage must break before overwriting its own input), and
+    written back via dynamic partition overwrite.  Untouched clusters'
+    files are never opened for rewrite (pytest-pinned byte-identical);
+    replays are idempotent — a second delete of the same ids finds no
+    resident matches and writes nothing.  All resident columns
+    (including PQ ``codes``) pass through unchanged, so readers see the
+    surviving corpus immediately with the same schema.
+
+    Returns ``{"n_deleted", "clusters_touched", "n_rewritten_rows"}``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        resident = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            raise ValueError(
+                f"ivf_layout_delete requires an existing layout at "
+                f"{path!r} — build it with write_ivf_layout/"
+                "write_ivfpq_layout first"
+            ) from exc
+        raise
+    dele = (
+        delete_ids.select(F.col(id_col))
+        .where(F.col(id_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # one delete-set build: probe + anti
+    )
+    # touched-cluster probe: reads only (id, partition value) — column
+    # pruning keeps this scan narrow at any layout width
+    hits = resident.select(id_col, "ivf_cluster").join(dele, id_col)
+    probe = hits.groupBy("ivf_cluster").agg(F.count("*").alias("n")).collect()
+    touched = sorted(int(r["ivf_cluster"]) for r in probe)
+    n_deleted = int(sum(r["n"] for r in probe))
+    if not touched:
+        return {
+            "n_deleted": 0,
+            "clusters_touched": [],
+            "n_rewritten_rows": 0,
+        }
+    survivors = (
+        resident.where(F.col("ivf_cluster").isin(touched))
+        .join(dele, id_col, "left_anti")
+        .localCheckpoint(eager=True)  # break lineage: we overwrite our input
+    )
+    n_rewritten = survivors.count()
+    alive = {
+        int(r["ivf_cluster"])
+        for r in survivors.select("ivf_cluster").distinct().collect()
+    }
+    if alive:
+        (
+            survivors.repartition(len(alive), F.col("ivf_cluster"))
+            .write.partitionBy("ivf_cluster")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    # dynamic overwrite only replaces partitions it WRITES — a cluster
+    # whose every row was deleted would keep its stale files.  Remove
+    # those partition dirs through the Hadoop FS API (object-store
+    # safe, the streaming stores' convention).
+    emptied = [c for c in touched if c not in alive]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for c in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/ivf_cluster={c}")
+            fs = p.getFileSystem(hconf)
+            if fs.exists(p):
+                fs.delete(p, True)
+    return {
+        "n_deleted": n_deleted,
+        "clusters_touched": touched,
+        "n_rewritten_rows": int(n_rewritten),
+    }
+
+
 def ivfpq_bulk_topk(
     queries: DataFrame,
     corpus: DataFrame,

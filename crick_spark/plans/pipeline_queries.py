@@ -5273,3 +5273,80 @@ def multimodal_curation_v1(spark, sf_dir):
         .cast("long")
         .alias("min_kept_doc"),
     )
+
+
+@register(
+    "ivf_layout_delete_rtbf",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(count(*) - sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after,
+       TRUE AS deleted_absent,
+       TRUE AS survivors_exact,
+       TRUE AS replay_noop
+FROM embeddings
+""",
+    doc="Right-to-be-forgotten over the IVF index layout (r13, "
+    "pipeline/similarity.py:ivf_layout_delete): erasure compliance as "
+    "per-partition surgery — the delete set's touched clusters are "
+    "found by one column-pruned (id, cluster) probe, ONLY those "
+    "partitions are rewritten via anti-join + dynamic overwrite "
+    "(fully-emptied cluster dirs removed through the Hadoop FS API), "
+    "untouched files never opened (pytest pins them byte-identical, "
+    "plus reader equivalence vs an in-memory search of the surviving "
+    "corpus).  Hash-matched: before/deleted/after counts reproduce in "
+    "DuckDB from the vec_id%7 predicate, deleted ids are absent, the "
+    "surviving id set equals before-minus-deleted exactly (anti-join "
+    "emptiness both directions), and a replayed delete is a no-op.  "
+    "At 100 TB the cost scales with the touched partitions, never the "
+    "resident corpus.",
+)
+def ivf_layout_delete_rtbf(spark, sf_dir):
+    import shutil
+
+    from crick_spark.pipeline.similarity import (
+        ivf_layout_delete,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_tmpdir("crick_rtbf_layout_")
+    path = f"{work}/layout"
+    cents = train_ivf_centroids(emb, k=8)
+    write_ivf_layout(emb, cents, path)
+    dele = emb.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    stats = ivf_layout_delete(spark, dele, path)
+    replay = ivf_layout_delete(spark, dele, path)
+
+    after = spark.read.option("basePath", path).parquet(path).select("vec_id")
+    n_after = after.count()
+    n_leaked = after.join(dele, "vec_id").count()
+    # survivors_exact: after == before \ delete, both directions
+    expected = emb.select("vec_id").join(dele, "vec_id", "left_anti")
+    extra = after.join(expected, "vec_id", "left_anti").count()
+    missing = expected.join(after, "vec_id", "left_anti").count()
+    out = spark.createDataFrame(
+        [
+            (
+                emb.count(),
+                stats["n_deleted"],
+                n_after,
+                n_leaked == 0,
+                extra == 0 and missing == 0,
+                replay
+                == {
+                    "n_deleted": 0,
+                    "clusters_touched": [],
+                    "n_rewritten_rows": 0,
+                },
+            )
+        ],
+        "n_before long, n_deleted long, n_after long, "
+        "deleted_absent boolean, survivors_exact boolean, "
+        "replay_noop boolean",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -1147,3 +1147,65 @@ def incremental_audio_fingerprint_dedup(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "dedup_store_delete_rtbf",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(user_id % 2 AS INT) AS batch_key,
+       CAST(count(*) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN user_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(sum(CASE WHEN user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving
+FROM u GROUP BY user_id % 2
+""",
+    doc="Right-to-be-forgotten over the incremental dedup store (r13, "
+    "streaming/exact_dedup.py:ExactDedupStore.delete — the erasure "
+    "twin of fold, same (bucket, batch) commit protocol): user_id keys "
+    "fold in 2 deterministic micro-batches (user_id%2), then every "
+    "user_id%11==0 key is erased — only the touched partitions "
+    "rewritten, fully-emptied dirs removed, survivors keeping their "
+    "original first-batch attribution (a deleted key that re-folds "
+    "later is attributed to the NEW batch — the store forgets, which "
+    "is the compliance semantic; pytest pins it).  Hash-matched: "
+    "per-batch admitted/deleted/surviving counts all reproduce in "
+    "DuckDB from the modulus arithmetic over the distinct user set.",
+)
+def dedup_store_delete_rtbf(spark, sf_dir):
+    import shutil
+
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .withColumn("batch_key", (F.col("user_id") % 2).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    work = run_tmpdir("crick_rtbf_store_")
+    store = ExactDedupStore(f"{work}/store", key_col="user_id", n_buckets=8)
+    for b in (0, 1):
+        store.fold(users.where(F.col("batch_key") == b), b)
+    store.delete(users.where(F.col("user_id") % 11 == 0))
+
+    admitted = users.groupBy("batch_key").agg(
+        F.count("*").alias("n_admitted"),
+        F.sum((F.col("user_id") % 11 == 0).cast("long")).alias("n_deleted"),
+    )
+    surviving = (
+        store.keys(spark)
+        .groupBy(F.col("first_batch").alias("batch_key"))
+        .agg(F.count("*").alias("n_surviving"))
+    )
+    out = admitted.join(surviving, "batch_key", "left").select(
+        "batch_key",
+        "n_admitted",
+        "n_deleted",
+        F.coalesce("n_surviving", F.lit(0)).alias("n_surviving"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

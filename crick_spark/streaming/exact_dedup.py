@@ -110,6 +110,75 @@ class ExactDedupStore:
         )
         return {"batch_id": bid, "n_keys": n_keys, "n_new": n_new}
 
+    def delete(self, keys_df: DataFrame) -> dict:
+        """Right-to-be-forgotten over the store (r13): remove the listed
+        keys by rewriting ONLY the (bucket, batch) partitions that
+        contain them — the erasure twin of ``fold``, same commit
+        protocol.  Semantics: a deleted key loses its first-batch
+        attribution entirely; if the same content is folded again later
+        it is attributed to the re-ingesting batch (the store FORGETS,
+        which is exactly what erasure compliance requires).  Idempotent:
+        a replay finds no resident matches and writes nothing.
+
+        Returns ``{"n_deleted", "partitions_touched"}``."""
+        spark = keys_df.sparkSession
+        keys = (
+            keys_df.select(F.col(self.key_col).alias("key"))
+            .where(F.col("key").isNotNull())
+            .distinct()
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("key"), F.lit(self.n_buckets))
+            )
+            .localCheckpoint(eager=True)
+        )
+        resident = self._resident(spark, before_batch=1 << 62)
+        if resident is None:
+            return {"n_deleted": 0, "partitions_touched": []}
+        hits = resident.join(keys, ["bucket", "key"]).select("bucket", "batch")
+        probe = hits.groupBy("bucket", "batch").agg(F.count("*").alias("n")).collect()
+        touched = sorted((int(r["bucket"]), int(r["batch"])) for r in probe)
+        n_deleted = int(sum(r["n"] for r in probe))
+        if not touched:
+            return {"n_deleted": 0, "partitions_touched": []}
+        from functools import reduce
+
+        in_touched = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("bucket") == bkt) & (F.col("batch") == ba)
+                for bkt, ba in touched
+            ],
+        )
+        survivors = (
+            resident.where(in_touched)
+            .join(keys.select("bucket", "key"), ["bucket", "key"], "left_anti")
+            .localCheckpoint(eager=True)  # break lineage before overwrite
+        )
+        alive = {
+            (int(r["bucket"]), int(r["batch"]))
+            for r in survivors.select("bucket", "batch").distinct().collect()
+        }
+        if alive:
+            (
+                survivors.repartition("bucket")
+                .write.partitionBy("bucket", "batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.path)
+            )
+        emptied = [t for t in touched if t not in alive]
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for b, ba in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/bucket={b}/batch={ba}"
+                )
+                fs = p.getFileSystem(hconf)
+                if fs.exists(p):
+                    fs.delete(p, True)
+        return {"n_deleted": n_deleted, "partitions_touched": touched}
+
     def keys(self, spark: SparkSession) -> DataFrame:
         """All keys ever admitted, with first-batch attribution:
         ``(key, first_batch)``.  Each key lives in exactly one batch

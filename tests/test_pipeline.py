@@ -3495,3 +3495,119 @@ def test_triangle_counts_capped_bounds_and_exactness(spark):
     full = triangle_counts_capped(edges, d_max=n + 10).collect()[0]
     assert full["n_capped_edges"] == len(und)
     assert full["t_capped"] == brute(set(und))
+
+
+def test_ivf_layout_delete_rtbf(spark, tmp_path):
+    """r13: right-to-be-forgotten over the IVF layout — deleted ids
+    vanish, survivors are untouched row-for-row, untouched clusters'
+    files are byte-identical, a fully-emptied cluster's partition dir
+    is removed, the search path equals an in-memory search over the
+    surviving corpus, and a replay is an idempotent no-op."""
+    import glob
+    import hashlib
+
+    from crick_spark.pipeline.similarity import (
+        ivf_bulk_topk,
+        ivf_bulk_topk_from_layout,
+        ivf_layout_delete,
+        train_ivf_centroids,
+        write_ivf_layout,
+    )
+    from crick_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_ivf_centroids(emb, k=8)
+    path = str(tmp_path / "layout")
+    write_ivf_layout(emb, cents, path)
+    before = {(r["vec_id"],) for r in spark.read.parquet(path).collect()}
+
+    def file_hashes():
+        out = {}
+        for f in glob.glob(f"{path}/ivf_cluster=*/*.parquet"):
+            out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    # delete one whole cluster plus a scattered subset
+    lay = spark.read.option("basePath", path).parquet(path)
+    victim_cluster = lay.groupBy("ivf_cluster").count().orderBy(
+        "ivf_cluster"
+    ).collect()[0]["ivf_cluster"]
+    whole = {r["vec_id"] for r in lay.where(
+        F.col("ivf_cluster") == victim_cluster
+    ).collect()}
+    scattered = {r["vec_id"] for r in emb.where(
+        F.col("vec_id") % 17 == 3
+    ).collect()}
+    dele = sorted(whole | scattered)
+    pre_hashes = file_hashes()
+    ddf = spark.createDataFrame([(i,) for i in dele], "vec_id long")
+    stats = ivf_layout_delete(spark, ddf, path)
+    assert stats["n_deleted"] == len(set(dele) & {v for (v,) in before})
+
+    after_df = spark.read.option("basePath", path).parquet(path)
+    after = {r["vec_id"] for r in after_df.collect()}
+    assert after == {v for (v,) in before} - set(dele)
+    # fully-emptied cluster dir removed
+    assert not glob.glob(f"{path}/ivf_cluster={victim_cluster}/*")
+    # untouched clusters byte-identical
+    post_hashes = file_hashes()
+    touched_dirs = {f"ivf_cluster={c}" for c in stats["clusters_touched"]}
+    for f, h in pre_hashes.items():
+        if not any(t in f for t in touched_dirs):
+            assert post_hashes.get(f) == h, f
+    # reader equivalence over the surviving corpus
+    panel = emb.where(~F.col("vec_id").isin(dele)).orderBy("vec_id").limit(
+        3
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    mem = ivf_bulk_topk(
+        panel, emb.where(~F.col("vec_id").isin(dele)), cents, k=5, nprobe=3
+    )
+    layr = ivf_bulk_topk_from_layout(spark, panel, path, cents, k=5, nprobe=3)
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, layr.collect())
+    )
+    # idempotent replay
+    stats2 = ivf_layout_delete(spark, ddf, path)
+    assert stats2 == {
+        "n_deleted": 0, "clusters_touched": [], "n_rewritten_rows": 0,
+    }
+    assert spark.read.parquet(path).count() == len(after)
+
+
+def test_exact_dedup_store_delete_rtbf(spark, tmp_path):
+    """r13: ExactDedupStore.delete removes keys from only the touched
+    (bucket, batch) partitions, keeps every other key's first-batch
+    attribution, removes fully-emptied partition dirs, is idempotent,
+    and a re-fold of deleted content attributes it to the NEW batch
+    (the store forgets — the erasure semantic)."""
+    from crick_spark.streaming.exact_dedup import ExactDedupStore
+
+    store = ExactDedupStore(str(tmp_path / "store"), key_col="k", n_buckets=4)
+    b0 = spark.createDataFrame([(f"k{i}",) for i in range(40)], "k string")
+    b1 = spark.createDataFrame(
+        [(f"k{i}",) for i in range(20, 60)], "k string"
+    )
+    store.fold(b0, 0)
+    store.fold(b1, 1)
+    want = {(f"k{i}", 0) for i in range(40)} | {
+        (f"k{i}", 1) for i in range(40, 60)
+    }
+    got = {(r["key"], r["first_batch"]) for r in store.keys(spark).collect()}
+    assert got == want
+
+    dele = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 60, 3)], "k string"
+    )
+    stats = store.delete(dele)
+    assert stats["n_deleted"] == 20
+    got2 = {(r["key"], r["first_batch"]) for r in store.keys(spark).collect()}
+    assert got2 == {(k, b) for k, b in want if int(k[1:]) % 3 != 0}
+    # idempotent replay
+    assert store.delete(dele) == {"n_deleted": 0, "partitions_touched": []}
+    # re-fold of erased content: attributed to the NEW batch
+    refold = spark.createDataFrame([("k0",), ("k3",), ("k41",)], "k string")
+    store.fold(refold, 2)
+    got3 = {(r["key"], r["first_batch"]) for r in store.keys(spark).collect()}
+    assert ("k0", 2) in got3 and ("k3", 2) in got3
+    assert ("k41", 1) in got3  # never deleted: keeps original attribution
