@@ -3611,3 +3611,71 @@ def test_exact_dedup_store_delete_rtbf(spark, tmp_path):
     got3 = {(r["key"], r["first_batch"]) for r in store.keys(spark).collect()}
     assert ("k0", 2) in got3 and ("k3", 2) in got3
     assert ("k41", 1) in got3  # never deleted: keeps original attribution
+
+
+def test_bpe_unrolled_oracle_property_vs_python():
+    """r13: the DuckDB unrolled-CTE BPE oracle (_bpe_unrolled_oracle's
+    double-space replace trick) must equal a clean pure-Python
+    sequential greedy trainer on arbitrary corpora — overlapping pairs
+    ('aaaa'), early pair exhaustion, ties, and multi-byte codepoints
+    included.  Spark ≡ sequential is pinned elsewhere; this closes
+    oracle ≡ sequential on shapes the fixtures don't have."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crick_spark.plans.pipeline_queries import _bpe_unrolled_oracle
+
+    word = st.text(alphabet=["a", "b", "c", "é"], min_size=1, max_size=7)
+    corpus = st.lists(word, min_size=3, max_size=25)
+
+    def python_bpe(words, n_merges):
+        freq = {}
+        for w in words:
+            if len(w) >= 2:
+                freq[w] = freq.get(w, 0) + 1
+        tbl = {w: list(w) for w in freq}
+        merges = []
+        for _ in range(n_merges):
+            pc = {}
+            for w, syms in tbl.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] = (
+                        pc.get((syms[i], syms[i + 1]), 0) + freq[w]
+                    )
+            if not pc:
+                break
+            (l, r), f = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((l, r, f))
+            for w, syms in tbl.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                tbl[w] = out
+        return merges
+
+    @settings(max_examples=40, deadline=None)
+    @given(ws=corpus)
+    def check(ws):
+        want = python_bpe(ws, 3)
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(ws)), "text": ws}),
+        )
+        got = [
+            (r[1], r[2], int(r[3]))
+            for r in con.sql(_bpe_unrolled_oracle(3)).fetchall()
+        ]
+        con.close()
+        assert got == want, (ws, got, want)
+
+    check()
