@@ -2558,7 +2558,8 @@ def _bpe_unrolled_oracle(n_merges: int) -> str:
     (_accept_merge_batch; pinned by bpe_train_batched_documents)."""
     parts = [
         """WITH w0 AS MATERIALIZED (
-  SELECT '  ' || regexp_replace(w.word, '(.)', '\\1  ', 'g') AS st,
+  SELECT w.word AS word,
+         '  ' || regexp_replace(w.word, '(.)', '\\1  ', 'g') AS st,
          count(*) AS wfreq
   FROM documents d,
        unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS w(word)
@@ -2575,7 +2576,8 @@ def _bpe_unrolled_oracle(n_merges: int) -> str:
   GROUP BY 1, 2
   ORDER BY freq DESC, l ASC, r ASC LIMIT 1
 ), w{k} AS MATERIALIZED (
-  SELECT replace(w.st, ' ' || b.l || '  ' || b.r || ' ',
+  SELECT w.word,
+         replace(w.st, ' ' || b.l || '  ' || b.r || ' ',
                  ' ' || b.l || b.r || ' ') AS st, w.wfreq
   FROM w{k-1} w, b{k} b
 )""")
@@ -2586,6 +2588,21 @@ def _bpe_unrolled_oracle(n_merges: int) -> str:
     )
     parts.append("\nSELECT * FROM (\n" + sel + "\n) ORDER BY step")
     return "".join(parts)
+
+
+def _bpe_wordtable_cte(n_merges: int) -> str:
+    """The same unrolled chain as :func:`_bpe_unrolled_oracle` but
+    WITHOUT the final SELECT — callers append their own query over
+    ``w{n_merges}``, whose rows are (word, st, wfreq) with ``st`` the
+    word's symbol string AFTER all ``n_merges`` sequential merges (so
+    ``len(list_filter(string_split(st, ' '), x -> x <> ''))`` is the
+    word's exact token count under the trained tokenizer).  Caveat: a
+    corpus that exhausts its pairs before round n collapses w{n} to
+    empty via the 1-row cross join — the fixtures train ≥ 12 merges at
+    every SF, and the encode query's n_docs row count would loudly
+    mismatch if this ever tripped."""
+    full = _bpe_unrolled_oracle(n_merges)
+    return full[: full.rindex("\nSELECT * FROM (")]
 
 
 @register(
@@ -3431,28 +3448,45 @@ def bigram_lm_scores_documents(spark, sf_dir):
 
 @register(
     "bpe_encode_documents",
-    oracle=r"""
-WITH wrd AS (
+    oracle=_bpe_wordtable_cte(8)
+    + r""", wt AS (
+  SELECT word,
+         len(list_filter(string_split(st, ' '), x -> x <> '')) AS n_toks
+  FROM w8
+), wrd AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(coalesce(lower(text), '')),
                      '\s+'), x -> x <> '') AS ws
   FROM documents
+), docw AS (
+  SELECT w.doc_id, t.word FROM wrd w, unnest(w.ws) AS t(word)
+), doctok AS (
+  SELECT docw.doc_id,
+         CASE WHEN length(docw.word) = 1 THEN 1 ELSE wt.n_toks END AS n_toks
+  FROM docw LEFT JOIN wt USING (word)
 )
-SELECT count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS total_words,
+SELECT (SELECT count(*) FROM wrd) AS n_docs,
+       (SELECT CAST(sum(len(ws)) AS BIGINT) FROM wrd) AS total_words,
+       (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM doctok)
+         AS total_tokens,
        TRUE AS roundtrip_ok, TRUE AS tokens_lt_chars,
        TRUE AS tokens_ge_words
-FROM wrd
 """,
-    doc="BPE ENCODE (r7) - the apply half of the tokenizer story: the "
-    "corpus tokenized with bpe_train's learned merges by rank-priority "
-    "encoding (lowest merge rank first, byte-identical to replaying "
-    "training order).  The DISTINCT word table is encoded once in an "
-    "Arrow kernel (Heaps-bounded; merge list in the closure), docs "
-    "rebuild token sequences positionally.  Oracle: n_docs and "
-    "total_words value-matched vs SQL, plus hash-matched booleans - "
-    "every doc's token concatenation rebuilds its lowercased words "
-    "exactly (lossless), total tokens < total chars (merges actually "
-    "fired) and >= total words (no over-merging across words).",
+    doc="BPE ENCODE (r7; oracle upgraded r13) - the apply half of the "
+    "tokenizer story: the corpus tokenized with bpe_train's learned "
+    "merges by rank-priority encoding (lowest merge rank first, "
+    "byte-identical to replaying training order - pytest-pinned).  The "
+    "DISTINCT word table is encoded once in an Arrow kernel "
+    "(Heaps-bounded; merge list in the closure), docs rebuild token "
+    "sequences positionally.  Oracle: n_docs, total_words AND "
+    "total_tokens value-matched - DuckDB replays the 8 training rounds "
+    "through the unrolled-CTE word table (_bpe_wordtable_cte) and "
+    "recomputes every word's exact token count independently (length-1 "
+    "words, outside the trainer's >= 2 table, tokenize as themselves) - "
+    "plus hash-matched booleans: every doc's token concatenation "
+    "rebuilds its lowercased words exactly (lossless), total tokens < "
+    "total chars (merges actually fired) and >= total words (no "
+    "over-merging across words).",
 )
 def bpe_encode_documents(spark, sf_dir):
     from crick_spark.pipeline.text import (
@@ -3473,6 +3507,7 @@ def bpe_encode_documents(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
             F.bool_and(
                 F.array_join("tokens", "") == F.col("__wj__")
             ).alias("roundtrip_ok"),
