@@ -356,3 +356,96 @@ def dsir_resample(
         .limit(int(k))
         .select(id_col, "n_tokens", "log_ratio")
     )
+
+
+# Truncated-Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/j!):
+# a uniform coin maps to the weight whose cumulative bin it lands in; mass
+# beyond w=6 (8.3e-5) folds into 6.  Literal doubles so a SQL oracle can
+# reproduce the mapping bit-for-bit.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 40,
+    level: float = 0.95,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap for the mean (Chamandy et al.,
+    *Estimating uncertainty for massive data streams*, Google 2012 —
+    the single-pass bootstrap used on datasets where resampling rows is
+    impossible): each row joins replicate r with weight ~ Poisson(1)
+    drawn from the engine's content-stable md5 coin on (id, r), so the
+    whole resample plan is ONE explode + one grouped aggregate —
+    mergeable, no shuffling of the data beyond the replicate rollup,
+    and byte-reproducible by any engine with md5 (SQL-oracle-able).
+
+    The interval is EMPIRICAL order-statistic selection over the R
+    replicate means (ranks floor(α/2·(R−1))+1 and floor((1−α/2)·(R−1))+1
+    on means rounded to 1e-6, ties by replicate id) — integer rank
+    selection, not interpolation, so the exact same two replicates are
+    chosen in any engine.  Poisson(1) weights are truncated at 6
+    (tail mass 8.3e-5, POISSON1_CDF) to keep the coin→weight map a
+    finite literal CASE both sides.
+
+    Returns one row: (n_rows, mean, boot_lo, boot_hi, n_reps).  At
+    100 TB the explode is R× the scan width of ONE column pair — the
+    documented cost of bootstrap-grade uncertainty in a single pass."""
+    from pyspark.sql import Window
+
+    R = int(n_reps)
+    if R < 4:
+        raise ValueError(f"n_reps must be >= 4, got {R}")
+    if not (0.0 < level < 1.0):
+        raise ValueError(f"level must be in (0, 1), got {level}")
+    alpha = 1.0 - level
+    lo_rank = int((alpha / 2) * (R - 1)) + 1
+    hi_rank = int((1 - alpha / 2) * (R - 1)) + 1
+
+    rows = df.select(
+        F.col(id_col).alias("__id__"), F.col(value_col).alias("__x__")
+    ).where(F.col("__x__").isNotNull())
+    rep = rows.select(
+        "__id__",
+        "__x__",
+        F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("__r__"),
+    )
+    u = md5_uniform(F.concat_ws("#", F.col("__id__"), F.col("__r__")))
+    w = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rep.withColumn("__w__", w)
+        .groupBy("__r__")
+        .agg(
+            (
+                F.sum(F.col("__w__") * F.col("__x__"))
+                / F.sum("__w__")
+            ).alias("__m__")
+        )
+        .select("__r__", F.round("__m__", 6).alias("__m__"))
+    )
+    wnd = Window.orderBy("__m__", "__r__")  # R rows: single-task is right
+    ranked = reps.withColumn("__rk__", F.row_number().over(wnd))
+    picks = ranked.where(F.col("__rk__").isin([lo_rank, hi_rank])).agg(
+        F.min("__m__").alias("boot_lo"), F.max("__m__").alias("boot_hi")
+    )
+    base = rows.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("__x__"), 6).alias("mean"),
+    )
+    return base.crossJoin(F.broadcast(picks)).select(
+        "n_rows",
+        "mean",
+        "boot_lo",
+        "boot_hi",
+        F.lit(R).cast("int").alias("n_reps"),
+    )

@@ -5385,3 +5385,65 @@ def ivf_layout_delete_rtbf(spark, sf_dir):
     ).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "bootstrap_ci_events_value",
+    oracle="""
+WITH rows_ AS (
+  SELECT event_id AS id, value AS x FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT r.r, id, x,
+         (('0x' || substr(md5(CAST(id AS VARCHAR) || '#' ||
+                              CAST(r.r AS VARCHAR)), 1, 6))::BIGINT)
+           / 16777216.0 AS u
+  FROM rows_, range(40) r(r)
+),
+wtd AS (
+  SELECT r, x,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238463 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              ELSE 6 END AS w
+  FROM rep
+),
+reps AS (
+  SELECT r, round(sum(w * x) / sum(w), 6) AS m FROM wtd GROUP BY r
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM reps
+),
+picks AS (
+  SELECT min(m) AS boot_lo, max(m) AS boot_hi FROM ranked
+  WHERE rk IN (1, 39)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_rows,
+       (SELECT round(avg(x), 6) FROM rows_) AS mean,
+       boot_lo, boot_hi, CAST(40 AS INTEGER) AS n_reps
+FROM picks
+""",
+    doc="Deterministic Poisson-bootstrap CI for the mean event value "
+    "(r13; Chamandy et al. 2012, the single-pass bootstrap for data "
+    "too large to resample): every row joins each of 40 replicates "
+    "with a Poisson(1) weight drawn from the content-stable md5 coin "
+    "on (event_id, rep) via the truncated inverse-CDF literal "
+    "thresholds (pipeline/sampling.py:POISSON1_CDF), replicate means "
+    "round to 1e-6, and the 95% interval is integer ORDER-STATISTIC "
+    "selection (ranks 1 and 39 of 40, ties by replicate id) - no "
+    "interpolation, so the exact same replicates are chosen in any "
+    "engine.  FULLY value-oracled: DuckDB reproduces every coin, "
+    "weight, replicate mean, and the selected pair.  One explode + "
+    "one grouped aggregate - the plan shape that prices uncertainty "
+    "at 100 TB in a single pass.",
+)
+def bootstrap_ci_events_value(spark, sf_dir):
+    from crick_spark.pipeline.sampling import poisson_bootstrap_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, value_col="value", id_col="event_id", n_reps=40, level=0.95
+    )

@@ -3679,3 +3679,31 @@ def test_bpe_unrolled_oracle_property_vs_python():
         assert got == want, (ws, got, want)
 
     check()
+
+
+def test_poisson_bootstrap_ci_sanity(spark):
+    """r13: the deterministic Poisson bootstrap — the CI brackets the
+    sample mean, is deterministic across reruns, narrows roughly like
+    1/sqrt(n), and rejects degenerate parameters."""
+    import pytest
+
+    from crick_spark.pipeline.sampling import poisson_bootstrap_ci
+
+    def frame(n):
+        return spark.createDataFrame(
+            [(i, float((i * 37) % 101)) for i in range(n)], "id long, x double"
+        )
+
+    small = poisson_bootstrap_ci(frame(200), "x", "id", n_reps=40).collect()[0]
+    big = poisson_bootstrap_ci(frame(5000), "x", "id", n_reps=40).collect()[0]
+    for r in (small, big):
+        assert r["boot_lo"] <= r["mean"] <= r["boot_hi"], r
+    assert (big["boot_hi"] - big["boot_lo"]) < (
+        small["boot_hi"] - small["boot_lo"]
+    )
+    again = poisson_bootstrap_ci(frame(200), "x", "id", n_reps=40).collect()[0]
+    assert again == small  # md5 coins: byte-deterministic
+    with pytest.raises(ValueError, match="n_reps"):
+        poisson_bootstrap_ci(frame(10), "x", "id", n_reps=2)
+    with pytest.raises(ValueError, match="level"):
+        poisson_bootstrap_ci(frame(10), "x", "id", level=1.5)
