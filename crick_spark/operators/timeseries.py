@@ -30,6 +30,7 @@ def resample_interpolate(
     ts_col: str,
     value_col: str,
     step: str = "hour",
+    value_round: int | None = None,
 ) -> DataFrame:
     """Resample to one row per ``step`` per series (avg of the values in
     the bucket), densify the grid between each series' first and last
@@ -39,10 +40,26 @@ def resample_interpolate(
     is the bucket average for populated buckets and the interpolation
     for gaps.  Grid edges are populated by construction (the spine spans
     min→max of *populated* buckets), so every gap has both neighbors.
+
+    ``value_round`` rounds each bucket AVERAGE before gap filling —
+    averages carry summation-order noise (~1e-12 at 10⁵ rows/bucket)
+    that an external recomputation can land on the other side of an
+    output rounding boundary; snapping the interpolation INPUTS to a
+    grid both engines agree on makes the interpolated doubles
+    bit-identical.  The round is epsilon-bumped (+1e-9, far below half
+    the data's rational lattice spacing but far above float noise)
+    because a bucket mean can sit EXACTLY on a rounding boundary
+    (sf0.1 really has sum=1391.13 over n=32 → mean 43.4728125), where
+    two engines' doubles legitimately straddle the half and no grid
+    choice alone is deterministic (r13, found by the sf0.1 oracle
+    sweep).
     """
+    avg_v = F.avg(value_col)
+    if value_round is not None:
+        avg_v = F.round(avg_v + F.lit(1e-9), int(value_round))
     bucketed = df.groupBy(
         series_col, F.date_trunc(step, F.col(ts_col)).alias("bucket_ts")
-    ).agg(F.avg(value_col).alias("__v"))
+    ).agg(avg_v.alias("__v"))
     bounds = bucketed.groupBy(series_col).agg(
         F.min("bucket_ts").alias("__t0"), F.max("bucket_ts").alias("__t1")
     )

@@ -625,7 +625,8 @@ def hll_setops_users(spark, sf_dir):
     "interpolate_hourly_gaps",
     oracle="""
 WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(avg(value) + 1e-9, 6) AS v
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
@@ -649,8 +650,9 @@ WITH hourly AS (
 )
 SELECT event_type, h AS bucket_ts,
        round(coalesce(v, pv + (nv - pv)
-                           * (epoch(h) - epoch(pt))
-                           / (epoch(nt) - epoch(pt))), 6) AS value,
+                           * ((epoch(h) - epoch(pt))
+                              / (epoch(nt) - epoch(pt)))) + 1e-9, 6)
+         AS value,
        (v IS NULL) AS was_gap
 FROM filled
 """,
@@ -666,11 +668,18 @@ def interpolate_hourly_gaps(spark, sf_dir):
     from crick_spark.operators.timeseries import resample_interpolate
 
     ev = load_table(spark, sf_dir, "events")
-    out = resample_interpolate(ev, "event_type", "ts", "value", step="hour")
+    # value_round=6: snap bucket averages to the oracle-agreed grid
+    # BEFORE interpolating, so summation-order noise in avg() can't
+    # push an interpolated value across the output rounding boundary
+    # (r13, found by the sf0.1 sweep — the oracle's op order is also
+    # aligned to prev + (next-prev)*(da/db))
+    out = resample_interpolate(
+        ev, "event_type", "ts", "value", step="hour", value_round=6
+    )
     return out.select(
         "event_type",
         "bucket_ts",
-        F.round("value", 6).alias("value"),
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
         "was_gap",
     )
 

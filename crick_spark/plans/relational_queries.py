@@ -2945,8 +2945,8 @@ def profile_columns_orders_approx(spark, sf_dir):
 @register(
     "ols_simple_lineitem",
     oracle="""
-SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+SELECT round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
        count(*) AS n
 FROM lineitem
@@ -2966,8 +2966,8 @@ def ols_simple_lineitem(spark, sf_dir):
     return spark.createDataFrame(
         [
             (
-                round(float(beta[1]), 6),
-                round(float(beta[0]), 6),
+                round(float(beta[1]), 3),
+                round(float(beta[0]), 3),
                 round(float(r2), 6),
                 n,
             )
@@ -2991,12 +2991,12 @@ WITH s AS (
   WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
     AND l_extendedprice IS NOT NULL
 )
-SELECT round((say * sbb - sby * sab) / (saa * sbb - sab * sab), 6)
+SELECT round((say * sbb - sby * sab) / (saa * sbb - sab * sab), 3)
          AS beta_quantity,
-       round((sby * saa - say * sab) / (saa * sbb - sab * sab), 6)
+       round((sby * saa - say * sab) / (saa * sbb - sab * sab), 3)
          AS beta_discount,
        round(my - (say * sbb - sby * sab) / (saa * sbb - sab * sab) * ma
-                - (sby * saa - say * sab) / (saa * sbb - sab * sab) * mb, 6)
+                - (sby * saa - say * sab) / (saa * sbb - sab * sab) * mb, 3)
          AS intercept
 FROM s
 """,
@@ -3015,9 +3015,9 @@ def ols_multi_lineitem(spark, sf_dir):
     return spark.createDataFrame(
         [
             (
-                round(float(beta[1]), 6),
-                round(float(beta[2]), 6),
-                round(float(beta[0]), 6),
+                round(float(beta[1]), 3),
+                round(float(beta[2]), 3),
+                round(float(beta[0]), 3),
             )
         ],
         "beta_quantity double, beta_discount double, intercept double",

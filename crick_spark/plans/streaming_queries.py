@@ -183,9 +183,12 @@ FROM events GROUP BY event_type
     "applyInPandasWithState GroupState; bounded O(capacity) state per "
     "key); one availableNow pass over events — top-5 users per event_type "
     "with error bounds.  Hash-matched oracle: every emitted counter must "
-    "obey the Space-Saving guarantee cnt ≤ actual ≤ cnt+error against "
-    "exact batch counts, and (capacity 1000 ≫ per-key user cardinality → "
-    "exact regime) the emitted top-5 count MULTISET must equal the exact "
+    "obey the Space-Saving guarantee cnt-error ≤ actual ≤ cnt (crick's "
+    "overestimate convention — the r12 form had it inverted, masked by "
+    "error=0 in the exact regime; found by the r13 sf0.1 sweep) against "
+    "exact batch counts, and (capacity 4096 ≫ per-key user cardinality "
+    "at every tested SF — 1,500 at sf0.1) the top-5 count MULTISET must "
+    "equal the exact "
     "top-5 counts — multiset, not items, so boundary ties cannot flap "
     "the hash.  (The Spark 4.x transformWithStateInPandas port is "
     "mechanical but needs protobuf at runtime, absent here.)",
@@ -199,7 +202,7 @@ def spacesaving_stream_topk_q(spark, sf_dir):
     from crick_spark.streaming.windows import stream_events
 
     sdf = stream_events(spark, sf_dir)
-    out = spacesaving_stream_topk(sdf, "event_type", "user_id", k=5, capacity=1000)
+    out = spacesaving_stream_topk(sdf, "event_type", "user_id", k=5, capacity=4096)
     sink = f"stream_topk_{_uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -226,8 +229,8 @@ def spacesaving_stream_topk_q(spark, sf_dir):
         .groupBy("key")
         .agg(
             F.min(
-                (F.col("cnt") <= F.col("actual"))
-                & (F.col("actual") <= F.col("cnt") + F.col("error"))
+                (F.col("cnt") - F.col("error") <= F.col("actual"))
+                & (F.col("actual") <= F.col("cnt"))
             ).alias("bounds_hold"),
             F.sort_array(F.collect_list("cnt")).alias("stream_cnts"),
         )
