@@ -1212,3 +1212,88 @@ def dedup_store_delete_rtbf(spark, sf_dir):
     ).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "cluster_store_delete_rtbf",
+    oracle=r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
+      THEN list_distinct(list_transform(
+             generate_series(1, len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2),
+             i -> array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(coalesce(text, '')), '\s+'), ' ')]
+    END AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE j >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+surv AS (SELECT node, component FROM comp WHERE node % 13 <> 0),
+newlab AS (SELECT component, min(node) AS newc FROM surv GROUP BY component)
+SELECT surv.node AS node, newlab.newc AS component
+FROM surv JOIN newlab USING (component)
+""",
+    doc="Right-to-be-forgotten over the incremental dedup-cluster store "
+    "(r14, VERDICT r13 #2 — streaming/cluster_store.py:ClusterStore."
+    "delete, the erasure twin of fold): the exact-Jaccard pair set "
+    "folds in 2 batches into the persisted bucketed labeling, then "
+    "every doc_id%13==0 node is erased.  Node erasure, not graph "
+    "re-closure: survivors stay in their components, but a component "
+    "whose REPRESENTATIVE was erased is relabeled to its new min "
+    "surviving member — no forgotten id survives as a node, a label, "
+    "or a cindex entry, and only the touched buckets are rewritten "
+    "(generation+meta commit, so a crashed delete re-surfaces the "
+    "pre-delete state whole; replays of a committed delete are "
+    "fenced, asserted inline).  FULLY value-oracled: DuckDB rebuilds "
+    "the closure, drops the %13 nodes, and re-derives each component's "
+    "min surviving label — the entire surviving labeling hash-matches "
+    "row for row.",
+)
+def cluster_store_delete_rtbf(spark, sf_dir):
+    import shutil
+
+    from crick_spark.pipeline.dedup import jaccard_ngram_pairs
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_ngram_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5, n=3
+    ).localCheckpoint(eager=True)
+    work = run_tmpdir("crick_clusterstore_rtbf_")
+    store = ClusterStore(f"{work}/store")
+    for bid in range(2):
+        store.fold(
+            pairs.where(
+                F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2)) == bid
+            ),
+            bid,
+        )
+    dele = docs.select(F.col("doc_id").alias("node")).where(
+        F.col("doc_id") % 13 == 0
+    )
+    stats = store.delete(dele, batch_id=2)
+    assert stats is not False, "first delete must not be fenced"
+    assert store.delete(dele, batch_id=2) is False, (
+        "replay of a committed delete must be fenced"
+    )
+    out = store.labels(spark).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -59,6 +59,11 @@ a store's lifetime (recorded in meta and asserted on reopen).
 Superseded generation directories accumulate one per fold and hold only
 that fold's touched buckets; ``vacuum()`` drops the ones no meta row
 references.
+
+``delete`` (r14) completes the right-to-be-forgotten story across the
+persisted dedup artifacts (VERDICT r13 #2): node erasure with
+representative relabeling, same generation + meta commit protocol, same
+O(touched buckets) cost shape — see its docstring for the semantics.
 """
 
 from __future__ import annotations
@@ -453,6 +458,215 @@ class ClusterStore:
             ],
         )
         return True
+
+    def delete(
+        self, nodes_df: DataFrame, batch_id: int, node_col: str = "node"
+    ):
+        """Right-to-be-forgotten over the persisted labeling (r14,
+        VERDICT r13 #2 — the last persisted artifact without an erasure
+        path): remove every listed node's label row, rewriting ONLY the
+        buckets that hold them, and scrub the forgotten ids from every
+        place they can appear — including as COMPONENT labels.
+
+        Semantics — node erasure, NOT graph re-closure: the store keeps
+        no pair history, so connectivity a forgotten document once
+        contributed stays merged among survivors (the store forgets the
+        DOCUMENT and everything identifying it, not the derived fact
+        that its neighbors are transitive near-duplicates).  Because a
+        stored label is the min member id, erasing a component's
+        representative would otherwise leave the forgotten id embedded
+        in every surviving member's label — so those components are
+        RELABELED to their new min surviving member, restoring the
+        min-label invariant the incremental folds rely on; their stale
+        cindex pairs (which also carry the old id) are dropped.  After
+        a successful delete no forgotten id appears as a node, a
+        component label, or a cindex component.
+
+        Cost shape mirrors ``fold``: the deleted nodes' own rows live
+        only in their hash buckets; members of relabeled components are
+        found through the component index — every read and rewrite is
+        O(touched buckets), never O(|labels|).  A component that merely
+        loses a non-representative member keeps its label; its cindex
+        pairs may over-list buckets until a later fold touches them
+        (benign over-read, never a leak — the surviving label is not a
+        forgotten id).
+
+        Atomicity rides the generation + meta protocol: meta commits
+        LAST, so a crash anywhere mid-delete leaves no meta row and
+        readers re-surface the pre-delete state whole; erasure is
+        guaranteed only after a successful return, and callers must
+        replay ``delete`` with the SAME batch_id on failure (the replay
+        redoes the work; after success it is fenced and returns False).
+        ``batch_id`` shares the fold id-space and must exceed the last
+        folded/deleted id — the same nondecreasing order contract.
+
+        Returns ``{"n_deleted", "n_relabeled_components",
+        "n_erased_components", "label_buckets_written",
+        "index_partitions_written"}``, or False for a fenced replay."""
+        s = nodes_df.sparkSession
+        last_id, lab_paths, idx_paths = self.read_meta(s)
+        if int(batch_id) <= last_id:
+            return False
+        stats = {
+            "n_deleted": 0,
+            "n_relabeled_components": 0,
+            "n_erased_components": 0,
+            "label_buckets_written": 0,
+            "index_partitions_written": 0,
+        }
+        dele = (
+            nodes_df.select(F.col(node_col).alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        bd = self._distinct_ints(dele, self._bucket(F.col("node")))
+        res_bd = (
+            self._read_buckets(s, lab_paths, bd, ["node", "component"])
+            if bd
+            else None
+        )
+        hit = None
+        if res_bd is not None:
+            hit = res_bd.join(dele, "node").localCheckpoint(eager=True)
+            stats["n_deleted"] = hit.count()
+        if stats["n_deleted"] == 0:
+            # nothing resident matches: fence-only commit (advances the
+            # replay guard; erasure of absent keys is trivially done)
+            self._commit_meta(s, batch_id, [])
+            return stats
+        # components whose REPRESENTATIVE is erased must be relabeled —
+        # their label would otherwise keep leaking the forgotten id
+        relabel_old_df = (
+            hit.select("component")
+            .distinct()
+            .join(
+                dele.withColumnRenamed("node", "component"),
+                "component",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_relabel_old = relabel_old_df.count()
+        mb: set[int] = set()
+        if n_relabel_old:
+            # member buckets of relabeled components via the component
+            # index — reads only the old ids' cindex partitions
+            cb = self._distinct_ints(
+                relabel_old_df, self._bucket(F.col("component"))
+            )
+            idx = self._read_buckets(
+                s, idx_paths, cb, ["component", "nbucket"]
+            )
+            if idx is not None:
+                idx = idx.where(F.col("component").isNotNull())
+                mb = {
+                    int(r["nbucket"])
+                    for r in idx.join(
+                        F.broadcast(relabel_old_df), "component", "left_semi"
+                    )
+                    .select("nbucket")
+                    .distinct()
+                    .collect()
+                }
+        touched = sorted(bd | mb)
+        res_t = self._read_buckets(
+            s, lab_paths, set(touched), ["node", "component"]
+        )
+        survivors = res_t.join(dele, "node", "left_anti")
+        # new label per relabeled component = min SURVIVING member (the
+        # min-label invariant, re-derived); a relabeled component with
+        # no survivors is fully erased
+        newlab = (
+            survivors.join(F.broadcast(relabel_old_df), "component", "left_semi")
+            .groupBy("component")
+            .agg(F.min("node").alias("__new__"))
+            .select(F.col("component").alias("__old__"), "__new__")
+            .localCheckpoint(eager=True)
+        )
+        n_new = newlab.count()
+        stats["n_relabeled_components"] = n_new
+        stats["n_erased_components"] = n_relabel_old - n_new
+        final = survivors.join(
+            F.broadcast(newlab),
+            survivors.component == F.col("__old__"),
+            "left",
+        ).select(
+            "node", F.coalesce("__new__", "component").alias("component")
+        )
+        out = final.withColumn(
+            "bucket", self._bucket(F.col("node"))
+        ).localCheckpoint(eager=True)
+        alive = self._distinct_ints(out, F.col("bucket"))
+        gen = self._gen(batch_id)
+        if alive:
+            out.repartition(self.n_buckets, F.col("bucket")).write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(gen)
+        stats["label_buckets_written"] = len(alive)
+        # cindex surgery: drop every pair of a relabeled/erased old id
+        # (those pairs carry the forgotten id), add the new labels'
+        # pairs (complete: all their members live in the rewritten
+        # buckets).  Partitions to rewrite = cbuckets of old + new ids.
+        meta_rows = [
+            (
+                "labels",
+                b,
+                f"{gen}/bucket={b}" if b in alive else "",
+            )
+            for b in touched
+        ]
+        if n_relabel_old:
+            new_ids = newlab.select(F.col("__new__").alias("component"))
+            ic = self._distinct_ints(
+                relabel_old_df, self._bucket(F.col("component"))
+            ) | self._distinct_ints(new_ids, self._bucket(F.col("component")))
+            old_idx = self._read_buckets(
+                s, idx_paths, ic, ["component", "nbucket"]
+            )
+            new_pairs = (
+                out.join(F.broadcast(new_ids), "component", "left_semi")
+                .select("component", F.col("bucket").alias("nbucket"))
+                .distinct()
+            )
+            idx_final = new_pairs
+            if old_idx is not None:
+                retained = (
+                    old_idx.where(F.col("component").isNotNull())
+                    .join(F.broadcast(relabel_old_df), "component", "left_anti")
+                    .select("component", "nbucket")
+                )
+                idx_final = idx_final.unionByName(retained)
+            idx_final = idx_final.withColumn(
+                "cbucket", self._bucket(F.col("component"))
+            )
+            # sentinel per rewritten partition (the fold convention):
+            # written partitions == ic, readers drop component-NULL rows
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            sent = s.createDataFrame(
+                [(None, None, int(b)) for b in sorted(ic)],
+                StructType(
+                    [
+                        StructField(
+                            "component", out.schema["component"].dataType
+                        ),
+                        StructField("nbucket", IntegerType()),
+                        StructField("cbucket", IntegerType()),
+                    ]
+                ),
+            )
+            idx_final = idx_final.unionByName(sent)
+            cgen = self._cgen(batch_id)
+            idx_final.repartition(
+                self.n_buckets, F.col("cbucket")
+            ).write.partitionBy("cbucket").mode("overwrite").parquet(cgen)
+            stats["index_partitions_written"] = len(ic)
+            meta_rows += [
+                ("cindex", b, f"{cgen}/cbucket={b}") for b in sorted(ic)
+            ]
+        self._commit_meta(s, batch_id, meta_rows)
+        return stats
 
     def _gen(self, batch_id) -> str:
         return f"{self._labels_root}/gen_{int(batch_id)}"

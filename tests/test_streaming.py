@@ -833,6 +833,127 @@ def test_cluster_store_untouched_buckets_byte_identical(spark, tmp_path):
     )
 
 
+def test_cluster_store_delete_rtbf_semantics(spark, tmp_path):
+    """r14 (VERDICT r13 #2): ClusterStore.delete erases nodes with
+    representative relabeling — after a successful delete no forgotten
+    id appears as a node, a component label, or a cindex component;
+    survivors keep their component partition (node erasure, not graph
+    re-closure); replays of a committed delete are fenced; and a fold
+    AFTER the delete still equals the full closure over the post-delete
+    labeling plus the new pairs (batch ≡ incremental-after-delete)."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.graph import connected_components
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=8)
+    # components {1,2,3}, {10,11}, {20,21,22}
+    assert store.fold(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+            "id_a long, id_b long",
+        ),
+        0,
+    )
+    # delete the rep of {1,2,3} (forces relabel to new min 2), a
+    # non-rep member of {20,21,22} (label untouched), and an unknown id
+    stats = store.delete(
+        spark.createDataFrame([(1,), (21,), (99,)], "node long"), 1
+    )
+    assert stats["n_deleted"] == 2
+    assert stats["n_relabeled_components"] == 1
+    assert stats["n_erased_components"] == 0
+    labels = {r["node"]: r["component"] for r in store.labels(spark).collect()}
+    assert labels == {2: 2, 3: 2, 10: 10, 11: 10, 20: 20, 22: 20}
+    # committed delete replays are fenced
+    assert store.delete(
+        spark.createDataFrame([(1,)], "node long"), 1
+    ) is False
+    # erase an entire component
+    stats = store.delete(
+        spark.createDataFrame([(10,), (11,)], "node long"), 2
+    )
+    assert stats["n_deleted"] == 2
+    assert stats["n_erased_components"] == 1
+    labels = {r["node"]: r["component"] for r in store.labels(spark).collect()}
+    assert labels == {2: 2, 3: 2, 20: 20, 22: 20}
+    # forgotten ids are gone from the component INDEX too (they would
+    # otherwise leak through the remap probe's read path)
+    _, _, idx_paths = store.read_meta(spark)
+    idx = store._read_buckets(spark, idx_paths, None, ["component", "nbucket"])
+    comps = {
+        r["component"]
+        for r in idx.where(F.col("component").isNotNull()).collect()
+    }
+    assert comps == {2, 20}, comps
+    # batch ≡ incremental AFTER delete: fold new pairs (growing a
+    # relabeled comp through a surviving member, plus a brand-new comp)
+    new_pairs = [(3, 30), (30, 31), (40, 41)]
+    assert store.fold(
+        spark.createDataFrame(new_pairs, "id_a long, id_b long"), 3
+    )
+    base_edges = [(3, 2), (22, 20)]  # surviving labeling as edges
+    full = connected_components(
+        spark.createDataFrame(
+            base_edges + new_pairs, "id_a long, id_b long"
+        ),
+        src="id_a",
+        dst="id_b",
+    )
+    assert sorted(map(tuple, store.labels(spark).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_cluster_store_delete_untouched_buckets_byte_identical(
+    spark, tmp_path
+):
+    """r14: delete's rewrite is O(touched buckets) — only the deleted
+    nodes' hash buckets (plus relabeled components' member buckets) are
+    rewritten; every other bucket's current snapshot files stay the same
+    on-disk files, byte for byte.  A delete of all-absent keys commits a
+    fence and rewrites nothing."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=8)
+    b0 = [(i, i + 1000) for i in range(0, 40, 2)]  # 20 two-node comps
+    assert store.fold(spark.createDataFrame(b0, "id_a long, id_b long"), 0)
+    _, paths0, _ = store.read_meta(spark)
+    before = {b: _bucket_files(p) for b, p in paths0.items()}
+    # delete node 4 — the REP of {4, 1004}: relabel touches the member
+    # buckets of that component only
+    stats = store.delete(spark.createDataFrame([(4,)], "node long"), 1)
+    assert stats["n_deleted"] == 1
+    assert stats["n_relabeled_components"] == 1
+    _, paths1, _ = store.read_meta(spark)
+    bkt = lambda n: spark.range(1).select(  # noqa: E731
+        F.pmod(F.xxhash64(F.lit(n).cast("long")), F.lit(8)).cast("int")
+    ).collect()[0][0]
+    may_change = {bkt(4), bkt(1004)}
+    touched = {b for b in paths1 if paths1[b] != paths0.get(b)}
+    assert touched, "the delete must rewrite at least one bucket"
+    assert touched <= may_change, (touched, may_change)
+    for b, p in paths1.items():
+        if b in touched or p is None:
+            continue
+        assert p == paths0[b]
+        assert _bucket_files(p) == before[b], f"bucket {b} rewritten"
+    labels = {r["node"]: r["component"] for r in store.labels(spark).collect()}
+    assert labels[1004] == 1004 and 4 not in labels
+    # absent-key delete: fence-only commit, no bucket rewritten
+    stats = store.delete(spark.createDataFrame([(123456,)], "node long"), 2)
+    assert stats["n_deleted"] == 0
+    assert stats["label_buckets_written"] == 0
+    _, paths2, _ = store.read_meta(spark)
+    assert paths2 == paths1
+    # and the fence still advances the replay guard
+    assert store.delete(
+        spark.createDataFrame([(123456,)], "node long"), 2
+    ) is False
+
+
 def test_cluster_store_fold_reads_o_touched_buckets(spark, tmp_path):
     """r9 (VERDICT r8 item 3): a fold's READS are O(touched buckets),
     not O(|labels|).  Endpoint resolution reads only the buckets the
