@@ -2,8 +2,12 @@
 
 Reference semantics: ``crick/space_saving.pyx`` — bounded summary of at most
 ``capacity`` counters, each reporting (item, count, error) with the
-guarantee ``count ≤ actual ≤ count + error``
-(``crick/space_saving.pyx:104-110``); merge per Cafaro, Pulimeno, Tempesta,
+OVERESTIMATE guarantee ``count − error ≤ actual ≤ count`` (the
+Metwally et al. algorithm's actual bound, implemented by the reference's
+eviction path ``crick/space_saving_stubs.c.in:226-237``; the reference's
+own docstring ``space_saving.pyx:107-109`` states the inverted
+``count ≤ actual ≤ count+error`` — an adjudicated documentation bug, see
+r13 fix and SURVEY §7.3); merge per Cafaro, Pulimeno, Tempesta,
 *A parallel space saving algorithm for frequent items*
 (``crick/space_saving_stubs.c.in:289-364``): each side's minimum count (if
 full) becomes the offset added to items missing from it.

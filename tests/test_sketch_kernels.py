@@ -171,8 +171,10 @@ def test_spacesaving_exact_recovery():
 
 
 def test_spacesaving_error_bounds():
-    """count ≤ actual ≤ count+error (space_saving.pyx:104-110), via merge
-    of partitioned streams."""
+    """Overestimate bound count−error ≤ actual ≤ count (the C eviction
+    semantics, space_saving_stubs.c.in:226-237; the pyx docstring's
+    inverted form is an adjudicated reference doc bug — SURVEY §7.3),
+    via merge of partitioned streams."""
     items = _skewed_items(7, 50_000)
     parts = np.array_split(items, 16)
     sks = [SpaceSaving.from_batch(p, capacity=50) for p in parts]

@@ -89,7 +89,8 @@ def test_tdigest_quantile_accuracy_any_input(vals):
 
 
 # ---------------------------------------------------------------------------
-# SpaceSaving: the count <= actual <= count + error guarantee, any stream
+# SpaceSaving: the overestimate count - error <= actual <= count
+# guarantee (C eviction semantics), any stream
 # ---------------------------------------------------------------------------
 @settings(max_examples=60, deadline=None)
 @given(
