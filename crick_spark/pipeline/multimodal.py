@@ -734,11 +734,18 @@ def audio_fingerprint(
                     continue
                 s = np.asarray(dec(bytes(data), "audio"), dtype=np.int64)
                 if len(s) == 0:
-                    # Truncated/empty clip: emit a flag row (fp=0,
+                    # Truncated/empty clip: emit a flag row (fp=NULL,
                     # n_windows=0) instead of letting the reshape raise
                     # and kill the whole Arrow batch (ADVICE r12).
+                    # NULL, not 0: fp=0 is the LEGITIMATE fingerprint of
+                    # any clip with a non-increasing energy contour
+                    # (silence), so a 0 sentinel would silently merge
+                    # truncated clips with real ones under fp-keyed
+                    # dedup; NULL is outside the value domain and
+                    # ExactDedupStore/groupBy-census callers drop or
+                    # isolate it (ADVICE r13).
                     rows.append(
-                        {"doc_id": int(doc_id), "fp": 0, "n_windows": 0}
+                        {"doc_id": int(doc_id), "fp": None, "n_windows": 0}
                     )
                     continue
                 per = max(len(s) // n_w, 1)

@@ -394,7 +394,17 @@ def poisson_bootstrap_ci(
     selection, not interpolation, so the exact same two replicates are
     chosen in any engine.  Poisson(1) weights are truncated at 6
     (tail mass 8.3e-5, POISSON1_CDF) to keep the coin→weight map a
-    finite literal CASE both sides.
+    finite literal CASE both sides.  The 1e-6 round is epsilon-bumped
+    (+1e-9, far below half an output grid step but far above f64
+    summation noise) because a weighted mean can sit EXACTLY on a
+    rounding half-boundary and Spark/DuckDB would then round a
+    noise-perturbed sum to different grid points, swapping the selected
+    order statistics (ADVICE r13 — same hazard class as
+    operators/timeseries.py resample_interpolate).  A replicate whose
+    weights are ALL zero (possible only for tiny inputs) has a NULL
+    mean; it is dropped before ranking on both sides — Spark orders
+    NULLS FIRST, DuckDB NULLS LAST, so keeping them would select
+    different replicates cross-engine (ADVICE r13).
 
     Returns one row: (n_rows, mean, boot_lo, boot_hi, n_reps).  At
     100 TB the explode is R× the scan width of ONE column pair — the
@@ -431,7 +441,10 @@ def poisson_bootstrap_ci(
                 / F.sum("__w__")
             ).alias("__m__")
         )
-        .select("__r__", F.round("__m__", 6).alias("__m__"))
+        .select(
+            "__r__", F.round(F.col("__m__") + F.lit(1e-9), 6).alias("__m__")
+        )
+        .where(F.col("__m__").isNotNull())
     )
     wnd = Window.orderBy("__m__", "__r__")  # R rows: single-task is right
     ranked = reps.withColumn("__rk__", F.row_number().over(wnd))
@@ -440,7 +453,7 @@ def poisson_bootstrap_ci(
     )
     base = rows.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.avg("__x__"), 6).alias("mean"),
+        F.round(F.avg("__x__") + F.lit(1e-9), 6).alias("mean"),
     )
     return base.crossJoin(F.broadcast(picks)).select(
         "n_rows",

@@ -836,6 +836,7 @@ def choose_search_params(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     threshold: float = 0.7,
+    target_recall: float | None = None,
 ) -> dict:
     """The full search-time tuner (r12, VERDICT r11 #6):
     ``choose_by_residual`` made the CODEBOOK decision actionable; this
@@ -862,7 +863,24 @@ def choose_search_params(
     (the ``ivf_layout_append`` drift signal falling), not remembered.
     Returns ``{mean_top_cos, by_residual, nprobe, rerank_factor}`` —
     feed nprobe to the IVF search/layout probes, rerank_factor to the
-    PQ/quantized rerank pool, by_residual to ``train_pq_codebooks``."""
+    PQ/quantized rerank pool, by_residual to ``train_pq_codebooks``.
+
+    ``target_recall`` (r14, VERDICT r13 #3 — quality-gate mode): when a
+    caller must MEET a recall bar rather than spend a budget, pass the
+    bar and the structureless branch raises its knobs to deterministic
+    FLOORS derived from the measured coverage law instead of the
+    budget rule of thumb.  On structureless corpora recall tracks raw
+    list coverage, so nprobe floors at ``ceil((target+0.05)·nlist)``
+    coverage (the +0.05 margin is the measured slack: 0.75 coverage
+    gave 0.82 mean / 0.70 min recall@10 at sf0.1 and 0.98/0.90 at
+    sf0.01 on the iid corpus — the same corpus where the sf0.01-tuned
+    budget knobs undercovered 10× data, the r13 sweep's regime bug),
+    and the PQ rerank pool floors at 16× (plain-ADC shortlists are
+    noisy at this dim).  Clustered corpora already measure 0.995/0.965
+    recall@10 at the default nprobe, comfortably over any bar this
+    mode is meant for, so that branch is unchanged.  The knobs are
+    derived from nlist + measured structure only — no corpus-size
+    constants — so the same call stays green across scale changes."""
     row = ivf_structure_stats(embeddings, centroids, vec_col).collect()[0]
     s = float(row["mean_top_cos"])
     nlist = int(len(centroids))
@@ -873,6 +891,12 @@ def choose_search_params(
     else:
         nprobe = max(4, round(nlist / 4))
         rerank_factor = 8
+    if target_recall is not None and not clustered:
+        import math
+
+        coverage = min(1.0, float(target_recall) + 0.05)
+        nprobe = max(nprobe, math.ceil(coverage * nlist))
+        rerank_factor = max(rerank_factor, 16)
     return {
         "mean_top_cos": s,
         "by_residual": clustered,
@@ -1752,6 +1776,14 @@ def ivf_layout_delete(
     resident matches and writes nothing.  All resident columns
     (including PQ ``codes``) pass through unchanged, so readers see the
     surviving corpus immediately with the same schema.
+
+    **Erasure is guaranteed only after a successful return** (ADVICE
+    r13): the overwrite and the emptied-dir removal are two steps, so a
+    crash between them leaves fully-emptied clusters' stale files
+    resident.  Compliance callers MUST treat any failure as
+    not-yet-erased and replay ``delete`` — the replay is idempotent and
+    completes the removal (a half-written attempt either re-finds the
+    keys or finds the already-clean state and no-ops).
 
     Returns ``{"n_deleted", "clusters_touched", "n_rewritten_rows"}``."""
     from pyspark.errors import AnalysisException

@@ -4193,16 +4193,23 @@ SELECT CAST(-1 AS BIGINT) AS query_id, TRUE AS recall_ok
     "m*log2(ksub) BITS per vector, exact cosine rerank bounds the "
     "approximation.  Hash-matched booleans vs bulk exact top-10: "
     "per-query recall >= 0.5 and panel average >= 0.7 - the same bar "
-    "as the single-approximation LSH/IVF gates.  Knobs raised r13 "
-    "(nprobe 8->12, rerank_factor 8->16) after the sf0.1 sweep showed "
-    "the sf0.01-tuned settings undercover on the 10x corpus (mean "
-    "0.64 at sf0.1); measured at the new knobs: sf0.01 0.9 min / 0.98 "
-    "mean, sf0.1 0.7 min / 0.82 mean - the scale sensitivity "
-    "choose_search_params exists to automate, pinned here for gate "
-    "determinism.  Rerank pool is still only 160 full vectors/query.",
+    "as the single-approximation LSH/IVF gates.  Knobs are DERIVED, "
+    "not pinned (r14, VERDICT r13 #3): choose_search_params in "
+    "quality-gate mode (target_recall=0.7) measures the corpus's "
+    "cluster structure and floors nprobe at (target+0.05)*nlist "
+    "coverage on structureless corpora - the r13 episode (sf0.01-"
+    "tuned nprobe=8 gave mean 0.64 on the 10x corpus, re-pinned by "
+    "hand to 12) cannot recur, because the coverage floor rides nlist "
+    "and measured structure, never corpus size.  The derivation is "
+    "deterministic (seeded k-means + one structure aggregate), so the "
+    "gate booleans stay stable; on this corpus it resolves to "
+    "nprobe=12/rerank=16 (measured: sf0.01 0.9 min / 0.98 mean, "
+    "sf0.1 0.7 min / 0.82 mean).  Rerank pool is still only 160 full "
+    "vectors/query.",
 )
 def knn_ivfpq_bulk_recall(spark, sf_dir):
     from crick_spark.pipeline.similarity import (
+        choose_search_params,
         ivfpq_bulk_topk,
         train_ivf_centroids,
         train_pq_codebooks,
@@ -4214,9 +4221,16 @@ def knn_ivfpq_bulk_recall(spark, sf_dir):
     )
     cents = train_ivf_centroids(emb, k=16, n_iter=5)
     books = train_pq_codebooks(emb, m=16, ksub=16)
+    params = choose_search_params(emb, cents, target_recall=0.7)
     exact = bulk_cosine_topk(queries, emb, k=10).select("query_id", "vec_id")
     ann = ivfpq_bulk_topk(
-        queries, emb, cents, books, k=10, nprobe=12, rerank_factor=16
+        queries,
+        emb,
+        cents,
+        books,
+        k=10,
+        nprobe=params["nprobe"],
+        rerank_factor=params["rerank_factor"],
     ).select("query_id", "vec_id")
     hits = (
         exact.join(ann, ["query_id", "vec_id"], "left_semi")
@@ -4824,17 +4838,22 @@ SELECT CAST((SELECT t FROM tri) AS BIGINT) AS t_exact,
        CAST(abs((SELECT t FROM tris) * 64 - (SELECT t FROM tri)) AS DOUBLE)
          <= 0.15 * (SELECT t FROM tri) AS within_tol
 """,
-    doc="The DOULION accuracy gate (r12, VERDICT r11 #3): the sampled "
-    "estimate and the exact degree-ordered wedge count computed in ONE "
-    "query, with the within_tol boolean asserting |8*T_s - T| <= "
-    "0.15*T (the approx_quantiles_accuracy pattern).  Deliberately "
-    "NOT in the bench extras set - it prices the exact count a second "
-    "time purely to audit the estimator; the production shape is "
-    "approx_triangle_count_copurchase.  FULLY value-oracled: both "
-    "counts, the estimate, and the boolean reproduced in DuckDB.",
+    doc="The DOULION accuracy gate (r12, VERDICT r11 #3; r14 trim per "
+    "VERDICT r13 #7): the sampled estimate and the exact count now "
+    "come from ONE degree-ordered wedge traversal - each edge carries "
+    "its md5-coin flag and a triangle counts as sampled iff all three "
+    "edges are (pipeline/graph.py:triangle_total_audit), so the audit "
+    "no longer re-traverses the sparsified graph beside the exact one "
+    "(the widest plan in the r13 tree, 86 exchanges).  within_tol "
+    "asserts |8*T_s - T| <= 0.15*T (the boolean-tolerance accuracy-gate "
+    "pattern).  Deliberately NOT in the bench extras set; the "
+    "production shape is approx_triangle_count_copurchase.  FULLY "
+    "value-oracled: both counts, the estimate, and the boolean "
+    "reproduced in DuckDB (oracle unchanged - the sampled 3-way join "
+    "over the flagged subgraph is the same count).",
 )
 def approx_triangle_tolerance_copurchase(spark, sf_dir):
-    from crick_spark.pipeline.graph import approx_triangle_total, triangle_counts
+    from crick_spark.pipeline.graph import triangle_total_audit
 
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
@@ -4846,15 +4865,9 @@ def approx_triangle_tolerance_copurchase(spark, sf_dir):
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    est = approx_triangle_total(pairs, p=0.25)
-    t_exact = triangle_counts(pairs).agg(
-        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
-        .cast("long")
-        .alias("t_exact")
-    )
-    return est.crossJoin(F.broadcast(t_exact)).select(
+    audit = triangle_total_audit(pairs, p=0.25)
+    return audit.select(
         "t_exact",
         "t_est",
         (
@@ -5423,7 +5436,8 @@ wtd AS (
   FROM rep
 ),
 reps AS (
-  SELECT r, round(sum(w * x) / sum(w), 6) AS m FROM wtd GROUP BY r
+  SELECT r, round(sum(w * x) / sum(w) + 1e-9, 6) AS m FROM wtd
+  GROUP BY r HAVING sum(w) > 0
 ),
 ranked AS (
   SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM reps
@@ -5433,7 +5447,7 @@ picks AS (
   WHERE rk IN (1, 39)
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_rows,
-       (SELECT round(avg(x), 6) FROM rows_) AS mean,
+       (SELECT round(avg(x) + 1e-9, 6) FROM rows_) AS mean,
        boot_lo, boot_hi, CAST(40 AS INTEGER) AS n_reps
 FROM picks
 """,
@@ -5443,7 +5457,10 @@ FROM picks
     "with a Poisson(1) weight drawn from the content-stable md5 coin "
     "on (event_id, rep) via the truncated inverse-CDF literal "
     "thresholds (pipeline/sampling.py:POISSON1_CDF), replicate means "
-    "round to 1e-6, and the 95% interval is integer ORDER-STATISTIC "
+    "round to 1e-6 (epsilon-bumped +1e-9 on BOTH sides so a mean on a "
+    "rounding half-boundary cannot straddle engines — ADVICE r13; "
+    "all-zero-weight replicates dropped identically on both sides "
+    "before ranking), and the 95% interval is integer ORDER-STATISTIC "
     "selection (ranks 1 and 39 of 40, ties by replicate id) - no "
     "interpolation, so the exact same replicates are chosen in any "
     "engine.  FULLY value-oracled: DuckDB reproduces every coin, "

@@ -120,6 +120,14 @@ class ExactDedupStore:
         which is exactly what erasure compliance requires).  Idempotent:
         a replay finds no resident matches and writes nothing.
 
+        **Erasure is guaranteed only after a successful return** (ADVICE
+        r13): the dynamic overwrite and the Hadoop-FS removal of
+        fully-emptied (bucket, batch) dirs are two steps, so a crash
+        between them leaves deleted keys resident.  Compliance callers
+        MUST treat any failure as not-yet-erased and replay ``delete``
+        — the replay re-finds surviving matches (or no-ops on the
+        already-clean state) and completes the removal.
+
         Returns ``{"n_deleted", "partitions_touched"}``."""
         spark = keys_df.sparkSession
         keys = (

@@ -69,8 +69,9 @@ def test_query_matches_oracle(spark, ducks, name):
 _ROWS_ONLY_MIN = {
     "tdigest_quantiles_events_value": 1,  # one row of quantile columns
     "tdigest_quantiles_by_returnflag": 3,  # one per returnflag A/N/R
-    "tdigest_cdf_events_value": 1,
-    "approx_quantiles_builtin": 1,
+    # tdigest_cdf_events_value / approx_quantiles_builtin left this
+    # list in r14 — both oracle-backed boolean-tolerance gates now
+    # (VERDICT r13 #8).
     "tdigest_centroids_events": 100,  # compression=100 ⇒ ~O(100) rows
     "minhash_near_dup_pairs": 10,  # fixture plants ≥28 near-dup pairs
     "simhash_near_dup_pairs": 10,

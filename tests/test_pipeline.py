@@ -3097,6 +3097,60 @@ def test_approx_triangle_total_doulion(spark):
     assert half["rel_err_bound"] == want_bound
 
 
+def test_triangle_total_audit_single_traversal_consistency(spark):
+    """r14 (VERDICT r13 #7): triangle_total_audit derives the sampled
+    count INSIDE the exact traversal — its (t_exact, t_sampled, t_est)
+    must equal the two-traversal pair (triangle_counts total +
+    approx_triangle_total) on the same graph and coin, including on a
+    hub-heavy graph where orientation order matters, and p=1.0
+    degenerates to t_sampled == t_exact."""
+    import hashlib
+    import itertools
+
+    from crick_spark.pipeline.graph import (
+        approx_triangle_total,
+        triangle_total_audit,
+    )
+
+    # K12 plus a hub fan (node 100 connected to 0..7) and a disjoint path
+    k12 = [(a, b) for a in range(12) for b in range(12) if a < b]
+    extra = [(i, 100) for i in range(8)] + [(200, 201), (201, 202)]
+    edges = spark.createDataFrame(k12 + extra, "src long, dst long")
+
+    audit = triangle_total_audit(edges, p=0.5).collect()[0]
+    est = approx_triangle_total(edges, p=0.5).collect()[0]
+    nodes = sorted({n for e in k12 + extra for n in e})
+    eset = {tuple(sorted(e)) for e in k12 + extra}
+    want_exact = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= eset
+    )
+    assert audit["t_exact"] == want_exact
+    assert audit["n_edges"] == est["n_edges"] == len(eset)
+    assert audit["n_sampled"] == est["n_sampled"]
+    assert audit["t_sampled"] == est["t_sampled"]
+    assert audit["t_est"] == est["t_est"]
+    # and the sampled count matches a Python recomputation of the coin
+    keep = {
+        (a, b)
+        for a, b in eset
+        if int(hashlib.md5(f"{a}#{b}".encode()).hexdigest()[:6], 16)
+        / (1 << 24)
+        < 0.5
+    }
+    want_s = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= keep
+    )
+    assert audit["t_sampled"] == want_s
+
+    degen = triangle_total_audit(edges, p=1.0).collect()[0]
+    assert degen["t_sampled"] == degen["t_exact"] == want_exact
+    assert degen["t_est"] == want_exact
+
+
 def test_png_roundtrip_all_filters_and_strictness():
     """r12: encode_png/decode_png roundtrip exactly under every scanline
     filter (RGB and grayscale), mixed filters per image, and strict
@@ -3369,8 +3423,13 @@ def test_ahash_64_pixel_frames_pack_bit63_as_sign(spark):
 
 def test_audio_fingerprint_empty_clip_flagged_not_fatal(spark):
     """r13 (ADVICE r12): a zero-sample WAV (truncated/empty clip) must
-    not kill the Arrow batch — it yields a flag row (fp=0, n_windows=0)
-    while healthy rows in the SAME batch still fingerprint normally."""
+    not kill the Arrow batch — it yields a flag row while healthy rows
+    in the SAME batch still fingerprint normally.  r14 (ADVICE r13):
+    the flag fp is NULL, not 0 — fp=0 is the legitimate fingerprint of
+    a non-increasing energy contour (silence), so a 0 sentinel would
+    merge truncated clips with real ones under fp-keyed dedup; NULL is
+    outside the value domain and NULL-key rows are dropped by
+    ExactDedupStore.fold by construction."""
     import numpy as np
 
     from crick_spark.pipeline.multimodal import (
@@ -3400,7 +3459,7 @@ def test_audio_fingerprint_empty_clip_flagged_not_fatal(spark):
             media, n_windows=16, decoder=real_audio_decoder
         ).collect()
     }
-    assert rows[0]["fp"] == 0 and rows[0]["n_windows"] == 0
+    assert rows[0]["fp"] is None and rows[0]["n_windows"] == 0
     es = np.array([9, 1, 16, 1, 25, 81, 4])
     assert rows[1]["n_windows"] == 7
     assert rows[1]["fp"] == sum(

