@@ -100,12 +100,27 @@ _GATE_WINDOW = [
     # Paeth/Sub/Up defilter) value-matched against DuckDB integer
     # pixel arithmetic
     "png_decode_features_documents",
-    "percentile_events_value",
+    # r14: percentile_events_value rotated out (VERDICT r13 #1 — second
+    # exact single-point percentile in-window; exact quantiles stay
+    # driver-visible through tdigest_quantile_accuracy, which recomputes
+    # them in-query as the error denominator; still oracle-checked
+    # outside) for the PRODUCTION quantile-binning pair — decile edges
+    # from the engine's own t-digest (constant sketch state per
+    # partition, never F.percentile's every-value buffer — the r13
+    # scale-killer swap), per-bin mass/contiguity booleans plus the
+    # total-preservation accuracy twin
+    "quantile_binning_extendedprice",
+    "quantile_binning_approx_accuracy",
     # r6: percentile_quantity_by_returnflag rotated out (second exact
     # percentile variant in-window; still oracle-checked outside) for the
     # batched-BPE trainer gate — batched == sequential greedy, frequency
     # monotonicity, and the job-count drop become driver-visible
-    "bpe_train_batched_documents",
+    # r14: bpe_train_batched_documents rotated out (VERDICT r13 #1 —
+    # batched ≡ sequential stays pytest-pinned and oracle-checked
+    # outside) for bpe_train_documents, the sequential trainer that
+    # got a FULL value oracle in r13: 12 unrolled MATERIALIZED DuckDB
+    # CTE merge rounds reproduce every pair count and merge choice
+    "bpe_train_documents",
     # r8: histogram_quantity rotated out (tdigest histogram twin
     # tdigest_histogram_quantity stays value-oracled outside, and the
     # accuracy family keeps cdf + quantile slots in-window) for the
@@ -134,7 +149,14 @@ _GATE_WINDOW = [
     # md5-coin edge-sampled estimate (the 100 TB production shape,
     # SCALE's answer to the 8.7× exact-triangles row) plus its
     # accuracy gate asserting |8*T_s − T| ≤ 0.15*T
-    "approx_triangle_count_copurchase",
+    # r14: approx_triangle_count_copurchase rotated out (VERDICT r13
+    # #1/#7 — the single-traversal audit below now computes the SAME
+    # md5 coin, sampled count, and estimate in-window, making the
+    # count query a strict information subset; still oracle-checked
+    # outside) for degree-capped exact triangles — the hub-bounded
+    # m·d_max form (graph.py:triangle_counts_capped), the estimator's
+    # deterministic complement, fully value-oracled incl. the coin
+    "triangle_capped_copurchase",
     "approx_triangle_tolerance_copurchase",
     # r5: topk_parts_per_brand rotated out (third exact top-k variant
     # in-window; still oracle-checked outside) for the end-to-end
@@ -160,7 +182,15 @@ _GATE_WINDOW = [
     # decomposition, the per-node column a curation user actually
     # joins against, value-matched per node
     "coreness_copurchase",
-    "events_hourly_rollup",
+    # r14: events_hourly_rollup rotated out (VERDICT r13 #1 —
+    # time-bucketed rollups stay driver-visible through
+    # tdigest_rollup_hierarchy_events, which pins exact per-period
+    # counts over the same events day buckets, and the streamed
+    # session form below; still oracle-checked outside) for the
+    # Poisson-bootstrap CI — the resampling uncertainty primitive
+    # (one explode + one grouped agg at any scale), every md5 coin,
+    # replicate mean, and order-statistic pick reproduced by DuckDB
+    "bootstrap_ci_events_value",
     # r7: distinct_mktsegments_per_region rotated out (exact distinct
     # counts also exercised by set-op/HLL queries; still oracle-checked
     # outside) for the profiler's approx-distinct accuracy twin — the
@@ -198,7 +228,12 @@ _GATE_WINDOW = [
     # in-window; still oracle-checked outside) for the unigram-LM
     # trainer gate — normalization/EM-monotonicity/coverage/determinism
     # of the second tokenizer family become driver-visible
-    "unigram_lm_invariants",
+    # r14: unigram_lm_invariants rotated out (VERDICT r13 #1 — the
+    # invariant booleans stay oracle-checked outside) for the trained
+    # VOCAB itself: every surviving piece and its EM-converged
+    # probability hash-matched, the stronger statement the invariant
+    # gate only bounded
+    "unigram_lm_vocab_documents",
     "moments_bias_corrected",
     # r12: cube_orders_status_priority rotated out (second
     # grouping-sets form in-window — rollup_revenue_region_nation
@@ -308,7 +343,14 @@ _GATE_WINDOW = [
     # the same pair set, but maintained batch-wise through the persisted
     # ClusterStore (r6 VERDICT item 6); the batch twin stays
     # oracle-checked outside the window
-    "incremental_dedup_clusters",
+    # r14: incremental_dedup_clusters rotated out (VERDICT r13 #1/#2 —
+    # its fold path is contained in the erasure superset below, which
+    # folds the SAME jaccard pair set through the SAME ClusterStore
+    # before deleting; still oracle-checked outside) for
+    # right-to-be-forgotten over the cluster store: node erasure with
+    # representative relabeling, the whole surviving labeling
+    # hash-matched against DuckDB's closure-minus-nodes recomputation
+    "cluster_store_delete_rtbf",
     # r13: tdigest_centroid_invariants rotated out (VERDICT r12 #1 —
     # the centroid k-scale/mass invariants stay driver-visible through
     # tdigest_quantile_accuracy + tdigest_rollup_hierarchy_events,
@@ -326,16 +368,32 @@ _GATE_WINDOW = [
     # equality vs the in-memory path asserted (VERDICT r9 item 2)
     "streaming_ann_index_maintenance",
     # LLM-pipeline representatives
-    "dedup_exact_documents",
+    # r14: dedup_exact_documents rotated out (VERDICT r13 #1 — exact
+    # hash-keyed dedup stays driver-visible through
+    # incremental_exact_dedup_frames, the same groupBy-min attribution
+    # through the persisted store; still oracle-checked outside) for
+    # the store's erasure twin: ExactDedupStore.delete with partition
+    # surgery, the surviving census hash-matched
+    "dedup_store_delete_rtbf",
     "jaccard_ngram_dup_pairs",
     "lang_id_documents",
     # r6: knn_bruteforce_cosine rotated out for its BULK superset — the
     # 5-query exact panel value-oracled per (query, rank) pair includes
     # the old single-query result as query_id 0
-    "knn_bulk_bruteforce",
+    # r14: knn_bulk_bruteforce rotated out (VERDICT r13 #1 — the exact
+    # top-k panel stays driver-visible as the recall denominator
+    # recomputed in-query by knn_graph_recall_panel; still
+    # oracle-checked outside) for IVF-layout right-to-be-forgotten:
+    # per-cluster-partition erasure of deleted vectors, untouched
+    # clusters byte-identical, the surviving layout census hash-matched
+    "ivf_layout_delete_rtbf",
     # temporal joins (round-2 NTZ regression site — keep driver-visible)
     "asof_join_events_orders",
-    "range_join_event_pairs",
+    # r14: range_join_event_pairs rotated out (VERDICT r13 #1 — second
+    # temporal-join form in-window; the NTZ regression site stays
+    # driver-visible through asof_join_events_orders above; still
+    # oracle-checked outside). Slot absorbed by the quantile-binning
+    # PAIR near the top — the window stays at exactly 50.
     # streaming representative
     # r9: streaming_hourly_rollup rotated out (its TUMBLING semantics
     # stay driver-visible through the batch twin events_hourly_rollup
