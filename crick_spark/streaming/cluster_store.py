@@ -179,12 +179,22 @@ class ClusterStore:
         return spark.read.parquet(*paths).select(*cols)
 
     def labels(self, spark: SparkSession) -> DataFrame | None:
-        """Current committed (node, component) labeling, or None before
-        the first fold."""
-        _, lab_paths, _ = self.read_meta(spark)
-        return self._read_buckets(
-            spark, lab_paths, None, ["node", "component"]
-        )
+        """Current committed (node, component) labeling.
+
+        ``None`` ONLY before the first commit (no meta yet).  A store
+        whose commits produced no resident labels — every fold was a
+        pair-free fence, or deletes emptied it — returns an EMPTY typed
+        DataFrame instead: callers chain ``.groupBy``/``.join`` on the
+        result, and conflating "no store" with "empty labeling" made a
+        zero-pair corpus crash them (found by the r14 sf0.3 sweep, where
+        an unplanted document corpus had no near-dup pairs at all)."""
+        last_id, lab_paths, _ = self.read_meta(spark)
+        res = self._read_buckets(spark, lab_paths, None, ["node", "component"])
+        if res is None and last_id >= 0:
+            return spark.createDataFrame(
+                [], "node long, component long"
+            )
+        return res
 
     # contracted graphs at or under this edge count close driver-side
     # (one collect + union-find) instead of spinning up the iterative

@@ -1170,6 +1170,32 @@ def test_cluster_store_delete_rtbf_semantics(spark, tmp_path):
     )
 
 
+def test_cluster_store_empty_labeling_typed_not_none(spark, tmp_path):
+    """r14 sf0.3 sweep find: a store whose commits hold no resident
+    labels (pair-free folds, or deletes that emptied it) must return an
+    EMPTY typed DataFrame from labels(), not None — callers chain
+    groupBy/join on it, and a zero-near-dup corpus crashed both cluster
+    gate queries.  None stays reserved for never-committed stores."""
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    store = ClusterStore(str(tmp_path / "store"), n_buckets=4)
+    assert store.labels(spark) is None  # no meta yet: contract unchanged
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert store.fold(empty, 0)
+    lab = store.labels(spark)
+    assert lab is not None and lab.count() == 0
+    assert [f.name for f in lab.schema.fields] == ["node", "component"]
+    # chaining works (the exact shape the gate queries run)
+    assert lab.groupBy("component").count().count() == 0
+    # deletes that empty the store land in the same contract
+    assert store.fold(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"), 1
+    )
+    store.delete(spark.createDataFrame([(1,), (2,)], "node long"), 2)
+    lab = store.labels(spark)
+    assert lab is not None and lab.count() == 0
+
+
 def test_cluster_store_delete_untouched_buckets_byte_identical(
     spark, tmp_path
 ):
@@ -1449,9 +1475,11 @@ def test_cluster_store_empty_first_batch_commits_fence(spark, tmp_path):
     )
     assert store.fold(empty, 0) is True
     assert store.fold(empty, 0) is False  # fence advanced
-    assert store.labels(spark) is None
+    # r14: committed-but-empty labeling is an empty TYPED frame (the
+    # zero-pair-corpus contract), no longer None
+    assert store.labels(spark).count() == 0
     assert store.fold(self_pairs, 1) is True  # normalizes to empty
-    assert store.labels(spark) is None
+    assert store.labels(spark).count() == 0
     # a real batch after the fences folds normally
     real = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     assert store.fold(real, 2) is True
