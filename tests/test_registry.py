@@ -38,8 +38,21 @@ def test_gate_window_family_coverage():
     # and knn_graph_recall_panel keep those families in-window — for the
     # r9 ANN layout/maintenance flagships)
     assert "tpch_q9_product_profit" in w
-    assert {"dedup_exact_documents", "jaccard_ngram_dup_pairs"} <= w
-    assert {"asof_join_events_orders", "range_join_event_pairs"} <= w
+    # r14 rotation (VERDICT r13 #1): dedup_exact_documents out — exact
+    # hash-keyed dedup stays in-window through
+    # incremental_exact_dedup_frames; the freed slot carries the exact-
+    # dedup store's ERASURE twin.  The three right-to-be-forgotten gates
+    # are the r14 flagships.
+    assert {
+        "incremental_exact_dedup_frames",
+        "jaccard_ngram_dup_pairs",
+        "dedup_store_delete_rtbf",
+        "ivf_layout_delete_rtbf",
+        "cluster_store_delete_rtbf",
+    } <= w
+    # r14: range_join_event_pairs out — the temporal-join/NTZ family
+    # stays in-window through the asof join alone
+    assert "asof_join_events_orders" in w
     # r9 rotation: the streaming slot upgraded from the tumbling rollup
     # (batch twin events_hourly_rollup keeps tumbling in-window) to the
     # session-window streaming rollup (merging state + watermark)
@@ -72,14 +85,26 @@ def test_gate_window_family_coverage():
         "multimodal_curation_v1",
         "audio_fingerprint_dedup_census",
     } <= w
-    # r13: the graph family's gate slots are the production scale forms
-    # (DOULION pair + coreness + PPR) — exact triangles and kcore peel
-    # stay oracle-checked outside the window.
+    # r13: the graph family's gate slots are the production scale forms.
+    # r14: approx_triangle_count_copurchase out — the single-traversal
+    # tolerance audit now computes the same coin, sampled count, and
+    # estimate in-window; the freed slot carries the degree-capped exact
+    # form (the estimator's deterministic complement).
     assert {
-        "approx_triangle_count_copurchase",
+        "triangle_capped_copurchase",
         "approx_triangle_tolerance_copurchase",
         "coreness_copurchase",
         "personalized_pagerank_building",
+    } <= w
+    # r14 flagships from the r13 closure work: the quantile-binning
+    # production pair, the full-oracle BPE trainer, the trained unigram
+    # vocab, and the bootstrap CI
+    assert {
+        "quantile_binning_extendedprice",
+        "quantile_binning_approx_accuracy",
+        "bpe_train_documents",
+        "unigram_lm_vocab_documents",
+        "bootstrap_ci_events_value",
     } <= w
 
 
