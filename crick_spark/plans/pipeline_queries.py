@@ -1447,7 +1447,7 @@ def chunk_documents(spark, sf_dir):
 
 
 _JACCARD_PAIRS_CTE = r"""
-s AS (
+s AS MATERIALIZED (
   SELECT doc_id, lang,
     CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
       THEN list_distinct(list_transform(
@@ -1457,7 +1457,7 @@ s AS (
     END AS sh
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -3754,7 +3754,7 @@ def perplexity_buckets_documents(spark, sf_dir):
 # reproduce the same DuckDB recursive-CTE reachability closure over the
 # identical exact-Jaccard pair set.
 _CLUSTERS_ORACLE = r"""
-WITH RECURSIVE s AS (
+WITH RECURSIVE s AS MATERIALIZED (
   SELECT doc_id, lang,
     CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
       THEN list_distinct(list_transform(
@@ -3764,7 +3764,7 @@ WITH RECURSIVE s AS (
     END AS sh
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

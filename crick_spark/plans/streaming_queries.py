@@ -1221,7 +1221,7 @@ def dedup_store_delete_rtbf(spark, sf_dir):
 @register(
     "cluster_store_delete_rtbf",
     oracle=r"""
-WITH RECURSIVE s AS (
+WITH RECURSIVE s AS MATERIALIZED (
   SELECT doc_id, lang,
     CASE WHEN len(string_split_regex(trim(coalesce(text, '')), '\s+')) - 2 >= 1
       THEN list_distinct(list_transform(
@@ -1231,7 +1231,7 @@ WITH RECURSIVE s AS (
     END AS sh
   FROM documents
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
