@@ -172,10 +172,29 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     texts = [
         " ".join(flat[offs[i]:offs[i + 1]]) for i in range(n_doc)
     ]
+    langs = np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)]
+    # Planted near-duplicates (the shipped corpora carry them: sf0.01
+    # holds 6 same-lang pairs at 2-gram Jaccard 0.95-0.99 — near-copies
+    # with a few word edits — which the near-dup/cluster families need
+    # to be non-vacuous).  A SEPARATE rng stream keeps the main stream's
+    # draw count untouched, so regenerating with/without plants leaves
+    # every OTHER table byte-identical.
+    prng = np.random.default_rng(seed + 1_000_003)
+    n_plant = max(6, round(0.015 * n_doc))
+    victims = prng.choice(np.arange(n_doc // 2, n_doc), n_plant, False)
+    for v in victims:
+        src_doc = int(prng.integers(0, n_doc // 2))
+        words = texts[src_doc].split()
+        for _ in range(int(prng.integers(1, 4))):
+            words[int(prng.integers(0, len(words)))] = VOCAB[
+                int(prng.integers(0, len(VOCAB)))
+            ]
+        texts[int(v)] = " ".join(words)
+        langs[int(v)] = langs[src_doc]
     _write(out_dir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
-        "lang": pa.array(np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)]),
+        "lang": pa.array(langs),
         "source": [f"src{s}" for s in rng.integers(0, 20, n_doc)],
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
