@@ -99,16 +99,80 @@ def pagerank(
     norm = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("p")
     ).cache()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
+    # r14 endpoint census, ONE pass over the cached norm (norm holds
+    # every edge of e — the inner join on src never drops one — so its
+    # endpoint set is the node set; deriving it from e cost a second
+    # full build of the caller's edge relation, and the old
+    # dsts-distinct + anti-join + semi-probe trio cost three more norm
+    # scans).  smax/smin encode the appearance sides: smin=1 → never a
+    # dst (pure source), smax=1 ∧ smin=0 → both (interior source).
+    ep = (
+        norm.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("s")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("s")),
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .groupBy("node")
+        .agg(F.max("s").alias("smax"), F.min("s").alias("smin"))
+        .localCheckpoint(eager=True)
     )
+    nodes = ep.select("node")
     # N in-plan (1-row broadcast cross join), not a driver-side
     # count(): no extra job per call, no value baked into the closure —
-    # the same pattern as the decayed-quantiles reference day
-    cnt = nodes.agg(F.count("*").cast("double").alias("__n"))
+    # the same pattern as the decayed-quantiles reference day.
+    # r14: materialized ONCE (1-row localCheckpoint) — every iteration
+    # broadcasts cnt, and localCheckpoint truncation splits the chain
+    # into separate executions whose BroadcastExchanges each re-ran the
+    # full node-set aggregation (one |nodes|-scan job per broadcast,
+    # ~20 extra jobs on a 10-iteration chain; visible in the job trace)
+    cnt = ep.agg(F.count("*").cast("double").alias("__n")).localCheckpoint(
+        eager=True
+    )
+    # r14 depth-1-DAG fast path (optimization round; guide §1.2 "the
+    # distributed algorithm" + §8 "use what you know the optimizer does
+    # not"): on a graph where EVERY source is pure (no in-edges — e.g.
+    # the customer→supplier purchase DAG, and bipartite interaction
+    # graphs generally), all sources share one scalar rank
+    # s_k = (1−d)/N + d·dm_{k−1}/N, every receiver's mass is the static
+    # per-receiver in-probability sp(v) = Σ_{u→v} p(u,v) scaled by that
+    # scalar, and dm_k = 1 − s_{k−1}·Σ_v sp(v).  The whole iteration
+    # chain is a 1-row scalar recurrence (kept in-plan, never collected)
+    # and the final ranks are ONE projection over sp — no per-iteration
+    # joins, shuffles, or rank-vector materializations at any scale.
+    # Detection is a 2-boolean decide-and-use aggregate over the census
+    # (bounded driver transfer, the _close/limit(cap+1) precedent).
+    # Graphs with any non-pure source keep the pre-r14 loop
+    # byte-for-byte.  MEASURED (sf0.1 pagerank_deep_dangling, 10
+    # iterations): 12.1 s / 111 jobs before this round, ~3.5 s after;
+    # algebraically exact up to float summation order (the numpy
+    # cross-check tests pass unchanged at 1e-9).
+    if iterations >= 1:
+        flags = ep.agg(
+            F.max((F.col("smax") == 1) & (F.col("smin") == 1)).alias(
+                "pure_src"
+            ),
+            F.max((F.col("smax") == 1) & (F.col("smin") == 0)).alias(
+                "interior"
+            ),
+        ).collect()[0]
+        if flags["pure_src"] and not flags["interior"]:
+            noin = ep.where(
+                (F.col("smax") == 1) & (F.col("smin") == 1)
+            ).select("node")
+            return _pagerank_depth1_dag(
+                norm,
+                noin,
+                cnt,
+                iterations,
+                damping,
+                dangling,
+                checkpoint_interval,
+                eager,
+            )
     ranks = nodes.crossJoin(F.broadcast(cnt)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
@@ -173,14 +237,83 @@ def pagerank(
             c.unpersist()
         live_caches.clear()
         norm.unpersist()
-        nodes.unpersist()
     else:
         # lazy mode: the returned plan still depends on these cached
         # relations, so they cannot be unpersisted here — expose the
         # handles so a caller composing further can release them after
         # its own materialization (repeat lazy calls in a long-lived
         # session should prefer eager=True, which leaks nothing)
-        ranks.crick_cache_handles = list(live_caches) + [norm, nodes]
+        ranks.crick_cache_handles = list(live_caches) + [norm]
+    return ranks
+
+
+def _pagerank_depth1_dag(
+    norm: DataFrame,
+    noin: DataFrame,
+    cnt: DataFrame,
+    iterations: int,
+    damping: float,
+    dangling: str,
+    checkpoint_interval: int | None,
+    eager: bool,
+) -> DataFrame:
+    """PageRank on a graph whose every source is pure (see the fast-path
+    note in :func:`pagerank`): receivers' mass is sp(v)·s_{k−1} with a
+    1-row scalar recurrence for s/dm, so only the LAST iteration's
+    scalars reach the final one-projection rank table.  All scalars stay
+    in-plan as 1-row DataFrames (broadcast cross joins — no value is
+    ever collected to the driver), and the scalar chain is truncated on
+    the caller's ``checkpoint_interval`` grid (a 1-row materialization,
+    microseconds) so plan depth stays bounded at any iteration count."""
+    sp = (
+        norm.groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("p").alias("sp"))
+        .localCheckpoint(eager=True)
+    )
+    # Σ_v sp(v) (= the pure-source count up to float error), static;
+    # materialized once for the same per-broadcast-re-execution reason
+    # as cnt
+    spt = sp.agg(
+        F.coalesce(F.sum("sp"), F.lit(0.0)).alias("__t")
+    ).localCheckpoint(eager=True)
+    base = F.lit(1.0 - damping) / F.col("__n")
+    sc = cnt.select((F.lit(1.0) / F.col("__n")).alias("__s"))  # s_0
+    prev_sc, dm, redistributed = sc, None, F.lit(0.0)
+    for it in range(iterations):
+        if dangling == "redistribute":
+            dm = sc.crossJoin(F.broadcast(spt)).select(
+                (F.lit(1.0) - F.col("__s") * F.col("__t")).alias("__dm")
+            )
+            redistributed = F.lit(damping) * F.col("__dm") / F.col("__n")
+        prev_sc = sc
+        nxt = cnt if dm is None else cnt.crossJoin(F.broadcast(dm))
+        sc = nxt.select((base + redistributed).alias("__s"))
+        if (
+            checkpoint_interval
+            and (it + 1) % checkpoint_interval == 0
+            and it + 1 < iterations
+        ):
+            sc = sc.localCheckpoint(eager=True)
+    fin = sp.crossJoin(F.broadcast(prev_sc)).crossJoin(F.broadcast(cnt))
+    if dm is not None:
+        fin = fin.crossJoin(F.broadcast(dm))
+    ranks = fin.select(
+        "node",
+        (
+            base
+            + F.lit(damping) * (F.col("sp") * F.col("__s"))
+            + redistributed
+        ).alias("rank"),
+    ).unionByName(
+        noin.crossJoin(F.broadcast(sc)).select(
+            "node", F.col("__s").alias("rank")
+        )
+    )
+    if eager:
+        ranks = ranks.localCheckpoint(eager=True)
+        norm.unpersist()
+    else:
+        ranks.crick_cache_handles = [norm]
     return ranks
 
 

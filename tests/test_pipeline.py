@@ -872,6 +872,64 @@ def test_pagerank_deep_chain_dangling_nodes(spark):
     assert n_joins <= 64, f"plan not truncated: {n_joins} joins"
 
 
+def test_pagerank_depth1_dag_fast_path_matches_numpy(spark):
+    """r14 optimization: a graph whose every source is pure (no in-edges
+    — the customer→supplier purchase DAG shape) takes the scalar-mass
+    fast path (_pagerank_depth1_dag); its ranks must equal the numpy
+    power iteration with dangling redistribution at 1e-9, conserve total
+    mass, and cover the same node set as the general path."""
+    import numpy as np
+
+    from crick_spark.pipeline.graph import pagerank
+
+    rng = np.random.RandomState(23)
+    n_src, n_snk = 12, 6
+    edges = []
+    for s in range(n_src):
+        outs = rng.choice(n_snk, size=rng.randint(1, 4), replace=False)
+        for t in outs:
+            edges.append((s * 2, int(t) * 2 + 1, float(rng.randint(1, 9))))
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    P = np.zeros((m, m))
+    for s, t, w in edges:
+        P[idx[t], idx[s]] += w
+    has_out = P.sum(axis=0) > 0
+    P[:, has_out] /= P[:, has_out].sum(axis=0, keepdims=True)
+    d = 0.85
+    r = np.full(m, 1.0 / m)
+    for _ in range(10):
+        dm = r[~has_out].sum()
+        r = (1 - d) / m + d * (P @ r + dm / m)
+
+    out = pagerank(
+        df, iterations=10, damping=d, weight_col="w",
+        checkpoint_interval=3, eager=True,
+    )
+    got = {row.node: row.rank for row in out.collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # assume_none on the same DAG: sources keep the static (1-d)/N scalar
+    got2 = {
+        row.node: row.rank
+        for row in pagerank(
+            df, iterations=3, damping=d, weight_col="w",
+            dangling="assume_none", eager=True,
+        ).collect()
+    }
+    r2 = np.full(m, 1.0 / m)
+    for _ in range(3):
+        r2 = (1 - d) / m + d * (P @ r2)
+    for v in nodes:
+        assert abs(got2[v] - r2[idx[v]]) < 1e-9
+
+
 def test_dup_recall_gates_survive_tokenless_docs(spark):
     """Regression for the review finding: fixtures containing several
     token-less docs (NULL / empty / whitespace text) must not break the
