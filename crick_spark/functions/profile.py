@@ -44,6 +44,14 @@ def profile_columns(
     ``n_distinct`` is an HLL++ estimate (relative sd ``rsd``) unless
     ``exact_distinct=True`` — see module docstring for why approx is the
     default (Expand-free single-pass plan)."""
+    from crick_spark.functions.skew import ensure_scan_parallelism
+
+    # r14 (guide §2.5 input parallelism): a small parquet table is one
+    # row group → ONE scan partition, so the whole census — and in exact
+    # mode the ×|cols| Expand replay — ran on a single task (measured
+    # sf0.1 orders: 2.5 s in one task).  Spread raw rows first; no-op at
+    # real scale where splits ≫ cores.
+    df = ensure_scan_parallelism(df)
     cols = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for c in cols:

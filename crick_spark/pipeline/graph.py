@@ -664,6 +664,15 @@ def triangle_counts(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    return _triangle_counts_normalized(e)
+
+
+def _triangle_counts_normalized(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counts over edges ALREADY normalized to
+    distinct (u < v) pairs — the r14 entry for callers that hold a
+    normalized edge set (DOULION's sampled subgraph, the capped graph):
+    re-running the least/greatest + distinct there re-shuffled an
+    edge-sized relation per call for nothing (guide §2.4)."""
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -686,13 +695,16 @@ def triangle_counts(
     o1 = keyed.select(F.col("lo").alias("u"), F.col("hi").alias("a"))
     o2 = keyed.select(F.col("lo").alias("u"), F.col("hi").alias("b"))
     wedges = o1.join(o2, "u").where(F.col("a") < F.col("b"))
+    # (a, b) of a wedge are both oriented-ABOVE u but in unknown mutual
+    # order, so probe the closing edge in its undirected form.  No
+    # distinct (r14): keyed holds one row per unique undirected edge, so
+    # the two directed copies are distinct tuples by construction — the
+    # old closing.distinct() re-shuffled 2·|E| rows as a pure no-op.
     closing = keyed.select(
         F.col("lo").alias("wa"), F.col("hi").alias("wb")
     ).unionAll(keyed.select(F.col("hi").alias("wa"), F.col("lo").alias("wb")))
-    # (a, b) of a wedge are both oriented-ABOVE u but in unknown mutual
-    # order, so probe the closing edge in its undirected form
     tri = wedges.join(
-        closing.distinct(),
+        closing,
         (F.col("a") == F.col("wa")) & (F.col("b") == F.col("wb")),
     ).select("u", "a", "b")
     return (
@@ -741,8 +753,13 @@ def approx_triangle_total(
     samp = e.where(
         md5_uniform(F.concat_ws("#", F.col("a"), F.col("b"))) < F.lit(p)
     )
+    # samp is a filter of the normalized+checkpointed e — already
+    # distinct (u<v) pairs, so skip triangle_counts' re-normalization
+    # (one edge-sized shuffle saved per call; r14)
     t_samp = (
-        triangle_counts(samp, src_col="a", dst_col="b")
+        _triangle_counts_normalized(
+            samp.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
         .agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("t_sampled"))
     )
     n_e = e.agg(F.count("*").alias("n_edges"))
@@ -835,13 +852,15 @@ def triangle_total_audit(
         F.col("lo").alias("u"), F.col("hi").alias("wb"), F.col("s").alias("s2")
     )
     wedges = o1.join(o2, "u").where(F.col("wa") < F.col("wb"))
+    # no distinct (r14): keyed is one row per unique undirected edge, so
+    # the two directed copies are distinct (wa, wb) tuples by
+    # construction — same no-op-shuffle removal as triangle_counts
     closing = (
         keyed.select(F.col("lo").alias("wa"), F.col("hi").alias("wb"), "s")
         .unionAll(
             keyed.select(F.col("hi").alias("wa"), F.col("lo").alias("wb"), "s")
         )
         .withColumnRenamed("s", "s3")
-        .distinct()
     )
     tri = wedges.join(closing, ["wa", "wb"])
     totals = tri.agg(
@@ -929,7 +948,11 @@ def triangle_counts_capped(
         .select("a", "b")
         .localCheckpoint(eager=True)  # degree census + wedge join reuse
     )
-    t = triangle_counts(capped, src_col="a", dst_col="b").agg(
+    # capped is distinct (a < b) by construction (groupBy over the
+    # normalized e) — skip triangle_counts' re-normalization shuffle
+    t = _triangle_counts_normalized(
+        capped.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    ).agg(
         (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
         .cast("long")
         .alias("t_capped")
@@ -1002,6 +1025,11 @@ def coreness(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    # (r14 measured, NOT adopted: hash-repartitioning this incidence
+    # list by the join key before the checkpoint — hoping each round's
+    # und⨝labels join would reuse the partitioning — ran ~0.6 s SLOWER
+    # at sf0.1: the checkpointed LogicalRDD's partitioning is not
+    # credited by the planner, so the extra exchange bought nothing)
     und = (
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))

@@ -4602,7 +4602,9 @@ def triangle_counts_copurchase(spark, sf_dir):
         .join(op.alias("y"), "o")
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        .distinct()
+        # no .distinct() here (r14): every graph operator normalizes its
+        # edge input (least/greatest + distinct) internally — the
+        # query-level dedup re-shuffled the same pair relation twice
     )
     # eager localCheckpoint, not cache(): the per-node counts feed BOTH
     # output branches (top-15 and the global sum), and materializing here
@@ -4688,7 +4690,9 @@ def kcore_peel_copurchase(spark, sf_dir):
         .join(op.alias("y"), "o")
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        .distinct()
+        # no .distinct() here (r14): every graph operator normalizes its
+        # edge input (least/greatest + distinct) internally — the
+        # query-level dedup re-shuffled the same pair relation twice
     )
     return kcore_peel(pairs, k=None, rounds=4)
 
@@ -4751,7 +4755,9 @@ def coreness_copurchase(spark, sf_dir):
         .join(op.alias("y"), "o")
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        .distinct()
+        # no .distinct() here (r14): every graph operator normalizes its
+        # edge input (least/greatest + distinct) internally — the
+        # query-level dedup re-shuffled the same pair relation twice
     )
     c = coreness(pairs, rounds=3)
     return c.groupBy(F.col("coreness").cast("long").alias("coreness")).agg(
@@ -4812,7 +4818,9 @@ def approx_triangle_count_copurchase(spark, sf_dir):
         .join(op.alias("y"), "o")
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        .distinct()
+        # no .distinct() here (r14): every graph operator normalizes its
+        # edge input (least/greatest + distinct) internally — the
+        # query-level dedup re-shuffled the same pair relation twice
     )
     return approx_triangle_total(pairs, p=0.25)
 
@@ -4864,7 +4872,9 @@ def approx_triangle_tolerance_copurchase(spark, sf_dir):
         .join(op.alias("y"), "o")
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        .distinct()
+        # no .distinct() here (r14): every graph operator normalizes its
+        # edge input (least/greatest + distinct) internally — the
+        # query-level dedup re-shuffled the same pair relation twice
     )
     audit = triangle_total_audit(pairs, p=0.25)
     return audit.select(
@@ -4931,7 +4941,9 @@ def triangle_capped_copurchase(spark, sf_dir):
         .join(op.alias("y"), "o")
         .where(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        .distinct()
+        # no .distinct() here (r14): every graph operator normalizes its
+        # edge input (least/greatest + distinct) internally — the
+        # query-level dedup re-shuffled the same pair relation twice
     )
     return triangle_counts_capped(pairs, d_max=32)
 

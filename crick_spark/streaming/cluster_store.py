@@ -97,6 +97,16 @@ class ClusterStore:
         #: phase touched) — the O(touched-buckets) proof the scale test
         #: asserts on; refreshed by every fold()
         self.last_fold_stats: dict[str, int] = {}
+        # r14: in-memory mirror of the resolved meta state
+        # (last_id, labels{bucket: path}, cindex{cbucket: path}).  Within
+        # ONE store instance every fold/delete re-read the meta parquet
+        # from disk (schema job + scan + collect per call) only to learn
+        # state this instance just committed.  The mirror is updated
+        # ONLY after a successful _commit_meta — a crashed fold leaves
+        # it untouched exactly as it leaves the disk meta untouched —
+        # and a REOPEN (new instance) always reads disk, so the
+        # crash-recovery and replay-fence semantics are unchanged.
+        self._meta_mirror: tuple | None = None
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
@@ -109,6 +119,9 @@ class ClusterStore:
         path None: current, but containing no rows."""
         from pyspark.errors import AnalysisException
 
+        if self._meta_mirror is not None:
+            last_id, labels, cindex = self._meta_mirror
+            return last_id, dict(labels), dict(cindex)
         try:
             # no mergeSchema needed for the format guard: if the sampled
             # footer is an OLD file, 'kind' is missing from the schema
@@ -119,6 +132,7 @@ class ClusterStore:
             meta_df = spark.read.parquet(self._meta)
         except AnalysisException as e:
             if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                self._meta_mirror = (-1, {}, {})
                 return -1, {}, {}
             raise
         if "kind" not in meta_df.columns:
@@ -129,6 +143,7 @@ class ClusterStore:
             )
         rows = meta_df.collect()
         if not rows:
+            self._meta_mirror = (-1, {}, {})
             return -1, {}, {}
         if any(r["kind"] is None and int(r["bucket"]) >= 0 for r in rows):
             raise ValueError(
@@ -157,6 +172,7 @@ class ClusterStore:
                 current[key] = (bid, r["path"] or None)
         labels = {b: p for (k, b), (_, p) in current.items() if k == "labels"}
         cindex = {b: p for (k, b), (_, p) in current.items() if k == "cindex"}
+        self._meta_mirror = (last_id, dict(labels), dict(cindex))
         return last_id, labels, cindex
 
     @staticmethod
@@ -701,25 +717,26 @@ class ClusterStore:
         Spark read-back of the generation (never a driver-local
         listing — r10 ADVICE)."""
         gen = self._gen(batch_id)
-        out = final.withColumn("bucket", self._bucket(F.col("node")))
         # one writer task per bucket (r9): without the repartition the
         # upstream shuffle's 32 partitions each open files in up to
         # n_buckets dirs — O(32·n_buckets) task-file commits for a
         # micro-batch-sized relation; hash-repartitioning on the
         # partition column is also the write shape that scales (task
-        # count rides n_buckets, each bucket one file per fold)
-        out.repartition(self.n_buckets, F.col("bucket")).write.partitionBy(
-            "bucket"
-        ).mode("overwrite").parquet(gen)
-        # written buckets come from the generation READ BACK through
-        # Spark (r10: an earlier revision glob.glob'd the driver-local
-        # path — on storage not mounted on the driver, HDFS/S3, glob
-        # silently returns [] and the fold would commit zero rows while
-        # advancing batch_id); the read-back relation is
-        # micro-batch-proportional and also feeds the index delta below
-        gen_df = s.read.parquet(gen).select(
-            "node", "component", F.col("bucket").cast("int").alias("bucket")
+        # count rides n_buckets, each bucket one file per fold).
+        # r14: the generation relation is localCheckpoint-materialized
+        # ONCE (micro-batch-sized by construction) and feeds the write,
+        # the touched-bucket set, and the index delta — replacing the
+        # r10 read-back of the freshly written files (one parquet
+        # schema+scan job per fold for rows this relation already
+        # held).  The r10 rule stands: nothing below lists directories
+        # driver-locally; the generation's content IS this relation.
+        out = (
+            final.withColumn("bucket", self._bucket(F.col("node")))
+            .repartition(self.n_buckets, F.col("bucket"))
+            .localCheckpoint(eager=True)
         )
+        out.write.partitionBy("bucket").mode("overwrite").parquet(gen)
+        gen_df = out.select("node", "component", "bucket")
         touched = (
             sorted(int(b) for b in known_touched)
             if known_touched is not None
@@ -836,6 +853,22 @@ class ClusterStore:
         tmp = os.path.join(meta_local, f".{name}.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(meta_local, name))
+        # publish succeeded — fold the committed rows into the in-memory
+        # mirror (same latest-batch-wins resolution as the disk read;
+        # a crash before this point leaves mirror and disk both at the
+        # previous generation)
+        if self._meta_mirror is not None:
+            last_id, labels, cindex = self._meta_mirror
+            for kind, b, path in bucket_rows or []:
+                if int(b) < 0:
+                    continue
+                target = labels if kind == "labels" else cindex
+                target[int(b)] = path or None
+            self._meta_mirror = (
+                max(last_id, int(batch_id)),
+                labels,
+                cindex,
+            )
 
     def vacuum(self, spark: SparkSession) -> int:
         """Best-effort removal of superseded per-bucket snapshot dirs (no

@@ -83,6 +83,43 @@ def prof(name: str, warm: bool = True, sweep: bool = True):
     return wall
 
 
+def psum(name: str, warm: bool = True):
+    """Compact one-line profile: wall, job count, summed job time, gap."""
+    from datetime import datetime
+
+    fn = QUERIES[name].fn
+    if warm:
+        fn(spark, SF_DIR).collect()
+        _sweep()
+    jb = {j["jobId"] for j in _api("jobs")}
+    spark.sparkContext.setJobDescription(f"prof:{name}")
+    t0 = time.time()
+    fn(spark, SF_DIR).collect()
+    wall = time.time() - t0
+    spark.sparkContext.setJobDescription(None)
+    jobs = [j for j in _api("jobs") if j["jobId"] not in jb]
+    fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+    ds = []
+    for j in jobs:
+        try:
+            ds.append(
+                (
+                    datetime.strptime(j["completionTime"], fmt)
+                    - datetime.strptime(j["submissionTime"], fmt)
+                ).total_seconds()
+            )
+        except (KeyError, ValueError):
+            ds.append(0.0)
+    top = sorted(ds, reverse=True)[:5]
+    print(
+        f"{name}: wall={wall:.2f}s jobs={len(jobs)} "
+        f"jobtime={sum(ds):.2f}s gap={wall - sum(ds):.2f}s "
+        f"top5={[round(x, 2) for x in top]}"
+    )
+    _sweep()
+    return wall
+
+
 def stages_of_last(n: int = 30):
     """Print the n most recent stages with durations and shuffle bytes."""
     st = _api("stages?status=complete")
