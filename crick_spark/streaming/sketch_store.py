@@ -16,11 +16,26 @@ between two paths so a batch never reads the file it is overwriting.
 Production swaps the file-flip protocol for a transactional table
 format; the batch-id fencing and read-state-from-disk shape is the
 pattern.
+
+Meta protocol (v2, r14 — the BloomDedupStore economization ported):
+each committed batch publishes ONE driver-written parquet file
+``meta/part-{batch_id:09d}-{uuid}.parquet`` with schema
+``(batch_id, td, hll)`` via pyarrow + atomic ``os.replace`` —
+append-only, written last.  v1 spent ~2 Spark jobs per fold on
+protocol alone (a read+orderBy+collect of the meta relation and a
+1-row Spark parquet append, each ~0.2-0.4 s of fixed job cost at
+local[32]); v2's protocol runs on the driver in microseconds.  The
+sketch/HLL data paths stay FS-agnostic Spark reads/writes; the meta
+protocol requires a driver-local base_dir and REFUSES remote schemes
+at construction (swap the commit for a conditional-put on object
+stores), exactly as ClusterStore and BloomDedupStore do.
 """
 
 from __future__ import annotations
 
+import os
 import pickle
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +44,7 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 
 from crick_spark.operators.crick_ops import tdigest_agg
 from crick_spark.operators.sketch_agg import SketchOps, merge_sketches
+from crick_spark.streaming.fsutil import local_meta_path
 
 _BLOB_SCHEMA = StructType([StructField("sketch", BinaryType())])
 _MERGE_OPS = SketchOps(build=None, merge=lambda a, b: a.merge(b))
@@ -60,6 +76,7 @@ class SketchStore:
         window.  When None (default) the store keeps one merged sketch
         per group — the all-time aggregate, the pre-round-6 behavior.
         Same per-day-partial layout as ``tdigest_decayed_quantiles``."""
+        local = local_meta_path(base_dir, "SketchStore")  # raises remote
         self.base = base_dir
         self.value_col = value_col
         self.key_col = key_col
@@ -69,39 +86,67 @@ class SketchStore:
         self.ts_col = ts_col
         self._td_paths = [f"{base_dir}/td_a", f"{base_dir}/td_b"]
         self._hll_paths = [f"{base_dir}/hll_a", f"{base_dir}/hll_b"]
-        self._meta = f"{base_dir}/meta"
+        self._meta_local = f"{local}/meta"
 
-    def read_meta(self, spark: SparkSession):
-        """(last_batch_id, td_path, hll_path) from disk; (-1, None, None)
-        for a fresh store.  ONLY a missing meta path means fresh — any
-        other read error (transient FS failure, corrupt file) must
-        propagate so foreachBatch retries the batch, because treating it
-        as fresh would silently discard all accumulated state AND disable
-        the replay fence.
-
-        The meta log is APPEND-ONLY (one row per committed batch); the
-        current generation is the row with max(batch_id).  An
-        overwrite-in-place meta would delete the old commit before the
-        new one lands — a crash in that window would read as 'fresh
-        store' and silently drop all state; append never deletes, so
-        every crash point leaves either the old max row or the new one."""
-        from pyspark.errors import AnalysisException
-
+    def _meta_files(self) -> list[tuple[int, str]]:
+        """(batch_id, filename) for every committed generation,
+        ascending; tmp files (in-flight writes) are invisible."""
         try:
-            rows = (
-                spark.read.parquet(self._meta)
-                .orderBy(F.col("batch_id").desc())
-                .limit(1)
-                .collect()
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return -1, None, None
-            raise
-        if rows:
-            r = rows[0]
-            return int(r["batch_id"]), r["td"], r["hll"]
-        return -1, None, None
+            names = os.listdir(self._meta_local)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if not (n.startswith("part-") and n.endswith(".parquet")):
+                continue
+            try:
+                out.append((int(n.split("-")[1]), n))
+            except (IndexError, ValueError):
+                continue
+        return sorted(out)
+
+    def read_meta(self, spark: SparkSession | None = None):
+        """(last_batch_id, td_path, hll_path); (-1, None, None) for a
+        fresh store.  Driver-side pyarrow read of ONE file — no Spark
+        job (meta protocol v2, module docstring).  ONLY a missing meta
+        dir/file means fresh — any other read error (transient FS
+        failure, corrupt file) must propagate so foreachBatch retries
+        the batch, because treating it as fresh would silently discard
+        all accumulated state AND disable the replay fence.
+
+        The meta log is APPEND-ONLY (one file per committed batch); the
+        current generation is the max batch_id.  An overwrite-in-place
+        meta would delete the old commit before the new one lands — a
+        crash in that window would read as 'fresh store' and silently
+        drop all state; append never deletes, so every crash point
+        leaves either the old max file or the new one.  Replay twins
+        (same batch_id committed twice) hold identical content by
+        construction; the tie-break is deterministic (max filename)."""
+        import pyarrow.parquet as pq
+
+        files = self._meta_files()
+        if not files:
+            return -1, None, None
+        bid, name = files[-1]
+        t = pq.read_table(os.path.join(self._meta_local, name))
+        return bid, t.column("td")[0].as_py(), t.column("hll")[0].as_py()
+
+    def _commit_meta(self, batch_id: int, td: str, hll: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._meta_local, exist_ok=True)
+        name = f"part-{int(batch_id):09d}-{uuid.uuid4().hex}.parquet"
+        table = pa.table(
+            {
+                "batch_id": pa.array([int(batch_id)], pa.int64()),
+                "td": pa.array([td], pa.string()),
+                "hll": pa.array([hll], pa.string()),
+            }
+        )
+        tmp = os.path.join(self._meta_local, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self._meta_local, name))
 
     def fold(self, batch_df: DataFrame, batch_id: int) -> bool:
         """Fold one micro-batch; returns False for a fenced replay."""
@@ -157,17 +202,14 @@ class SketchStore:
         compact.write.mode("overwrite").parquet(td_t)
         hll_t = self._hll_paths[flip]
         hll_new.write.mode("overwrite").parquet(hll_t)
-        # append-only commit marker: the new row lands (or doesn't) via
-        # parquet's rename-at-commit; the previous generation's row is
-        # never deleted, so a crash mid-commit can only re-surface the
-        # old max(batch_id) row — never an empty 'fresh' store.  The
-        # 1-row local relation already writes a single file — coalesce(1)
-        # here cost ~4.5 s/batch (it forces a multi-partition physical
-        # plan and a scheduler locality wait; measured round 6)
-        s.createDataFrame(
-            [(int(batch_id), td_t, hll_t)],
-            "batch_id long, td string, hll string",
-        ).write.mode("append").parquet(self._meta)
+        # append-only commit marker, driver-written (meta protocol v2,
+        # module docstring): atomic rename publishes the new generation;
+        # the previous generation's file is never deleted, so a crash
+        # mid-commit can only re-surface the old max(batch_id) file —
+        # never an empty 'fresh' store.  (The v1 Spark 1-row append paid
+        # a fixed ~0.3 s job per fold for these 3 scalar values; an
+        # earlier coalesce(1) variant cost ~4.5 s/batch — measured r6.)
+        self._commit_meta(batch_id, td_t, hll_t)
         return True
 
     def digests(self, spark: SparkSession, finalize, result_schema) -> DataFrame:

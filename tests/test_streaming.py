@@ -807,6 +807,12 @@ def test_sketch_store_meta_is_append_only(spark, tmp_path):
 
     rows = log.where(F.col("batch_id") < 2).collect()
     assert {r["batch_id"] for r in rows} == {0, 1}
+    # meta protocol v2 (r14): driver-written commit files — remote
+    # schemes refused loudly; single-slash file URIs normalize
+    with pytest.raises(ValueError, match="scheme 's3a:'"):
+        SketchStore("s3a://bucket/store")
+    uri_store = SketchStore(f"file:{tmp_path}/uri_store")
+    assert uri_store._meta_local == f"{tmp_path}/uri_store/meta"
 
 
 def test_sketch_store_retention_bounds_state(spark, tmp_path):
