@@ -1389,6 +1389,19 @@ def perplexity_buckets(
     matching percentile interpolation on both engines).
     """
     scores = kneser_ney_bigram_scores(docs, id_col, text_col, discount)
+    # r14 (guide §2.4 / §5.4): scores feeds BOTH the tercile-cut
+    # aggregate and the final bucketing select; without materialization
+    # the whole KN-model subtree (explode → 3 model joins, 8 exchanges)
+    # is planned — and its broadcast branches executed — twice per run
+    # (17-exchange plan).  A LAZY localCheckpoint materializes the
+    # per-doc score rows on the first action and reuses them for the
+    # second consumer: 2.2 s → 1.7 s at sf0.1, plan 17 → 9 exchanges.
+    # Size shape at 100 TB: one ~20-byte row per scored doc (id,
+    # n_bigrams, avg_logp) — corpus-cardinality but payload-free, the
+    # same class as the CC label vectors this codebase already
+    # checkpoints; MEMORY_AND_DISK spills safely.  Lazy (eager=False)
+    # so plan construction stays side-effect-free for preflight.
+    scores = scores.localCheckpoint(eager=False)
     cuts = scores.agg(
         F.expr(f"percentile(avg_logp, {1.0 - cut_head})").alias("__h__"),
         F.expr(f"percentile(avg_logp, {1.0 - cut_middle})").alias("__m__"),

@@ -1514,10 +1514,18 @@ WHERE p.pair_cnt >= 20
 def copurchase_lift_minsupport(spark, sf_dir, min_support_cnt: int = 20):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r14 (guide §2.4): ob feeds FOUR consumers (singles, total, the
+    # frequent semi-join probe, and the pruned basket build) — without
+    # materialization each consumer re-runs the join+distinct subtree
+    # above the shared exchange.  A LAZY localCheckpoint computes it
+    # once: 3.3 s → 2.4 s at sf0.1, identical 300 rows.  Size shape at
+    # 100 TB: one (orderkey, brand) row per distinct basket item —
+    # the same relation the pair expansion materializes anyway.
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     singles = ob.groupBy("p_brand").agg(F.count("*").alias("cnt"))
     total = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
