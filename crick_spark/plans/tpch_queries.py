@@ -1029,7 +1029,13 @@ ORDER BY numwait DESC, s.s_name
     "order-grain rollup — supplier qualifies on an order iff it is late, "
     "the order has >=2 suppliers, and exactly 1 late one.  Two shuffles "
     "on bounded grains replace the reference pattern's double correlated "
-    "scan; 'late' = shipped >60 days after order date (no receipt dates).",
+    "scan; 'late' = shipped >60 days after order date (no receipt dates).  "
+    "r14 (guide §2.4): the order-grain rollup is a WINDOW over the "
+    "(order, supplier) aggregate, not a re-aggregate + self-join — the "
+    "join form re-executed the whole lineitem⨝orders subtree on its "
+    "second branch (Catalyst does not reuse exchanges across the two "
+    "consumers), one full pass of the fact table for counts the window "
+    "reads off the same partitioning.",
 )
 def tpch_q21_waiting_orders(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").select(
@@ -1053,17 +1059,22 @@ def tpch_q21_waiting_orders(spark, sf_dir):
             ).alias("is_late")
         )
     )
-    ord_ = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("nsupp"), F.sum("is_late").alias("nlate")
+    from pyspark.sql import Window as W
+
+    wnd = W.partitionBy("l_orderkey")
+    lo = lo.withColumn("nsupp", F.count("*").over(wnd)).withColumn(
+        "nlate", F.sum("is_late").over(wnd)
     )
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
     return (
-        lo.where(F.col("is_late") == 1)
-        .join(ord_, (lo.l_orderkey == ord_.ok))
-        .where((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        lo.where(
+            (F.col("is_late") == 1)
+            & (F.col("nsupp") >= 2)
+            & (F.col("nlate") == 1)
+        )
         .join(s, lo.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")
