@@ -281,17 +281,11 @@ class ClusterStore:
         last_id, lab_paths, idx_paths = self.read_meta(s)
         if int(batch_id) <= last_id:
             return False
-        # materialize the normalized batch ONCE: p feeds endpoint-bucket
-        # discovery, the contracted-edge build, and the new-node insert —
-        # without the checkpoint its distinct re-shuffles in every one
-        # of those jobs (4-5× per fold; batch-bounded, so the
-        # materialization is micro-batch-sized by construction)
-        p = (
+        pn = (
             pairs.select("id_a", "id_b")
             .where(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
             .where(F.col("id_a") != F.col("id_b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         stats = {
             "label_buckets_read": 0,
@@ -299,26 +293,215 @@ class ClusterStore:
             "label_buckets_written": 0,
             "index_partitions_written": 0,
         }
-        if not lab_paths and not p.take(1):
-            # an empty (or all-null / all-self-pair) FIRST batch folds
-            # to a fence: nothing to write — it would otherwise produce
-            # a zero-file generation dir that spark.read.parquet cannot
-            # infer a schema from, killing the stream instead of
-            # committing the replay guard.  Incremental folds need no
-            # dedicated probe job: emptiness falls out of the endpoint
-            # bucket-discovery collect they run anyway (r10 VERDICT
-            # claw-back)
+        # ONE decide-and-use collect for the whole batch (r14, guide
+        # §5.4): a fold's every derived set — endpoint buckets, the
+        # contracted edges, the union-find, the remap mapping, the
+        # new-node rows — is batch-bounded by construction, so when the
+        # normalized batch itself fits the driver-close cap, collecting
+        # it ONCE lets the driver compute all of them in Python instead
+        # of paying one tiny Spark job per set (the pre-r14 fold ran
+        # ~11 scheduling-bound jobs at any batch size).  Bucket ids come
+        # from functions/pyhash.spark_xxhash64 — pinned bit-equal to the
+        # engine's pmod(xxhash64(node), n) by test, so both paths file
+        # rows into identical buckets.  Batches over the cap (or with
+        # node types the replica does not cover) keep the distributed
+        # path byte-for-byte.
+        cap = self.DRIVER_CLOSE_MAX_EDGES
+        head = pn.limit(cap + 1).collect()
+        if not head:
+            # an empty (or all-null / all-self-pair) batch folds to a
+            # fence: nothing to write — a zero-file generation dir
+            # would kill spark.read.parquet schema inference, and the
+            # replay guard must still advance
             self._commit_meta(s, batch_id, [])
             self.last_fold_stats = stats
             return True
-        if lab_paths:
-            ok = self._fold_incremental(
-                s, p, batch_id, lab_paths, idx_paths, stats
+        if len(head) <= cap and all(
+            type(r["id_a"]) in (int, str) and type(r["id_b"]) in (int, str)
+            for r in head
+        ):
+            ok = self._fold_driver(
+                s, head, pn.schema, batch_id, lab_paths, idx_paths, stats
             )
         else:
-            ok = self._fold_initial(s, p, batch_id, stats)
+            # distributed fallback: materialize the normalized batch
+            # ONCE — it feeds endpoint-bucket discovery, the
+            # contracted-edge build, and the new-node insert
+            p = pn.localCheckpoint(eager=True)
+            if lab_paths:
+                ok = self._fold_incremental(
+                    s, p, batch_id, lab_paths, idx_paths, stats
+                )
+            else:
+                ok = self._fold_initial(s, p, batch_id, stats)
         self.last_fold_stats = stats
         return ok
+
+    def _fold_driver(
+        self, s, head, schema, batch_id, lab_paths, idx_paths, stats
+    ) -> bool:
+        """Fast path of ``fold`` for a batch the driver already holds
+        (``head``: the collected normalized pairs, ≤ cap rows).  Same
+        phases, reads, writes and commit as ``_fold_incremental`` /
+        ``_fold_initial`` — only the batch-bounded bookkeeping (bucket
+        sets, contracted closure, mapping, new-node rows) runs in
+        Python instead of as per-set Spark jobs.  Output is identical:
+        min-root union-find preserves the min-label invariant, and the
+        generation/meta protocol is untouched."""
+        from pyspark.sql.types import StructField, StructType
+
+        from crick_spark.functions.pyhash import spark_xxhash64
+
+        node_t = schema["id_a"].dataType
+        nb = self.n_buckets
+        pairs = [(r["id_a"], r["id_b"]) for r in head]
+        nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+        bucket_of = {n: spark_xxhash64(n) % nb for n in nodes}
+        # 1. endpoint resolution against ONLY the endpoints' buckets
+        be = set(bucket_of.values())
+        stats["label_buckets_read"] += sum(
+            1 for b in be if lab_paths.get(b) is not None
+        )
+        label: dict = {}
+        ep_labels = self._read_buckets(
+            s, lab_paths, be, ["node", "component"]
+        )
+        if ep_labels is not None:
+            nodes_df = s.createDataFrame(
+                [(n,) for n in nodes],
+                StructType([StructField("node", node_t)]),
+            )
+            label = {
+                r["node"]: r["component"]
+                for r in ep_labels.join(
+                    F.broadcast(nodes_df), "node", "left_semi"
+                ).collect()
+            }
+        # 2. closure over the CONTRACTED graph, driver-side (same
+        #    min-root union-find as _close's driver branch)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for a, b in pairs:
+            u, v = label.get(a, a), label.get(b, b)
+            if u == v:
+                continue
+            seen.update((u, v))
+            ra, rb = find(u), find(v)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = {}
+        for x in seen:
+            r = find(x)
+            if r != x:
+                mapping[x] = r
+        new_nodes = [n for n in nodes if n not in label]
+        # 3. remap probe via the component index: read ONLY the cindex
+        #    partitions of the remapped old ids
+        bc = {spark_xxhash64(x) % nb for x in mapping}
+        stats["index_partitions_read"] += sum(
+            1 for b in bc if idx_paths.get(b) is not None
+        )
+        remap_bkts: set[int] = set()
+        idx = self._read_buckets(s, idx_paths, bc, ["component", "nbucket"])
+        if idx is not None and mapping:
+            old_df = s.createDataFrame(
+                [(x,) for x in sorted(mapping)],
+                StructType([StructField("component", node_t)]),
+            )
+            remap_bkts = {
+                int(r["nbucket"])
+                for r in idx.where(F.col("component").isNotNull())
+                .join(F.broadcast(old_df), "component", "left_semi")
+                .select("nbucket")
+                .distinct()
+                .collect()
+            }
+        new_bkts = {bucket_of[n] for n in new_nodes}
+        touched = sorted(remap_bkts | new_bkts)
+        if not touched:
+            # within-component pairs only: nothing changes — commit a
+            # fence sentinel so the replay guard still advances
+            self._commit_meta(s, batch_id, [])
+            return True
+        # 4. rewrite ONLY the touched label buckets
+        mapping_df = s.createDataFrame(
+            [(o, t) for o, t in sorted(mapping.items())],
+            StructType(
+                [StructField("__old__", node_t), StructField("__new__", node_t)]
+            ),
+        )
+        touched_labels = self._read_buckets(
+            s, lab_paths, set(touched), ["node", "component"]
+        )
+        stats["label_buckets_read"] += sum(
+            1 for b in touched if lab_paths.get(b) is not None
+        )
+        parts = []
+        if touched_labels is not None:
+            parts.append(
+                touched_labels.join(
+                    F.broadcast(mapping_df),
+                    touched_labels.component == F.col("__old__"),
+                    "left",
+                ).select(
+                    "node",
+                    F.coalesce("__new__", "component").alias("component"),
+                )
+            )
+        if new_nodes:
+            parts.append(
+                s.createDataFrame(
+                    [
+                        (n, find(n) if n in seen else n)
+                        for n in sorted(new_nodes)
+                    ],
+                    StructType(
+                        [
+                            StructField("node", node_t),
+                            StructField("component", node_t),
+                        ]
+                    ),
+                )
+            )
+        final = parts[0]
+        for extra in parts[1:]:
+            final = final.unionByName(extra)
+        idx_ctx = (idx_paths, bc, stats) if lab_paths else None
+        touched_w, ic, written_c = self._write_generation(
+            s,
+            final,
+            batch_id,
+            mapping_df if lab_paths else None,
+            idx_ctx,
+            known_touched=touched,
+        )
+        stats["label_buckets_written"] = len(touched_w)
+        stats["index_partitions_written"] = len(ic)
+        gen, cgen = self._gen(batch_id), self._cgen(batch_id)
+        self._commit_meta(
+            s,
+            batch_id,
+            [("labels", b, f"{gen}/bucket={b}") for b in touched_w]
+            + [
+                (
+                    "cindex",
+                    b,
+                    f"{cgen}/cbucket={b}" if b in written_c else "",
+                )
+                for b in ic
+            ],
+        )
+        return True
 
     def _fold_initial(self, s, p, batch_id, stats) -> bool:
         e = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))

@@ -1467,6 +1467,82 @@ def test_cluster_store_random_fold_sequences_equal_closure(spark, tmp_path):
     check()
 
 
+def test_pyhash_matches_spark(spark):
+    """functions/pyhash.spark_xxhash64 must be BIT-EQUAL to the engine's
+    xxhash64 (and its pmod bucketing) — the ClusterStore driver fast
+    path files rows into buckets with it, and a divergence would split
+    the bucket space between the driver and distributed fold paths."""
+    from pyspark.sql import functions as F
+
+    from crick_spark.functions.pyhash import spark_xxhash64
+
+    longs = [0, 1, -1, 42, -42, 2**63 - 1, -(2**63), 123456789,
+             -987654321, 10_000, 555_001, 7, -8]
+    strs = ["", "a", "abc", "abcd", "abcde", "1234567", "12345678",
+            "123456789", "x" * 31, "y" * 32, "z" * 33, "w" * 40,
+            "héllo wörld ünïcode"]
+    got = spark.createDataFrame([(v,) for v in longs], "v long").select(
+        "v",
+        F.xxhash64("v").alias("h"),
+        F.pmod(F.xxhash64("v"), F.lit(10)).cast("int").alias("b"),
+    ).collect()
+    for r in got:
+        assert spark_xxhash64(r["v"]) == r["h"], r
+        assert spark_xxhash64(r["v"]) % 10 == r["b"], r
+    got_s = spark.createDataFrame([(v,) for v in strs], "v string").select(
+        "v", F.xxhash64("v").alias("h")
+    ).collect()
+    for r in got_s:
+        assert spark_xxhash64(r["v"]) == r["h"], r
+    import pytest
+
+    with pytest.raises(TypeError):
+        spark_xxhash64(1.5)
+
+
+def test_cluster_store_driver_fold_matches_distributed_fold(
+    spark, tmp_path
+):
+    """r14: the fold's driver fast path (batch collected once, bucket
+    sets / union-find / mapping computed in Python) must produce the
+    SAME labeling, the same touched-bucket meta rows, and the same
+    O(touched) stats as the distributed path it replaces.  Forcing the
+    distributed path via a zero driver-close cap on a twin store and
+    comparing everything pins the equivalence."""
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    batches = [
+        [(i, i + 10_000) for i in range(0, 20, 2)],  # 10 tiny components
+        [(0, 2), (123456, 0)],  # merge two + attach a new node
+        [(4, 4), (None, 9)],  # degenerate rows only -> fence
+        [(6, 8), (555_001, 555_002)],  # merge + disjoint new pair
+    ]
+    fast = ClusterStore(str(tmp_path / "fast"), n_buckets=8)
+    slow = ClusterStore(str(tmp_path / "slow"), n_buckets=8)
+    slow.DRIVER_CLOSE_MAX_EDGES = 0  # force the distributed path
+    for bid, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "id_a long, id_b long")
+        assert fast.fold(df, bid) is True
+        df2 = spark.createDataFrame(batch, "id_a long, id_b long")
+        assert slow.fold(df2, bid) is True
+        assert fast.last_fold_stats == slow.last_fold_stats, (
+            bid,
+            fast.last_fold_stats,
+            slow.last_fold_stats,
+        )
+    got_fast = sorted(map(tuple, fast.labels(spark).collect()))
+    got_slow = sorted(map(tuple, slow.labels(spark).collect()))
+    assert got_fast == got_slow
+    # meta bucket rows resolve identically (same touched sets per batch)
+    _, lab_f, idx_f = fast.read_meta(spark)
+    _, lab_s, idx_s = slow.read_meta(spark)
+    assert set(lab_f) == set(lab_s)
+    assert {b for b, p in lab_f.items() if p is None} == {
+        b for b, p in lab_s.items() if p is None
+    }
+    assert set(idx_f) == set(idx_s)
+
+
 def test_cluster_store_empty_first_batch_commits_fence(spark, tmp_path):
     """r10 ADVICE: an empty (or all-null / all-self-pair) FIRST batch
     must commit the replay fence and return, not write a zero-file
