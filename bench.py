@@ -339,6 +339,10 @@ PREFLIGHT_SKIP_SUBSTR = (
     "pagerank",
     # r7: ClusterStore folds + label reads run at plan construction
     "incremental_dedup_clusters",
+    # r14: connected_components closes driver-side for batch-sized pair
+    # sets (decide-and-use collect at plan construction — the pagerank
+    # eager precedent); the correctness gate runs it end-to-end
+    "dedup_clusters_documents",
     # r7: layout write + panel probe + explain run at plan construction
     "layout_prune",
     # r8: repeated_window_spans eagerly localCheckpoints the window-hash

@@ -438,11 +438,20 @@ def personalized_pagerank(
     return ranks
 
 
+#: edge sets at or under this count close driver-side (one
+#: decide-and-use collect + union-find) instead of the iterative
+#: distributed propagation — the ClusterStore._close precedent: 200k
+#: 2-field Rows ≈ 10 MB, far under any driver hazard, and the
+#: per-superstep scheduling cost it replaces is ~10-20 tiny jobs
+CC_DRIVER_CLOSE_MAX_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_close_max_edges: int = CC_DRIVER_CLOSE_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by hash-min label propagation — the step that
     turns near-duplicate PAIRS into dedup CLUSTERS (pick one canonical
@@ -465,13 +474,62 @@ def connected_components(
     (SoCC 2014) bound rounds at O(log n) — same per-step join shape.
 
     Returns (node, component) with component = min node id reachable.
+
+    r14 (guide §1.2 — the per-task work here is the scheduler's): an
+    edge set at or under ``driver_close_max_edges`` closes DRIVER-side —
+    one decide-and-use ``limit(cap+1).collect()`` feeds a min-root
+    union-find whose output is identical (min over roots = min over
+    members), replacing O(diameter) supersteps of ~2 tiny jobs each.
+    Near-dup pair sets are usually batch- or corpus-filtered and far
+    under the cap; bigger graphs keep the distributed loop byte-for-byte
+    (pass ``driver_close_max_edges=0`` to force it).
     """
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    if (
+        driver_close_max_edges
+        and base.schema["u"].dataType == base.schema["v"].dataType
+    ):
+        head = base.limit(int(driver_close_max_edges) + 1).collect()
+        if len(head) <= driver_close_max_edges and all(
+            type(r["u"]) in (int, str) and type(r["v"]) in (int, str)
+            for r in head
+        ):
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            nodes = set()
+            for row in head:
+                a, b = row["u"], row["v"]
+                nodes.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            from pyspark.sql.types import StructField, StructType
+
+            node_t = base.schema["u"].dataType
+            return edges.sparkSession.createDataFrame(
+                [(n, find(n)) for n in sorted(nodes)],
+                StructType(
+                    [
+                        StructField("node", node_t),
+                        StructField("component", node_t),
+                    ]
+                ),
+            )
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        base.unionByName(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .cache()
     )

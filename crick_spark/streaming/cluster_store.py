@@ -237,7 +237,11 @@ class ClusterStore:
         cap = self.DRIVER_CLOSE_MAX_EDGES
         head = e.limit(cap + 1).collect()
         if len(head) > cap:
-            return connected_components(e, src="u", dst="v")
+            # already over the driver cap — skip CC's own decide-and-use
+            # collect of the same relation
+            return connected_components(
+                e, src="u", dst="v", driver_close_max_edges=0
+            )
         parent: dict = {}
 
         def find(x):

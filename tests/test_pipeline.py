@@ -1591,8 +1591,18 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]})
     )
+    # the runaway bound is a property of the DISTRIBUTED loop — force
+    # it (r14: small edge sets close driver-side and always converge)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, "src", "dst", max_iter=1)
+        connected_components(
+            edges, "src", "dst", max_iter=1, driver_close_max_edges=0
+        )
+    # the driver fast path converges on the same input and matches
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(i, 1) for i in range(1, 6)}
 
 
 def test_pq_pipeline_properties(spark):
@@ -3446,7 +3456,7 @@ def test_connected_components_contract_matches_hashmin_and_handles_long_paths(sp
     }
     assert got_path == {i: 0 for i in range(301)}
     with _pytest.raises(RuntimeError):
-        connected_components(path, max_iter=25)
+        connected_components(path, max_iter=25, driver_close_max_edges=0)
 
 
 def test_ahash_64_pixel_frames_pack_bit63_as_sign(spark):
