@@ -106,18 +106,36 @@ def pagerank(
     # dsts-distinct + anti-join + semi-probe trio cost three more norm
     # scans).  smax/smin encode the appearance sides: smin=1 → never a
     # dst (pure source), smax=1 ∧ smin=0 → both (interior source).
+    # r15: the census also folds in sp(v) = Σ_{u→v} p(u,v) (dst-side p,
+    # src rows contribute an exact 0.0) so the depth-1-DAG fast path
+    # reads its static receiver-mass column straight off the checkpointed
+    # census instead of running a second groupBy over norm + its own
+    # 1-row-materialization (two jobs per call).  The general path
+    # ignores spv; smax/smin are unchanged.
     ep = (
         norm.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("src").alias("node"), F.lit(1).alias("s")),
-                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("s")),
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("s"),
+                        F.lit(0.0).alias("pv"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("s"),
+                        F.col("p").alias("pv"),
+                    ),
                 )
             ).alias("x")
         )
         .select("x.*")
         .groupBy("node")
-        .agg(F.max("s").alias("smax"), F.min("s").alias("smin"))
+        .agg(
+            F.max("s").alias("smax"),
+            F.min("s").alias("smin"),
+            F.sum("pv").alias("spv"),
+        )
         .localCheckpoint(eager=True)
     )
     nodes = ep.select("node")
@@ -163,9 +181,13 @@ def pagerank(
             noin = ep.where(
                 (F.col("smax") == 1) & (F.col("smin") == 1)
             ).select("node")
+            sp = ep.where(F.col("smin") == 0).select(
+                "node", F.col("spv").alias("sp")
+            )
             return _pagerank_depth1_dag(
                 norm,
                 noin,
+                sp,
                 cnt,
                 iterations,
                 damping,
@@ -250,6 +272,7 @@ def pagerank(
 def _pagerank_depth1_dag(
     norm: DataFrame,
     noin: DataFrame,
+    sp: DataFrame,
     cnt: DataFrame,
     iterations: int,
     damping: float,
@@ -264,12 +287,9 @@ def _pagerank_depth1_dag(
     in-plan as 1-row DataFrames (broadcast cross joins — no value is
     ever collected to the driver), and the scalar chain is truncated on
     the caller's ``checkpoint_interval`` grid (a 1-row materialization,
-    microseconds) so plan depth stays bounded at any iteration count."""
-    sp = (
-        norm.groupBy(F.col("dst").alias("node"))
-        .agg(F.sum("p").alias("sp"))
-        .localCheckpoint(eager=True)
-    )
+    microseconds) so plan depth stays bounded at any iteration count.
+    ``sp`` (node, sp) rides in from the caller's checkpointed endpoint
+    census (r15) — no second norm pass, no extra materialization."""
     # Σ_v sp(v) (= the pure-source count up to float error), static;
     # materialized once for the same per-broadcast-re-execution reason
     # as cnt
@@ -772,11 +792,62 @@ def _triangle_counts_normalized(e: DataFrame) -> DataFrame:
     )
 
 
+#: sampled edge sets at or under this count have their triangle total
+#: counted on the driver (one Arrow collect + numpy wedge generation)
+#: instead of the distributed degree-ordered wedge join — integer-exact
+#: either way.  500k 2-long rows ≈ 8 MB via Arrow; the wedge array is
+#: O(m^1.5) worst case, generated in bounded numpy chunks.
+TRIANGLE_DRIVER_CLOSE_MAX_EDGES = 500_000
+
+
+def _triangle_total_driver(a, b) -> int:
+    """Exact triangle total over normalized (a < b, distinct) edges held
+    as numpy int arrays — the driver twin of the degree-ordered wedge
+    join: orient every edge from its lower-(degree, id) endpoint, emit
+    each out-neighborhood's pairs, count the wedges whose closing edge
+    exists.  Integer-exact, so identical to the distributed count."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = a.shape[0]
+    if m == 0:
+        return 0
+    ia, ib = inv[:m], inv[m:]
+    n = nodes.shape[0]
+    deg = np.bincount(inv, minlength=n)
+    # orient from lower (degree, id) to higher; index order == id order
+    # because np.unique sorts, so the struct comparison matches Spark's
+    swap = (deg[ib] < deg[ia]) | ((deg[ib] == deg[ia]) & (ib < ia))
+    lo = np.where(swap, ib, ia)
+    hi = np.where(swap, ia, ib)
+    # out-adjacency grouped by lo, neighbors ascending
+    order = np.lexsort((hi, lo))
+    lo_s, hi_s = lo[order], hi[order]
+    starts = np.flatnonzero(np.r_[True, lo_s[1:] != lo_s[:-1]])
+    k = np.diff(np.r_[starts, lo_s.size])
+    # wedge (x, y): each element paired with every LATER element of its
+    # group — x < y holds because hi is sorted ascending within a group
+    wpos = np.arange(lo_s.size, dtype=np.int64) - np.repeat(starts, k)
+    krep = np.repeat(k, k)
+    cnt = krep - 1 - wpos  # later elements following each position
+    first = np.repeat(np.arange(lo_s.size, dtype=np.int64), cnt)
+    csum = np.cumsum(cnt)
+    joff = np.arange(int(csum[-1]) if cnt.size else 0, dtype=np.int64) - np.repeat(
+        csum - cnt, cnt
+    )
+    second = first + joff + 1
+    wkeys = hi_s[first].astype(np.int64) * n + hi_s[second]
+    ekeys = np.sort(ia.astype(np.int64) * n + ib)
+    pos = np.minimum(np.searchsorted(ekeys, wkeys), ekeys.size - 1)
+    return int(np.count_nonzero(ekeys[pos] == wkeys))
+
+
 def approx_triangle_total(
     edges: DataFrame,
     p: float = 0.5,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_close_max_edges: int = TRIANGLE_DRIVER_CLOSE_MAX_EDGES,
 ) -> DataFrame:
     """DOULION-style approximate global triangle count (Tsourakakis,
     Kang, Miller & Faloutsos, *DOULION: counting triangles in massive
@@ -811,17 +882,48 @@ def approx_triangle_total(
     samp = e.where(
         md5_uniform(F.concat_ws("#", F.col("a"), F.col("b"))) < F.lit(p)
     )
-    # samp is a filter of the normalized+checkpointed e — already
-    # distinct (u<v) pairs, so skip triangle_counts' re-normalization
-    # (one edge-sized shuffle saved per call; r14)
-    t_samp = (
-        _triangle_counts_normalized(
-            samp.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    # r15 driver close (guide §1.2): the sampled subgraph's EXACT count
+    # is an integer, so when the sampled edge set fits the driver cap
+    # the whole wedge join (the plan's remaining ~12 jobs) collapses to
+    # one Arrow collect + the numpy twin.  The coin is evaluated by the
+    # SAME in-plan md5 expression either way — the collected edges ARE
+    # the filter's output, coin-for-coin.  Integer node ids only (the
+    # orientation tie-break compares ids; numpy's sort order is only
+    # guaranteed to match Spark's for numeric types); anything else —
+    # and any over-cap sample — keeps the distributed wedge join.
+    t_samp = n_s = None
+    if driver_close_max_edges:
+        from pyspark.sql.types import IntegerType, LongType
+
+        t_ab = e.schema["a"].dataType
+        if t_ab == e.schema["b"].dataType and isinstance(
+            t_ab, (LongType, IntegerType)
+        ):
+            head = samp.limit(int(driver_close_max_edges) + 1).toArrow()
+            if head.num_rows <= driver_close_max_edges:
+                t = _triangle_total_driver(
+                    head.column("a").to_numpy(zero_copy_only=False),
+                    head.column("b").to_numpy(zero_copy_only=False),
+                )
+                s = edges.sparkSession
+                t_samp = s.createDataFrame(
+                    [(int(t),)], "t_sampled long"
+                )
+                n_s = s.createDataFrame(
+                    [(int(head.num_rows),)], "n_sampled long"
+                )
+    if t_samp is None:
+        # samp is a filter of the normalized+checkpointed e — already
+        # distinct (u<v) pairs, so skip triangle_counts' re-normalization
+        # (one edge-sized shuffle saved per call; r14)
+        t_samp = (
+            _triangle_counts_normalized(
+                samp.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            )
+            .agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("t_sampled"))
         )
-        .agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("t_sampled"))
-    )
+        n_s = samp.agg(F.count("*").alias("n_sampled"))
     n_e = e.agg(F.count("*").alias("n_edges"))
-    n_s = samp.agg(F.count("*").alias("n_sampled"))
     inv_p3 = 1.0 / (p**3)
     return (
         n_e.crossJoin(F.broadcast(n_s))
@@ -1037,12 +1139,64 @@ def triangle_counts_capped(
     )
 
 
+#: normalized edge sets at or under this count run the bounded-round
+#: h-index iteration on the driver (one Arrow collect + numpy) instead
+#: of rounds × (join + window + groupBy) — the CC driver-close
+#: precedent one operator over.  2M 2-long rows ≈ 32 MB via Arrow,
+#: bounded; the integer h-index is tie-order-invariant, so the numpy
+#: result is exactly the distributed fixed-round result.
+CORENESS_DRIVER_CLOSE_MAX_EDGES = 2_000_000
+
+
+def _coreness_driver(a, b, rounds: int):
+    """numpy twin of the distributed h-index iteration: ``a``/``b`` are
+    the normalized (a < b, distinct) edge endpoints as numpy arrays.
+    Returns (nodes ascending, coreness int64) after ``rounds`` steps —
+    integer-exact, so identical to the Spark form at any round count."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = a.shape[0]
+    # incidence: each edge contributes (u→v) and (v→u)
+    ni = np.concatenate([inv[:m], inv[m:]])
+    bi = np.concatenate([inv[m:], inv[:m]])
+    order0 = np.argsort(ni, kind="stable")
+    ns = ni[order0]
+    nb = bi[order0]
+    starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+    counts = np.diff(np.r_[starts, ns.size])
+    # every node index appears in the incidence by construction, so the
+    # grouped reduceat below emits one value per node in node order
+    c = counts.astype(np.int64)  # c0 = degree
+    rn = (
+        np.arange(ns.size, dtype=np.int64)
+        - np.repeat(starts, counts)
+        + 1
+    )
+    # single composite int key (node-major, neighbor value descending)
+    # → numpy's radix sort; measured 4x faster than the two-key lexsort
+    # at 1.2M edges.  c is monotone non-increasing, so K fixed from c0
+    # stays valid every round.  The h-index itself needs no max-of-min
+    # pass: with values descending and ranks ascending, positions where
+    # value ≥ rank form a prefix whose LENGTH is the h-index.
+    K = int(c.max()) + 1 if c.size else 1
+    base = ns * K + (K - 1)
+    for _ in range(int(rounds)):
+        nc = c[nb]
+        order = np.argsort(base - nc, kind="stable")
+        c = np.add.reduceat(
+            (nc[order] >= rn).astype(np.int64), starts
+        )
+    return nodes, c
+
+
 def coreness(
     edges: DataFrame,
     rounds: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_interval: int | None = None,
+    driver_close_max_edges: int = CORENESS_DRIVER_CLOSE_MAX_EDGES,
 ) -> DataFrame:
     """Per-node core number by bounded-round h-index iteration
     (Montresor, De Pellegrini & Miorandi, *Distributed k-core
@@ -1075,7 +1229,7 @@ def coreness(
 
     if checkpoint_interval is None:
         checkpoint_interval = 2
-    und = (
+    und0 = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -1083,14 +1237,48 @@ def coreness(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    # r15 driver close (guide §1.2 — per-round cost here is pure
+    # scheduling: ~16 tiny jobs at sf0.1 for 3 rounds): the normalized
+    # edge set is materialized ONCE (it feeds the decide-and-use probe
+    # AND, over-cap, the incidence build — never a second self-join of
+    # the caller's relation), then an edge set at or under the cap runs
+    # the identical integer h-index iteration in numpy.  Long/string
+    # node ids only — everything else keeps the distributed loop.
+    if driver_close_max_edges:
+        from pyspark.sql.types import LongType, StringType
+
+        t_a, t_b = und0.schema["a"].dataType, und0.schema["b"].dataType
+        if t_a == t_b and isinstance(t_a, (LongType, StringType)):
+            und0 = und0.localCheckpoint(eager=True)
+            head = und0.limit(int(driver_close_max_edges) + 1).toArrow()
+            if head.num_rows <= driver_close_max_edges:
+                import pandas as pd
+                from pyspark.sql.types import StructField, StructType
+
+                schema = StructType(
+                    [
+                        StructField("node", t_a),
+                        StructField("coreness", LongType()),
+                    ]
+                )
+                if head.num_rows == 0:
+                    return edges.sparkSession.createDataFrame([], schema)
+                nodes, c = _coreness_driver(
+                    head.column("a").to_numpy(zero_copy_only=False),
+                    head.column("b").to_numpy(zero_copy_only=False),
+                    rounds,
+                )
+                return edges.sparkSession.createDataFrame(
+                    pd.DataFrame({"node": nodes, "coreness": c}), schema
+                )
     # (r14 measured, NOT adopted: hash-repartitioning this incidence
     # list by the join key before the checkpoint — hoping each round's
     # und⨝labels join would reuse the partitioning — ran ~0.6 s SLOWER
     # at sf0.1: the checkpointed LogicalRDD's partitioning is not
     # credited by the planner, so the extra exchange bought nothing)
     und = (
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        und0.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und0.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -273,13 +273,25 @@ def dsir_log_ratios(
     # the cross-module same-bucketing claim holds by construction
     feat = lambda col: hashed_feature(col, n_buckets)  # noqa: E731
 
-    src_toks = docs.select(
-        F.explode(tokens_expr(F.col(text_col))).alias("__t__")
-    ).select(feat(F.col("__t__")).alias("tok"))
+    doc_toks = docs.select(
+        id_col, F.explode(tokens_expr(F.col(text_col))).alias("__t__")
+    ).select(id_col, feat(F.col("__t__")).alias("tok"))
+    if n_buckets is not None:
+        # r15 (guide §4/§2.3): in hashed mode every token pays an md5 +
+        # mod, and the relation has TWO consumers (the source census and
+        # the per-doc scoring join) — without materialization the hash
+        # pass over the whole corpus executes twice.  The checkpointed
+        # rows are (id, int) — fixed-width, payload-free, the class this
+        # codebase already materializes — unlike RAW mode, whose token
+        # strings would make the barrier cost more than the re-scan
+        # saves (the r14 postings-checkpoint lesson), so raw mode keeps
+        # the two-pass shape.  Lazy, so plan construction stays
+        # side-effect-free for preflight.
+        doc_toks = doc_toks.localCheckpoint(eager=False)
     tgt_toks = target.select(
         F.explode(tokens_expr(F.col(text_col))).alias("__t__")
     ).select(feat(F.col("__t__")).alias("tok"))
-    src_cnt = src_toks.groupBy("tok").agg(F.count("*").alias("c_src"))
+    src_cnt = doc_toks.groupBy("tok").agg(F.count("*").alias("c_src"))
     tgt_cnt = tgt_toks.groupBy("tok").agg(F.count("*").alias("c_tgt"))
     vocab = (
         src_cnt.select("tok")
@@ -305,9 +317,6 @@ def dsir_log_ratios(
             else F.count("*").cast("double")
         ).alias("v"),
     )
-    doc_toks = docs.select(
-        id_col, F.explode(tokens_expr(F.col(text_col))).alias("__t__")
-    ).select(id_col, feat(F.col("__t__")).alias("tok"))
     scored = (
         doc_toks.join(vocab, "tok")
         .crossJoin(F.broadcast(totals))

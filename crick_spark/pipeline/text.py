@@ -1267,19 +1267,25 @@ def bigram_lm_scores(
 
     c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
-    scored = (
-        bigrams.join(big, ["w1", "w2"])
-        .join(c1, "w1")
+    # r15 (guide §2.3): model folded into ONE per-bigram-type logp table
+    # (type-level joins over Heaps-bounded relations), corpus-sized
+    # occurrence rows joined ONCE instead of three times — same
+    # expression over the same per-type inputs, values unchanged (the
+    # kneser_ney_bigram_scores refactor, same shape)
+    bglp = (
+        big.join(c1, "w1")
         .join(c2, "w2")
         .crossJoin(F.broadcast(total))
-        .withColumn(
-            "logp",
+        .select(
+            "w1",
+            "w2",
             F.log(
                 F.lit(lam) * F.col("c12") / F.col("c1")
                 + F.lit(1.0 - lam) * F.col("c2") / F.col("t_tokens")
-            ),
+            ).alias("logp"),
         )
     )
+    scored = bigrams.join(bglp, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
@@ -1342,22 +1348,32 @@ def kneser_ney_bigram_scores(
     # occurrence count (last token of a doc is never a context)
     cont = big.groupBy("w2").agg(F.count("*").alias("n_left"))  # N1+(·, w2)
     n_types = big.agg(F.count("*").cast("double").alias("n_types"))
-    scored = (
-        bigrams.join(big, ["w1", "w2"])
-        .join(c1, "w1")
+    # r15 (guide §2.3 — shuffle fewer bytes): fold the model into ONE
+    # per-bigram-TYPE logp table first (type-level joins over the
+    # Heaps-bounded big/c1/cont relations), then join the corpus-sized
+    # occurrence relation ONCE instead of three times — the pre-r15
+    # plan shipped every occurrence row through the big, c1 AND cont
+    # joins.  logp is the identical expression over identical inputs
+    # per type, so every occurrence row carries the same double as
+    # before and the per-doc averages are unchanged (oracle-verified at
+    # sf0.01 and sf0.1).
+    bglp = (
+        big.join(c1, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(n_types))
-        .withColumn(
-            "logp",
+        .select(
+            "w1",
+            "w2",
             F.log(
                 F.greatest(F.col("c12") - F.lit(D), F.lit(0.0)) / F.col("c1")
                 + F.lit(D)
                 * F.col("n_cont")
                 / F.col("c1")
                 * (F.col("n_left") / F.col("n_types"))
-            ),
+            ).alias("logp"),
         )
     )
+    scored = bigrams.join(bglp, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),

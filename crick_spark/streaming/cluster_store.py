@@ -222,6 +222,17 @@ class ClusterStore:
     # never the multi-hundred-MB transfer the r8 1M cap risked
     DRIVER_CLOSE_MAX_EDGES = 200_000
 
+    # r15 (guide §5.4 — the remaining per-fold cost was ~8 fixed Spark
+    # jobs of bucket parquet reads/writes): when the store's RESIDENT
+    # data (current label + cindex snapshot files) fits this many
+    # bytes, a driver-held batch folds through a pure pyarrow data
+    # path — same reads, same rewrite algebra, same generation layout,
+    # same meta-last commit, zero Spark jobs.  The store is
+    # local-scheme-only by construction (constructor guard), so the
+    # driver can always reach the files; a store past the cap — the
+    # 100 TB case — keeps the Spark data path for every read and write.
+    DRIVER_DATA_MAX_BYTES = 32 * 1024 * 1024
+
     def _close(self, s: SparkSession, e: DataFrame) -> DataFrame:
         """(node, component=min id of its component) over contracted
         edges — driver union-find when the batch is small, distributed
@@ -270,6 +281,58 @@ class ClusterStore:
                 ]
             ),
         )
+
+    @staticmethod
+    def _local_parquet_files(path: str) -> list[str]:
+        """Data files under one committed bucket dir (local scheme);
+        hidden/marker files (``.``/``_`` prefixes — Spark's _SUCCESS,
+        CRCs, in-flight temps) are invisible, matching what a Spark or
+        pyarrow dataset read of the dir would load."""
+        import os
+
+        from crick_spark.streaming.fsutil import strip_file_scheme
+
+        d = strip_file_scheme(path)
+        out = []
+        try:
+            names = os.listdir(d)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+        for name in sorted(names):
+            if name.startswith((".", "_")):
+                continue
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                out.append(p)
+        return out
+
+    def _resident_bytes(self, *path_maps) -> int:
+        import os
+
+        total = 0
+        for m in path_maps:
+            for p in m.values():
+                if p is None:
+                    continue
+                for f in self._local_parquet_files(p):
+                    total += os.path.getsize(f)
+        return total
+
+    def _read_buckets_local(self, bucket_paths, buckets, cols):
+        """pyarrow twin of ``_read_buckets``: one concatenated table of
+        the requested buckets' current snapshot rows, or None."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = []
+        for b, p in bucket_paths.items():
+            if p is None or (buckets is not None and b not in buckets):
+                continue
+            for f in self._local_parquet_files(p):
+                tables.append(pq.read_table(f, columns=cols))
+        if not tables:
+            return None
+        return pa.concat_tables(tables)
 
     @staticmethod
     def _distinct_ints(df: DataFrame, col) -> set[int]:
@@ -324,9 +387,20 @@ class ClusterStore:
             type(r["id_a"]) in (int, str) and type(r["id_b"]) in (int, str)
             for r in head
         ):
-            ok = self._fold_driver(
-                s, head, pn.schema, batch_id, lab_paths, idx_paths, stats
-            )
+            from pyspark.sql.types import LongType, StringType
+
+            if isinstance(
+                pn.schema["id_a"].dataType, (LongType, StringType)
+            ) and self._resident_bytes(
+                lab_paths, idx_paths
+            ) <= self.DRIVER_DATA_MAX_BYTES:
+                ok = self._fold_driver_local(
+                    s, head, pn.schema, batch_id, lab_paths, idx_paths, stats
+                )
+            else:
+                ok = self._fold_driver(
+                    s, head, pn.schema, batch_id, lab_paths, idx_paths, stats
+                )
         else:
             # distributed fallback: materialize the normalized batch
             # ONCE — it feeds endpoint-bucket discovery, the
@@ -504,6 +578,201 @@ class ClusterStore:
                 )
                 for b in ic
             ],
+        )
+        return True
+
+    def _fold_driver_local(
+        self, s, head, schema, batch_id, lab_paths, idx_paths, stats
+    ) -> bool:
+        """Fully-local twin of ``_fold_driver`` (r15): the same phases,
+        the same rewrite algebra, the same generation layout and
+        meta-last commit — but every bucket read and write is a driver
+        pyarrow call instead of a Spark job (~8 fixed jobs per fold at
+        any batch size).  Eligible only when the store's resident
+        snapshot bytes fit ``DRIVER_DATA_MAX_BYTES`` (checked by the
+        caller) and node ids are long/string; the store is local-scheme
+        by construction, so the files are always driver-reachable.
+        Crash semantics unchanged: generation dirs are (re)written
+        first — a retry of a crashed fold clears its own generation
+        dirs exactly as Spark's overwrite mode would — and meta commits
+        last, so readers never surface a partial fold."""
+        import os
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import LongType
+
+        from crick_spark.functions.pyhash import spark_xxhash64
+        from crick_spark.streaming.fsutil import strip_file_scheme
+
+        node_t = schema["id_a"].dataType
+        pa_node = pa.int64() if isinstance(node_t, LongType) else pa.string()
+        nb = self.n_buckets
+        pairs = [(r["id_a"], r["id_b"]) for r in head]
+        nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+        nodeset = set(nodes)
+        bucket_of = {n: spark_xxhash64(n) % nb for n in nodes}
+        # 1. endpoint resolution against ONLY the endpoints' buckets
+        be = set(bucket_of.values())
+        stats["label_buckets_read"] += sum(
+            1 for b in be if lab_paths.get(b) is not None
+        )
+        label: dict = {}
+        t = self._read_buckets_local(lab_paths, be, ["node", "component"])
+        if t is not None:
+            for n_, c_ in zip(
+                t.column("node").to_pylist(),
+                t.column("component").to_pylist(),
+            ):
+                if n_ in nodeset:
+                    label[n_] = c_
+        # 2. closure over the CONTRACTED graph (identical union-find)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for a, b in pairs:
+            u, v = label.get(a, a), label.get(b, b)
+            if u == v:
+                continue
+            seen.update((u, v))
+            ra, rb = find(u), find(v)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = {}
+        for x in seen:
+            r = find(x)
+            if r != x:
+                mapping[x] = r
+        new_nodes = [n for n in nodes if n not in label]
+        # 3. remap probe via the component index
+        bc = {spark_xxhash64(x) % nb for x in mapping}
+        stats["index_partitions_read"] += sum(
+            1 for b in bc if idx_paths.get(b) is not None
+        )
+        remap_bkts: set[int] = set()
+        ti = self._read_buckets_local(idx_paths, bc, ["component", "nbucket"])
+        if ti is not None and mapping:
+            for c_, b_ in zip(
+                ti.column("component").to_pylist(),
+                ti.column("nbucket").to_pylist(),
+            ):
+                if c_ is not None and c_ in mapping:
+                    remap_bkts.add(int(b_))
+        new_bkts = {bucket_of[n] for n in new_nodes}
+        touched = sorted(remap_bkts | new_bkts)
+        if not touched:
+            self._commit_meta(s, batch_id, [])
+            return True
+        # 4. rewrite ONLY the touched label buckets
+        stats["label_buckets_read"] += sum(
+            1 for b in touched if lab_paths.get(b) is not None
+        )
+        rows_by_bucket: dict[int, tuple[list, list]] = {
+            b: ([], []) for b in touched
+        }
+        for b in touched:
+            p = lab_paths.get(b)
+            if p is None:
+                continue
+            for f in self._local_parquet_files(p):
+                tb = pq.read_table(f, columns=["node", "component"])
+                nd, cp = rows_by_bucket[b]
+                for n_, c_ in zip(
+                    tb.column("node").to_pylist(),
+                    tb.column("component").to_pylist(),
+                ):
+                    nd.append(n_)
+                    cp.append(mapping.get(c_, c_))
+        for n_ in sorted(new_nodes):
+            nd, cp = rows_by_bucket[bucket_of[n_]]
+            nd.append(n_)
+            cp.append(find(n_) if n_ in seen else n_)
+        gen, cgen = self._gen(batch_id), self._cgen(batch_id)
+        # clear a crashed attempt's leftovers, as Spark overwrite would
+        shutil.rmtree(strip_file_scheme(gen), ignore_errors=True)
+        for b in touched:
+            d = os.path.join(strip_file_scheme(gen), f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            nd, cp = rows_by_bucket[b]
+            pq.write_table(
+                pa.table(
+                    {
+                        "node": pa.array(nd, pa_node),
+                        "component": pa.array(cp, pa_node),
+                    }
+                ),
+                os.path.join(
+                    d, f"part-00000-{uuid.uuid4().hex}.parquet"
+                ),
+            )
+        stats["label_buckets_written"] = len(touched)
+        # 5. component-index delta: drop remapped-away old ids' pairs,
+        #    union the rewritten buckets' fresh pairs (same algebra and
+        #    the same partitions-to-rewrite set as _write_generation)
+        new_pairs = {
+            (c_, b)
+            for b in touched
+            for c_ in set(rows_by_bucket[b][1])
+        }
+        ic = {spark_xxhash64(c_) % nb for c_, _ in new_pairs}
+        retained: set = set()
+        if lab_paths:
+            ic |= bc
+            stats["index_partitions_read"] += sum(
+                1 for b in ic if idx_paths.get(b) is not None
+            )
+            to = self._read_buckets_local(
+                idx_paths, ic, ["component", "nbucket"]
+            )
+            if to is not None:
+                for c_, b_ in zip(
+                    to.column("component").to_pylist(),
+                    to.column("nbucket").to_pylist(),
+                ):
+                    if c_ is not None and c_ not in mapping:
+                        retained.add((c_, int(b_)))
+        by_cb: dict[int, list] = {b: [] for b in sorted(ic)}
+        for c_, b_ in new_pairs | retained:
+            by_cb[spark_xxhash64(c_) % nb].append((c_, b_))
+        shutil.rmtree(strip_file_scheme(cgen), ignore_errors=True)
+        for b in sorted(ic):
+            prs = sorted(by_cb[b])
+            d = os.path.join(strip_file_scheme(cgen), f"cbucket={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        # sentinel NULL row per rewritten partition (the
+                        # fold convention: written partitions == ic)
+                        "component": pa.array(
+                            [c for c, _ in prs] + [None], pa_node
+                        ),
+                        "nbucket": pa.array(
+                            [x for _, x in prs] + [None], pa.int32()
+                        ),
+                    }
+                ),
+                os.path.join(
+                    d, f"part-00000-{uuid.uuid4().hex}.parquet"
+                ),
+            )
+        stats["index_partitions_written"] = len(ic)
+        self._commit_meta(
+            s,
+            batch_id,
+            [("labels", b, f"{gen}/bucket={b}") for b in touched]
+            + [("cindex", b, f"{cgen}/cbucket={b}") for b in sorted(ic)],
         )
         return True
 

@@ -198,10 +198,37 @@ class SketchStore:
             hll_new = hll_new.withColumn("__keep__", keep).where(
                 "__keep__"
             ).drop("__keep__")
+        # r15 (guide §2.6 — overlap independent jobs): the t-digest and
+        # HLL chains share nothing after batch_df, and each write is a
+        # small fixed-latency job at micro-batch scale — running them
+        # from two driver threads lets the second chain's tasks
+        # back-fill the first's tail instead of waiting for it.  Spark
+        # job descriptions/groups are thread-local (InheritableThread
+        # carries them over), failures propagate before the meta
+        # commit, so crash semantics are unchanged: meta still commits
+        # last, after BOTH writes succeed.
+        from pyspark import InheritableThread
+
         td_t = self._td_paths[flip]
-        compact.write.mode("overwrite").parquet(td_t)
         hll_t = self._hll_paths[flip]
-        hll_new.write.mode("overwrite").parquet(hll_t)
+        errs: list[BaseException] = []
+
+        def _write(df, path):
+            try:
+                df.write.mode("overwrite").parquet(path)
+            except BaseException as e:  # re-raised on the caller thread
+                errs.append(e)
+
+        threads = [
+            InheritableThread(target=_write, args=(compact, td_t)),
+            InheritableThread(target=_write, args=(hll_new, hll_t)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         # append-only commit marker, driver-written (meta protocol v2,
         # module docstring): atomic rename publishes the new generation;
         # the previous generation's file is never deleted, so a crash

@@ -3165,6 +3165,65 @@ def test_approx_triangle_total_doulion(spark):
     assert half["rel_err_bound"] == want_bound
 
 
+def test_graph_driver_close_matches_distributed(spark):
+    """r15 (optimization round): the coreness h-index and DOULION
+    triangle-total driver fast paths (numpy over one Arrow collect)
+    must emit EXACTLY the forced-distributed results — same rows, same
+    integer counts — on random graphs, for long AND string node ids
+    (coreness; the triangle path is integer-id-only and must fall back
+    on strings), and across round/probability settings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crick_spark.pipeline.graph import approx_triangle_total, coreness
+
+    rng = np.random.default_rng(91)
+    raw = {
+        tuple(sorted((int(a), int(b))))
+        for a, b in rng.integers(0, 150, size=(1200, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(sorted(raw), "src long, dst long")
+    for rounds in (0, 2, 4):
+        fast = sorted(map(tuple, coreness(edges, rounds=rounds).collect()))
+        dist = sorted(
+            map(
+                tuple,
+                coreness(
+                    edges, rounds=rounds, driver_close_max_edges=0
+                ).collect(),
+            )
+        )
+        assert fast == dist
+    sedges = edges.select(
+        F.concat(F.lit("n"), F.col("src")).alias("src"),
+        F.concat(F.lit("n"), F.col("dst")).alias("dst"),
+    )
+    sfast = sorted(map(tuple, coreness(sedges, rounds=3).collect()))
+    sdist = sorted(
+        map(
+            tuple,
+            coreness(sedges, rounds=3, driver_close_max_edges=0).collect(),
+        )
+    )
+    assert sfast == sdist
+    for p in (0.25, 0.5, 1.0):
+        fast = [tuple(r) for r in approx_triangle_total(edges, p=p).collect()]
+        dist = [
+            tuple(r)
+            for r in approx_triangle_total(
+                edges, p=p, driver_close_max_edges=0
+            ).collect()
+        ]
+        assert fast == dist
+    # string ids keep the distributed wedge join (and still agree with
+    # the long-id result, triangle counts being label-invariant)
+    sres = [tuple(r) for r in approx_triangle_total(sedges, p=1.0).collect()]
+    lres = [tuple(r) for r in approx_triangle_total(edges, p=1.0).collect()]
+    assert sres[0][0] == lres[0][0]  # n_edges
+    assert sres[0][2] >= 0
+
+
 def test_triangle_total_audit_single_traversal_consistency(spark):
     """r14 (VERDICT r13 #7): triangle_total_audit derives the sampled
     count INSIDE the exact traversal — its (t_exact, t_sampled, t_est)

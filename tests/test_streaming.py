@@ -1543,6 +1543,70 @@ def test_cluster_store_driver_fold_matches_distributed_fold(
     assert set(idx_f) == set(idx_s)
 
 
+def test_cluster_store_local_data_fold_matches_spark_paths(
+    spark, tmp_path
+):
+    """r15: the fold's pyarrow data path (every bucket read/write a
+    driver call — zero Spark jobs) must produce the same labeling, the
+    same resolved meta, and the same O(touched) stats as BOTH Spark
+    tiers: the r14 driver-bookkeeping fold (forced via a zero data-byte
+    cap) and the fully distributed fold (zero driver-close cap).  Also
+    pins that Spark can read the pyarrow-written generations (the
+    labels() view IS a Spark read) and that a mixed store — local fold
+    on top of Spark-written generations and vice versa — resolves
+    identically."""
+    from crick_spark.streaming.cluster_store import ClusterStore
+
+    batches = [
+        [(i, i + 10_000) for i in range(0, 20, 2)],
+        [(0, 2), (123456, 0)],
+        [(4, 4), (None, 9)],  # fence
+        [(6, 8), (555_001, 555_002)],
+    ]
+    local = ClusterStore(str(tmp_path / "local"), n_buckets=8)
+    sdrv = ClusterStore(str(tmp_path / "sdrv"), n_buckets=8)
+    sdrv.DRIVER_DATA_MAX_BYTES = 0  # force the r14 Spark data path
+    dist = ClusterStore(str(tmp_path / "dist"), n_buckets=8)
+    dist.DRIVER_CLOSE_MAX_EDGES = 0  # force the distributed path
+    mixed = ClusterStore(str(tmp_path / "mixed"), n_buckets=8)
+    for bid, batch in enumerate(batches):
+        for st in (local, sdrv, dist, mixed):
+            if st is mixed:
+                # alternate tiers on ONE store: generations must interop
+                st.DRIVER_DATA_MAX_BYTES = (
+                    0 if bid % 2 else ClusterStore.DRIVER_DATA_MAX_BYTES
+                )
+            df = spark.createDataFrame(batch, "id_a long, id_b long")
+            assert st.fold(df, bid) is True
+        assert local.last_fold_stats == sdrv.last_fold_stats, bid
+        assert local.last_fold_stats == dist.last_fold_stats, bid
+        assert local.last_fold_stats == mixed.last_fold_stats, bid
+    want = sorted(map(tuple, dist.labels(spark).collect()))
+    assert sorted(map(tuple, local.labels(spark).collect())) == want
+    assert sorted(map(tuple, sdrv.labels(spark).collect())) == want
+    assert sorted(map(tuple, mixed.labels(spark).collect())) == want
+    _, lab_l, idx_l = local.read_meta(spark)
+    _, lab_s, idx_s = sdrv.read_meta(spark)
+    assert set(lab_l) == set(lab_s) and set(idx_l) == set(idx_s)
+    # a REOPEN of the pyarrow-written store resolves from disk alone
+    reopened = ClusterStore(str(tmp_path / "local"), n_buckets=8)
+    assert sorted(map(tuple, reopened.labels(spark).collect())) == want
+    # string node ids take the local path too
+    sa = ClusterStore(str(tmp_path / "sa"), n_buckets=4)
+    sb = ClusterStore(str(tmp_path / "sb"), n_buckets=4)
+    sb.DRIVER_CLOSE_MAX_EDGES = 0
+    for bid, batch in enumerate(
+        [[("a", "b"), ("c", "d")], [("b", "c"), ("x", "a")]]
+    ):
+        for st in (sa, sb):
+            df = spark.createDataFrame(batch, "id_a string, id_b string")
+            assert st.fold(df, bid) is True
+        assert sa.last_fold_stats == sb.last_fold_stats, bid
+    assert sorted(map(tuple, sa.labels(spark).collect())) == sorted(
+        map(tuple, sb.labels(spark).collect())
+    )
+
+
 def test_cluster_store_empty_first_batch_commits_fence(spark, tmp_path):
     """r10 ADVICE: an empty (or all-null / all-self-pair) FIRST batch
     must commit the replay fence and return, not write a zero-file
