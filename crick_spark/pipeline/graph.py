@@ -1166,26 +1166,36 @@ def _coreness_driver(a, b, rounds: int):
     starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
     counts = np.diff(np.r_[starts, ns.size])
     # every node index appears in the incidence by construction, so the
-    # grouped reduceat below emits one value per node in node order
-    c = counts.astype(np.int64)  # c0 = degree
-    rn = (
-        np.arange(ns.size, dtype=np.int64)
-        - np.repeat(starts, counts)
-        + 1
+    # grouped reductions below emit one value per node in node order
+    deg = counts.astype(np.int64)
+    c = deg.copy()  # c0 = degree
+    # counting h-index, NO per-round sort (r15): h(v) = max{h :
+    # #{u∈N(v): c(u) ≥ h} ≥ h} = Σ_{h=1..deg(v)} [suffix_count(h) ≥ h]
+    # (the predicate is monotone — LHS non-increasing, RHS increasing).
+    # Neighbor values clip to deg(v) (h never exceeds the degree), land
+    # in per-node histogram bins of width deg(v)+1, and one global
+    # cumsum + a group-corrected suffix turns the histogram into
+    # suffix counts — O(m) adds per round vs the previous O(m log m)
+    # radix argsort (measured ~2.5x faster at 1.2M edges).
+    off = np.zeros(deg.size + 1, dtype=np.int64)
+    np.cumsum(deg + 1, out=off[1:])
+    off_node = off[:-1]
+    pos_base = off_node[ns]
+    deg_rep = deg[ns]
+    flat_h = np.arange(off[-1], dtype=np.int64) - np.repeat(
+        off_node, deg + 1
     )
-    # single composite int key (node-major, neighbor value descending)
-    # → numpy's radix sort; measured 4x faster than the two-key lexsort
-    # at 1.2M edges.  c is monotone non-increasing, so K fixed from c0
-    # stays valid every round.  The h-index itself needs no max-of-min
-    # pass: with values descending and ranks ascending, positions where
-    # value ≥ rank form a prefix whose LENGTH is the h-index.
-    K = int(c.max()) + 1 if c.size else 1
-    base = ns * K + (K - 1)
+    grp_last = np.repeat(off[1:] - 1, deg + 1)
     for _ in range(int(rounds)):
         nc = c[nb]
-        order = np.argsort(base - nc, kind="stable")
+        bins = np.bincount(
+            pos_base + np.minimum(nc, deg_rep), minlength=off[-1]
+        )
+        csum = np.cumsum(bins)
+        suffix = csum[grp_last] - csum + bins
         c = np.add.reduceat(
-            (nc[order] >= rn).astype(np.int64), starts
+            ((suffix >= flat_h) & (flat_h >= 1)).astype(np.int64),
+            off_node,
         )
     return nodes, c
 
