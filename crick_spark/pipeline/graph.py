@@ -792,12 +792,13 @@ def _triangle_counts_normalized(e: DataFrame) -> DataFrame:
     )
 
 
-#: sampled edge sets at or under this count have their triangle total
-#: counted on the driver (one Arrow collect + numpy wedge generation)
-#: instead of the distributed degree-ordered wedge join — integer-exact
-#: either way.  500k 2-long rows ≈ 8 MB via Arrow; the wedge array is
-#: O(m^1.5) worst case, generated in bounded numpy chunks.
-TRIANGLE_DRIVER_CLOSE_MAX_EDGES = 500_000
+#: normalized edge sets at or under this count have their sampled
+#: triangle total counted on the driver (one Arrow collect of the
+#: coin-flagged edges + numpy wedge generation) instead of the
+#: distributed degree-ordered wedge join — integer-exact either way.
+#: 2M (long, long, bool) rows ≈ 34 MB via Arrow; the wedge array over
+#: the p-thinned subgraph is O((pm)^1.5) worst case.
+TRIANGLE_DRIVER_CLOSE_MAX_EDGES = 2_000_000
 
 
 def _triangle_total_driver(a, b) -> int:
@@ -883,15 +884,20 @@ def approx_triangle_total(
         md5_uniform(F.concat_ws("#", F.col("a"), F.col("b"))) < F.lit(p)
     )
     # r15 driver close (guide §1.2): the sampled subgraph's EXACT count
-    # is an integer, so when the sampled edge set fits the driver cap
-    # the whole wedge join (the plan's remaining ~12 jobs) collapses to
-    # one Arrow collect + the numpy twin.  The coin is evaluated by the
-    # SAME in-plan md5 expression either way — the collected edges ARE
-    # the filter's output, coin-for-coin.  Integer node ids only (the
-    # orientation tie-break compares ids; numpy's sort order is only
-    # guaranteed to match Spark's for numeric types); anything else —
-    # and any over-cap sample — keeps the distributed wedge join.
-    t_samp = n_s = None
+    # is an integer, so when the normalized edge set fits the driver
+    # cap the whole wedge join (the plan's remaining ~12 jobs) AND both
+    # count aggregates collapse to one count (~free on the checkpoint)
+    # + one parallel Arrow collect of the coin-FLAGGED edges + the
+    # numpy twin (a limit(cap+1) decide-and-use collect funnels through
+    # CollectLimit's sequential partition pulls — measured 0.5-0.9 s vs
+    # 0.1 s count + 0.25 s parallel collect at 1.2M edges).  The coin
+    # is evaluated by the SAME in-plan md5 expression either way — the
+    # collected flags ARE the sample filter's output, coin-for-coin.
+    # Integer node ids only (the orientation tie-break compares ids;
+    # numpy's sort order is only guaranteed to match Spark's for
+    # numeric types); anything else — and any over-cap edge set —
+    # keeps the distributed wedge join.
+    t_samp = n_s = n_e = None
     if driver_close_max_edges:
         from pyspark.sql.types import IntegerType, LongType
 
@@ -899,18 +905,35 @@ def approx_triangle_total(
         if t_ab == e.schema["b"].dataType and isinstance(
             t_ab, (LongType, IntegerType)
         ):
-            head = samp.limit(int(driver_close_max_edges) + 1).toArrow()
-            if head.num_rows <= driver_close_max_edges:
+            n_edges_v = e.count()
+            if n_edges_v <= driver_close_max_edges:
+                import numpy as np
+
+                head = e.select(
+                    "a",
+                    "b",
+                    (
+                        md5_uniform(
+                            F.concat_ws("#", F.col("a"), F.col("b"))
+                        )
+                        < F.lit(p)
+                    ).alias("s"),
+                ).toArrow()
+                flag = head.column("s").to_numpy(zero_copy_only=False)
+                keep = np.flatnonzero(flag)
                 t = _triangle_total_driver(
-                    head.column("a").to_numpy(zero_copy_only=False),
-                    head.column("b").to_numpy(zero_copy_only=False),
+                    head.column("a").to_numpy(zero_copy_only=False)[keep],
+                    head.column("b").to_numpy(zero_copy_only=False)[keep],
                 )
                 s = edges.sparkSession
                 t_samp = s.createDataFrame(
                     [(int(t),)], "t_sampled long"
                 )
                 n_s = s.createDataFrame(
-                    [(int(head.num_rows),)], "n_sampled long"
+                    [(int(keep.size),)], "n_sampled long"
+                )
+                n_e = s.createDataFrame(
+                    [(int(n_edges_v),)], "n_edges long"
                 )
     if t_samp is None:
         # samp is a filter of the normalized+checkpointed e — already
@@ -923,7 +946,7 @@ def approx_triangle_total(
             .agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("t_sampled"))
         )
         n_s = samp.agg(F.count("*").alias("n_sampled"))
-    n_e = e.agg(F.count("*").alias("n_edges"))
+        n_e = e.agg(F.count("*").alias("n_edges"))
     inv_p3 = 1.0 / (p**3)
     return (
         n_e.crossJoin(F.broadcast(n_s))
@@ -1260,8 +1283,13 @@ def coreness(
         t_a, t_b = und0.schema["a"].dataType, und0.schema["b"].dataType
         if t_a == t_b and isinstance(t_a, (LongType, StringType)):
             und0 = und0.localCheckpoint(eager=True)
-            head = und0.limit(int(driver_close_max_edges) + 1).toArrow()
-            if head.num_rows <= driver_close_max_edges:
+            # decide via count, then a FULL parallel Arrow collect: on
+            # the checkpointed relation the count is ~free, and it
+            # avoids CollectLimit's sequential partition pulls (r15
+            # measured 0.5-0.9 s limit-collect vs 0.1 s count + 0.25 s
+            # parallel collect at 1.2M edges)
+            if und0.count() <= driver_close_max_edges:
+                head = und0.toArrow()
                 import pandas as pd
                 from pyspark.sql.types import StructField, StructType
 
